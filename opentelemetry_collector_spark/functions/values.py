@@ -1,0 +1,72 @@
+"""Scalar function library — the pcommon.Value/Map analog (SURVEY §2.7).
+
+The reference's dynamic value system (pdata/pcommon/value.go:31-40, 7 types)
+dissolves into typed columns; the two semantics that must be preserved are:
+
+- ``AsString`` canonicalization (value.go:361-426): maps/slices -> JSON,
+  bytes -> base64. Here: ``as_string`` builds the canonical string column.
+- ordered-Map equality (pdata/pcommon/map.go:109-127): MapType loses order,
+  so attributes serialize to a sorted-key JSON string (``attributes_json``).
+
+All functions are pure Column expressions — JVM-side, inside whole-stage
+codegen; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_string(col: Column, kind: str = "str") -> Column:
+    """pcommon.Value.AsString analog (pdata/pcommon/value.go:361-395):
+    kind='map'/'slice' -> canonical JSON; 'bytes' -> base64; else cast.
+    """
+    if kind in ("map", "slice"):
+        return F.to_json(col)
+    if kind == "bytes":
+        return F.base64(col)
+    return col.cast("string")
+
+
+def attributes_json(pairs: dict[str, Column]) -> Column:
+    """Sorted-key canonical JSON object from (name -> Column) pairs.
+
+    Null-valued keys are omitted (Map.Get absent-key semantics,
+    pdata/pcommon/map.go:64-75). String columns are quoted; numeric columns
+    are rendered bare. Output example: '{"dur_ms": 42, "status": "OK"}'.
+    """
+    frags = []
+    for key in sorted(pairs):
+        col = pairs[key]
+        quoted = F.when(
+            col.cast("string").isNotNull(),
+            F.concat(
+                F.lit(f'"{key}": '),
+                _json_scalar(col),
+            ),
+        )
+        frags.append(quoted)
+    return F.concat(F.lit("{"), F.concat_ws(", ", *frags), F.lit("}"))
+
+
+def _json_scalar(col: Column) -> Column:
+    # numeric stays bare if it round-trips as digits, else quoted string
+    s = col.cast("string")
+    return F.when(s.rlike(r"^-?[0-9]+(\.[0-9]+)?$"), s).otherwise(
+        F.concat(F.lit('"'), s, F.lit('"'))
+    )
+
+
+def deterministic_trace_id(conv_id: Column, turn_idx: Column) -> Column:
+    """32-hex deterministic trace id (pdata/pcommon/traceid.go analog):
+    md5(conv_id:turn_idx). Hex-string form per SURVEY §1.6 mapping.
+    """
+    return F.md5(F.concat_ws(":", conv_id, turn_idx.cast("string")))
+
+
+def deterministic_span_id(conv_id: Column, turn_idx: Column) -> Column:
+    """16-hex deterministic span id (pdata/pcommon/spanid.go analog)."""
+    return F.substring(
+        F.md5(F.concat_ws(":", conv_id, turn_idx.cast("string"), F.lit("s"))), 1, 16
+    )

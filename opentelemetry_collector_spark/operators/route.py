@@ -1,0 +1,75 @@
+"""Route stage — the fanout/router analog (SURVEY §2.4).
+
+The reference's fanout consumer sends each batch to N downstream pipelines
+(service/internal/fanoutconsumer/logs.go:35-85); the router surface selects a
+pipeline subset (fanoutconsumer/logs.go:87-132). Re-expressed single-pass:
+every row gets a ``sink_id`` (role/tool_family) or lands in ``dead_letter``
+with an ``error_reason`` — the count-conservation invariant (every input row
+appears in exactly one sink or dead-letter) mirrors
+TestBatchProcessorSpansDelivered (processor/batchprocessor/batch_processor_test.go:39-79).
+
+Dead-letter classification is the permanent-vs-retryable error split
+(consumer/consumererror/permanent.go): malformed data is permanent -> dead
+letter; infra failures are retryable -> task retry (plans/retry.py).
+
+Scale note: routing is a narrow projection (one CASE per row) — the physical
+fan-out to per-sink tables is a single write with partitionBy(sink columns),
+NOT N filtered scans, so the input is read once (copy-minimization parity
+with fanoutconsumer/logs.go:40-58).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ERR_EMPTY_TEXT = "empty_text"
+ERR_UNKNOWN_SEVERITY = "unknown_severity"
+
+
+def _error_reason() -> Column:
+    return (
+        F.when(F.col("text").isNull() | (F.col("text") == ""), F.lit(ERR_EMPTY_TEXT))
+        .when(
+            F.col("severity_text").isNotNull() & F.col("severity_number").isNull(),
+            F.lit(ERR_UNKNOWN_SEVERITY),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def route(enriched: DataFrame) -> DataFrame:
+    """Add (error_reason, sink_id); sink_id NULL iff dead-lettered."""
+    reason = _error_reason()
+    return enriched.withColumn("error_reason", reason).withColumn(
+        "sink_id",
+        F.when(
+            reason.isNull(),
+            F.concat_ws("/", F.col("role"), F.col("tool_family")),
+        ),
+    )
+
+
+def routed_ok(routed: DataFrame) -> DataFrame:
+    return routed.filter(F.col("error_reason").isNull())
+
+
+def dead_letter(routed: DataFrame) -> DataFrame:
+    """The dead-letter sink (permanent errors; consumererror.NewPermanent)."""
+    return routed.filter(F.col("error_reason").isNotNull())
+
+
+def write_sinks(routed: DataFrame, base_path: str, max_records_per_file: int = 8192) -> None:
+    """Single-pass fan-out write: one scan, partitioned by sink key.
+
+    max_records_per_file=8192 mirrors the batch processor's send_batch_size
+    default (processor/batchprocessor/factory.go:31) — the batch-split
+    semantics (splitlogs.go:22-84) become a file-size cap.
+    """
+    (
+        routed.withColumn("sink", F.coalesce("sink_id", F.lit("dead_letter")))
+        .write.option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("sink")
+        .mode("overwrite")
+        .parquet(base_path)
+    )

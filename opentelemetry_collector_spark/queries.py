@@ -1,0 +1,240 @@
+"""Query registry: every implemented operator exposed as a (spark, sf_dir) ->
+DataFrame callable plus a DuckDB oracle SQL string (driver correctness gate).
+
+Column names AND types are aligned pairwise between the Spark plan and the
+oracle SQL — the driver sorts columns by name and hashes values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators.aggregate import (
+    severity_histogram,
+    sink_counts,
+)
+from opentelemetry_collector_spark.operators.enrich import (
+    enrich,
+    roles_values_sql,
+    tools_values_sql,
+)
+from opentelemetry_collector_spark.operators.parse import parse_oracle_sql, parse_turns
+from opentelemetry_collector_spark.operators.route import dead_letter, route, routed_ok
+from opentelemetry_collector_spark.sources.transcripts import (
+    TRANSCRIPTS_FROM_EVENTS_SQL,
+    events_to_transcripts,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_PARSED_COLS = [
+    "conv_id",
+    "turn_idx",
+    "role",
+    "tool",
+    "ts",
+    "severity_text",
+    "severity_number",
+    "parsed_tool",
+    "trace_id",
+    "span_id",
+    "dur_ms",
+    "status",
+    "attributes_json",
+    "body",
+]
+
+# Shared oracle CTE prefix: transcripts -> parsed -> enriched -> routed.
+_ORACLE_BASE = f"""WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+parsed AS ({parse_oracle_sql('transcripts')}),
+{roles_values_sql()},
+{tools_values_sql()},
+enriched AS (
+    SELECT p.*,
+        coalesce(r.role_kind, 'unknown') AS role_kind,
+        r.is_human,
+        cast(r.priority AS int) AS priority,
+        CASE WHEN p.parsed_tool IS NULL THEN 'none'
+             ELSE coalesce(t.tool_family, 'unknown') END AS tool_family,
+        cast(t.timeout_ms AS int) AS timeout_ms,
+        t.deprecated
+    FROM parsed p
+    LEFT JOIN roles r ON p.role = r.role
+    LEFT JOIN tools t ON p.parsed_tool = t.tool
+),
+routed AS (
+    SELECT *,
+        CASE WHEN text IS NULL OR text = '' THEN 'empty_text'
+             WHEN severity_text IS NOT NULL AND severity_number IS NULL
+                 THEN 'unknown_severity'
+        END AS error_reason,
+        CASE WHEN (text IS NOT NULL AND text <> '')
+                  AND NOT (severity_text IS NOT NULL AND severity_number IS NULL)
+             THEN role || '/' || tool_family END AS sink_id
+    FROM enriched
+)"""
+
+_ENRICHED_COLS = _PARSED_COLS + [
+    "role_kind",
+    "is_human",
+    "priority",
+    "tool_family",
+    "timeout_ms",
+    "deprecated",
+]
+_ROUTED_COLS = _ENRICHED_COLS + ["error_reason", "sink_id"]
+
+
+def _normalize_enriched(df: DataFrame) -> DataFrame:
+    # align lookup int widths with the oracle's int32
+    return df.withColumn("priority", F.col("priority").cast("int")).withColumn(
+        "timeout_ms", F.col("timeout_ms").cast("int")
+    )
+
+
+def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = events_to_transcripts(spark, sf_dir)
+    return _normalize_enriched(route(enrich(parse_turns(t), spark)))
+
+
+# --- query callables -------------------------------------------------------
+
+
+def q_transcripts_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_to_transcripts(spark, sf_dir)
+
+
+def q_parse_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parse_turns(events_to_transcripts(spark, sf_dir)).select(*_PARSED_COLS)
+
+
+def q_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = enrich(parse_turns(events_to_transcripts(spark, sf_dir)), spark)
+    return _normalize_enriched(df).select(*_ENRICHED_COLS)
+
+
+def q_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _routed(spark, sf_dir).select(*_ROUTED_COLS)
+
+
+def q_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dead_letter(_routed(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "role", "error_reason", "body"
+    )
+
+
+def q_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sink_counts(routed_ok(_routed(spark, sf_dir)))
+
+
+def q_severity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return severity_histogram(
+        parse_turns(events_to_transcripts(spark, sf_dir))
+    )
+
+
+def q_count_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-conservation invariant (batch_processor_test.go:39-79 analog):
+    total == routed_ok + dead_letter, per-sink breakdown included.
+    """
+    routed = _routed(spark, sf_dir)
+    return routed.groupBy(
+        F.coalesce("sink_id", F.lit("dead_letter")).alias("sink")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def q_turn_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable turn ordering + inter-turn gap — Window.partitionBy(conv_id)
+    .orderBy(turn_idx) (SURVEY §2.8: the collector gets slice order free).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = events_to_transcripts(spark, sf_dir)
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.row_number().over(w).alias("rn"),
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).cast("long").alias("gap_s"),
+    )
+
+
+def q_tool_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span extraction + per-tool top-3 by duration (rank window) — the
+    tool-call span analog (pdata/ptrace/generated_span.go:58-131)."""
+    from pyspark.sql.window import Window
+
+    parsed = parse_turns(events_to_transcripts(spark, sf_dir))
+    spans = parsed.filter(F.col("trace_id").isNotNull()).select(
+        "conv_id", "turn_idx", "parsed_tool", "trace_id", "span_id", "dur_ms"
+    )
+    w = Window.partitionBy("parsed_tool").orderBy(
+        F.col("dur_ms").desc(), F.col("trace_id")
+    )
+    return (
+        spans.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("parsed_tool", "trace_id", "span_id", "dur_ms", "rk")
+    )
+
+
+PIPELINE_QUERIES: dict[str, QueryFn] = {
+    "transcripts_source": q_transcripts_source,
+    "parse_turns": q_parse_turns,
+    "enrich": q_enrich,
+    "route": q_route,
+    "dead_letter": q_dead_letter,
+    "sink_counts": q_sink_counts,
+    "severity_histogram": q_severity_histogram,
+    "count_conservation": q_count_conservation,
+    "turn_ordering": q_turn_ordering,
+    "tool_spans": q_tool_spans,
+}
+
+PIPELINE_ORACLES: dict[str, str] = {
+    "transcripts_source": TRANSCRIPTS_FROM_EVENTS_SQL,
+    "parse_turns": f"""WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+SELECT {', '.join(_PARSED_COLS)} FROM ({parse_oracle_sql('transcripts')}) q""",
+    "enrich": f"""{_ORACLE_BASE}
+SELECT {', '.join(_ENRICHED_COLS)} FROM enriched""",
+    "route": f"""{_ORACLE_BASE}
+SELECT {', '.join(_ROUTED_COLS)} FROM routed""",
+    "dead_letter": f"""{_ORACLE_BASE}
+SELECT conv_id, turn_idx, role, error_reason, body FROM routed
+WHERE error_reason IS NOT NULL""",
+    "sink_counts": f"""{_ORACLE_BASE}
+SELECT
+    cast(floor(epoch(ts)/300)*300 AS bigint) AS bucket_start_epoch,
+    role AS sink_role,
+    tool_family AS sink_tool,
+    count(*) AS n_rows,
+    count(*) FILTER (WHERE severity_number >= 17) AS n_error_severity
+FROM routed WHERE error_reason IS NULL
+GROUP BY 1, 2, 3""",
+    "severity_histogram": f"""WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+parsed AS ({parse_oracle_sql('transcripts')})
+SELECT severity_number, severity_text, count(*) AS n_rows
+FROM parsed GROUP BY 1, 2""",
+    "count_conservation": f"""{_ORACLE_BASE}
+SELECT coalesce(sink_id, 'dead_letter') AS sink, count(*) AS n_rows
+FROM routed GROUP BY 1""",
+    "turn_ordering": f"""WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+SELECT conv_id, turn_idx,
+    cast(row_number() OVER w AS int) AS rn,
+    cast(floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) AS bigint) AS gap_s
+FROM transcripts
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)""",
+    "tool_spans": f"""WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+parsed AS ({parse_oracle_sql('transcripts')})
+SELECT parsed_tool, trace_id, span_id, dur_ms, rk FROM (
+    SELECT parsed_tool, trace_id, span_id, dur_ms,
+        cast(row_number() OVER (PARTITION BY parsed_tool
+            ORDER BY dur_ms DESC, trace_id) AS int) AS rk
+    FROM parsed WHERE trace_id IS NOT NULL
+) q WHERE rk <= 3""",
+}

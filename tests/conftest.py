@@ -1,0 +1,60 @@
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from opentelemetry_collector_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("otelcol-spark-tests", cores=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    """DuckDB connection with the same views the driver pre-registers."""
+
+    def connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        return con
+
+    return connect
+
+
+def assert_df_equal(spark_df, duck_df, sort_cols=None):
+    """Exact frame equality after canonical sort (FIXTURES.md §4)."""
+    import pandas as pd
+
+    s = spark_df.toPandas()
+    d = duck_df if isinstance(duck_df, pd.DataFrame) else duck_df.df()
+    assert sorted(s.columns) == sorted(d.columns), (
+        f"columns differ: {sorted(s.columns)} vs {sorted(d.columns)}"
+    )
+    cols = sorted(s.columns)
+    s, d = s[cols], d[cols]
+    sort_cols = sort_cols or cols
+    s = s.sort_values(sort_cols).reset_index(drop=True)
+    d = d.sort_values(sort_cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, d, check_dtype=False)
