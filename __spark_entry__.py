@@ -27,10 +27,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(_q.PIPELINE_QUERIES)
+    out.update(_q.DOCS_QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(_q.PIPELINE_ORACLES)
+    out.update(_q.DOCS_ORACLES)
     return out

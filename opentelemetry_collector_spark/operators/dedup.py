@@ -1,0 +1,365 @@
+"""Deduplication operators over the ``documents`` table: exact, n-gram
+Jaccard, MinHash+LSH, SimHash. (Embedding-cosine near-dup lives in
+similarity.py with the other vector ops.)
+
+Corpus-dedup semantics follow the standard near-dup literature (shingling /
+MinHash banding per Broder; SimHash per Charikar) implemented Spark-first:
+
+* candidate generation is always a **key-equality self-join** (shingle
+  posting lists, LSH band keys, SimHash byte-bands) — a hash-partitioned
+  shuffle Catalyst executes as a sort-merge/hash join, never an O(n^2)
+  cross join;
+* verification (true Jaccard / Hamming) runs only on candidate pairs;
+* everything is native Spark SQL expressions — md5-based hashing gives
+  identical results in the DuckDB oracles (no Python in the hot path).
+
+Scale notes (100 TB / 10^9 docs):
+* posting-list skew: a shingle shared by k docs emits k^2 candidate pairs —
+  ``max_doc_freq`` drops degenerate ultra-common shingles (standard df-cap),
+  bounding the join fan-out; the cap is part of the operator contract and is
+  applied identically in the oracle.
+* signatures are O(1) per doc (16 minhashes / 1 simhash), so the band
+  self-join shuffles only ~doc_count * bands tiny rows.
+* the final pair verify re-joins the (small) candidate set back to the
+  shingle arrays — at scale that join is broadcast-able when candidates fit,
+  else it hash-partitions on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NGRAM = 3  # word-shingle width
+JACCARD_THRESHOLD = 0.6
+MAX_DOC_FREQ = 500  # df-cap: drop shingles occurring in more docs than this
+MINHASH_K = 16  # signature length
+MINHASH_BANDS = 4  # bands x rows = 4 x 4
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 2  # tight radius: the corpus shares one vocab, so
+# simhashes cluster — a loose radius degenerates to all-pairs
+
+_SHINGLES_EXPR = (
+    "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - "
+    f"{NGRAM - 1}, 1)), i -> concat_ws(' ', slice(split(text, ' '), i, {NGRAM}))))"
+)
+
+# DuckDB list slicing is 1-based inclusive: words[i:i+2] is 3 elements.
+_SHINGLES_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - "
+    f"{NGRAM - 1}, 1) + 1), i -> array_to_string("
+    f"string_split(text, ' ')[i:i+{NGRAM - 1}], ' ')))"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_SHINGLES_EXPR).alias("shingles")
+    )
+
+
+# --- exact dedup ------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: canonical id = min doc_id per text-md5
+    group (hash-groupBy; the canonical choice is deterministic)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("text_md5")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.md5("text").alias("text_md5"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_dup", F.col("doc_id") != F.col("canonical_id"))
+    )
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT doc_id, md5(text) AS text_md5,
+    min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+    count(*) OVER (PARTITION BY md5(text)) AS group_size,
+    doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+FROM documents
+"""
+
+
+# --- n-gram Jaccard ---------------------------------------------------------
+
+
+def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-{NGRAM}-gram Jaccard >= {JACCARD_THRESHOLD}.
+
+    Inverted-index candidate generation: explode shingles, df-cap, self-join
+    on shingle (equality shuffle join), count co-occurrences, then
+    jaccard = co / (|A| + |B| - co) — exact, no verification join needed
+    because co-occurrence counting IS the intersection size.
+    """
+    sh = _shingled(spark, sf_dir).withColumn("n_sh", F.size("shingles"))
+    posting = sh.select(
+        "doc_id", "n_sh", F.explode("shingles").alias("shingle")
+    )
+    rare = (
+        posting.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_DOC_FREQ)
+        .select("shingle")
+    )
+    posting = posting.join(rare, "shingle")
+    a, b = posting.alias("a"), posting.alias("b")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    jac = F.col("co") / (F.col("n_a") + F.col("n_b") - F.col("co"))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "co", "jaccard")
+    )
+
+
+DEDUP_NGRAM_ORACLE = f"""
+WITH sh AS (
+    SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+),
+posting AS (
+    SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+),
+rare AS (
+    SELECT shingle FROM posting GROUP BY shingle
+    HAVING count(*) <= {MAX_DOC_FREQ}
+),
+capped AS (SELECT p.* FROM posting p JOIN rare USING (shingle)),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS co
+    FROM capped a JOIN capped b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, co,
+    round(co / (n_a + n_b - co), 6) AS jaccard
+FROM pairs
+WHERE round(co / (n_a + n_b - co), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+_SIG_EXPR = (
+    f"transform(sequence(0, {MINHASH_K - 1}), "
+    "j -> array_min(transform(shingles, "
+    "s -> md5(concat(cast(j AS string), ':', s)))))"
+)
+_SIG_SQL = (
+    f"list_transform(range(0, {MINHASH_K}), "
+    "j -> list_min(list_transform(shingles, "
+    "s -> md5(cast(j AS string) || ':' || s))))"
+)
+_ROWS_PER_BAND = MINHASH_K // MINHASH_BANDS
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (shingle -> 16-hash signature -> 4 bands of
+    4 -> band-bucket equality join -> true-Jaccard verify >= threshold).
+
+    The md5(j + ':' + shingle) family plays the role of the j-th random
+    permutation; band key = md5 of the band's minhashes. Candidates from ANY
+    matching band are verified with exact Jaccard via array intersection on
+    the (small) candidate set.
+    """
+    sh = _shingled(spark, sf_dir)
+    sig = sh.withColumn("sig", F.expr(_SIG_EXPR))
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {MINHASH_BANDS - 1}), b -> "
+                f"struct(b AS band, md5(concat_ws('|', "
+                f"slice(sig, b * {_ROWS_PER_BAND} + 1, {_ROWS_PER_BAND}))) AS key))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"),
+                            F.col("shingles").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"),
+                        F.col("shingles").alias("sh_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+DEDUP_MINHASH_ORACLE = f"""
+WITH sh AS (
+    SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+),
+sig AS (SELECT doc_id, shingles, {_SIG_SQL} AS sig FROM sh),
+bands AS (
+    SELECT doc_id, b.band,
+        md5(array_to_string(sig[b.band * {_ROWS_PER_BAND} + 1 :
+                                b.band * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}],
+                            '|')) AS key
+    FROM sig, (SELECT unnest(range(0, {MINHASH_BANDS})) AS band) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b USING (band, key)
+    WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+    round(len(list_intersect(sa.shingles, sb.shingles)) /
+          len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+FROM cand
+JOIN sh sa ON sa.doc_id = cand.doc_a
+JOIN sh sb ON sb.doc_id = cand.doc_b
+WHERE round(len(list_intersect(sa.shingles, sb.shingles)) /
+            len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{SIMHASH_BITS}-bit SimHash: each distinct word votes +/-1 per bit via
+    md5 parity (first hex char < '8' => +1); bit set iff vote sum > 0."""
+    tokens = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    votes = tokens.crossJoin(
+        spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
+    ).select(
+        "doc_id",
+        "bit",
+        F.when(
+            F.substring(
+                F.md5(F.concat_ws(":", "tok", F.col("bit").cast("string"))), 1, 1
+            ).isin(*"01234567"),
+            1,
+        )
+        .otherwise(-1)
+        .alias("vote"),
+    )
+    return (
+        votes.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0)
+            ).alias("simhash")
+        )
+    )
+
+
+_SIMHASH_SQL = f"""
+    SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+    FROM (
+        SELECT doc_id, bit, sum(vote) AS v
+        FROM (
+            SELECT doc_id, bit,
+                CASE WHEN substr(md5(tok || ':' || cast(bit AS string)), 1, 1)
+                     IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS vote
+            FROM (
+                SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+                FROM documents
+            ) t, (SELECT unnest(range(0, {SIMHASH_BITS})) AS bit) b
+        ) q GROUP BY doc_id, bit
+    ) s GROUP BY doc_id
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash values per doc (fingerprint surface for Hamming-distance
+    dedup)."""
+    return _simhash_df(spark, sf_dir)
+
+
+DEDUP_SIMHASH_ORACLE = f"SELECT doc_id, simhash FROM ({_SIMHASH_SQL}) q"
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= {SIMHASH_MAX_HAMMING}.
+
+    Candidate generation: byte-band equality (a pair within Hamming 6 of a
+    32-bit hash must agree on at least one of 4 bytes when <= 3 bytes differ;
+    the 4-band scheme is the standard pigeonhole split for h < bands).
+    Verify with bit_count(xor).
+    """
+    sh = _simhash_df(spark, sf_dir)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> struct(b AS band, "
+                "cast(shiftright(simhash, b * 8) & 255 AS int) AS key))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+DEDUP_SIMHASH_PAIRS_ORACLE = f"""
+WITH sh AS ({_SIMHASH_SQL}),
+bands AS (
+    SELECT doc_id, simhash, b.band,
+        cast((simhash >> (b.band * 8)) & 255 AS int) AS key
+    FROM sh, (SELECT unnest(range(0, 4)) AS band) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.simhash AS sh_a, b.simhash AS sh_b
+    FROM bands a JOIN bands b USING (band, key)
+    WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}
+"""

@@ -23,6 +23,9 @@ from opentelemetry_collector_spark.operators.enrich import (
 )
 from opentelemetry_collector_spark.operators.parse import parse_oracle_sql, parse_turns
 from opentelemetry_collector_spark.operators.route import dead_letter, route, routed_ok
+from opentelemetry_collector_spark.operators import dedup as _dedup
+from opentelemetry_collector_spark.operators import similarity as _sim
+from opentelemetry_collector_spark.operators import textstats as _ts
 from opentelemetry_collector_spark.sources.transcripts import (
     TRANSCRIPTS_FROM_EVENTS_SQL,
     events_to_transcripts,
@@ -194,6 +197,42 @@ PIPELINE_QUERIES: dict[str, QueryFn] = {
     "count_conservation": q_count_conservation,
     "turn_ordering": q_turn_ordering,
     "tool_spans": q_tool_spans,
+}
+
+# --- training-data-pipeline operators (documents / embeddings tables) ------
+
+DOCS_QUERIES: dict[str, QueryFn] = {
+    "doc_tokens": _ts.doc_tokens,
+    "doc_quality": _ts.doc_quality,
+    "doc_langid": _ts.doc_langid,
+    "doc_fingerprint": _ts.doc_fingerprint,
+    "dedup_exact": _dedup.dedup_exact,
+    "dedup_ngram_pairs": _dedup.dedup_ngram_pairs,
+    "dedup_minhash_pairs": _dedup.dedup_minhash_pairs,
+    "dedup_simhash": _dedup.dedup_simhash,
+    "dedup_simhash_pairs": _dedup.dedup_simhash_pairs,
+    "dedup_embedding_pairs": _sim.dedup_embedding_pairs,
+    "ann_cosine_topk": _sim.ann_cosine_topk,
+    "ann_lsh_topk": _sim.ann_lsh_topk,
+    # performance-path twin of ann_cosine_topk (Arrow/numpy matmul); checked
+    # rows-only — its float op order differs from the SQL fold, so exact
+    # value-hash parity is not contractual.
+    "ann_cosine_topk_pandas": _sim.cosine_topk_pandas,
+}
+
+DOCS_ORACLES: dict[str, str] = {
+    "doc_tokens": _ts.DOC_TOKENS_ORACLE,
+    "doc_quality": _ts.DOC_QUALITY_ORACLE,
+    "doc_langid": _ts.DOC_LANGID_ORACLE,
+    "doc_fingerprint": _ts.DOC_FINGERPRINT_ORACLE,
+    "dedup_exact": _dedup.DEDUP_EXACT_ORACLE,
+    "dedup_ngram_pairs": _dedup.DEDUP_NGRAM_ORACLE,
+    "dedup_minhash_pairs": _dedup.DEDUP_MINHASH_ORACLE,
+    "dedup_simhash": _dedup.DEDUP_SIMHASH_ORACLE,
+    "dedup_simhash_pairs": _dedup.DEDUP_SIMHASH_PAIRS_ORACLE,
+    "dedup_embedding_pairs": _sim.DEDUP_EMBEDDING_ORACLE,
+    "ann_cosine_topk": _sim.ANN_TOPK_ORACLE,
+    "ann_lsh_topk": _sim.ANN_LSH_ORACLE,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {

@@ -1,0 +1,70 @@
+"""Training-data operators (textstats/dedup/similarity) vs DuckDB oracles at
+sf0.01, plus semantic invariants the oracle can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.queries import DOCS_ORACLES, DOCS_QUERIES
+from tests.conftest import SF_CORRECT, assert_df_equal
+
+
+@pytest.mark.parametrize("name", sorted(DOCS_ORACLES))
+def test_docs_query_matches_oracle(name, spark, duck):
+    sdf = DOCS_QUERIES[name](spark, SF_CORRECT)
+    con = duck(SF_CORRECT)
+    assert_df_equal(sdf, con.sql(DOCS_ORACLES[name]))
+
+
+def test_minhash_recall_vs_exact_jaccard(spark):
+    """LSH candidates must contain every true near-dup pair found by the
+    exhaustive n-gram path (banding can only LOSE pairs below threshold —
+    at threshold 0.6 with 4x4 bands, P(miss) = (1-s^4)^4 < 3% at s=0.6 and
+    the deterministic corpus has only high-s pairs)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in DOCS_QUERIES["dedup_ngram_pairs"](spark, SF_CORRECT).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in DOCS_QUERIES["dedup_minhash_pairs"](spark, SF_CORRECT).collect()
+    }
+    assert exact, "fixture must contain near-dup pairs"
+    assert lsh == exact  # at this scale the corpus' pairs are all s>0.9
+
+
+def test_pandas_topk_agrees_with_sql_topk(spark):
+    """The Arrow/numpy top-k must return the same neighbor SETS as the
+    native-SQL brute force (scores may differ in the last ulp)."""
+    sql_rows = DOCS_QUERIES["ann_cosine_topk"](spark, SF_CORRECT).collect()
+    pd_rows = DOCS_QUERIES["ann_cosine_topk_pandas"](spark, SF_CORRECT).collect()
+    by_q_sql = {}
+    for r in sql_rows:
+        by_q_sql.setdefault(r.query_id, set()).add(r.data_id)
+    by_q_pd = {}
+    for r in pd_rows:
+        by_q_pd.setdefault(r.query_id, set()).add(r.data_id)
+    assert by_q_sql == by_q_pd
+
+
+def test_lsh_topk_is_subset_of_exact_ranking(spark):
+    """ANN results are drawn from the query's bucket; every returned
+    neighbor's exact cosine must match the brute-force score."""
+    exact = {
+        (r.query_id, r.data_id): r.cos
+        for r in DOCS_QUERIES["ann_cosine_topk"](spark, SF_CORRECT)
+        .drop("rk").collect()
+    }
+    # brute force only kept top-5; recompute full scores for checked pairs
+    lsh = DOCS_QUERIES["ann_lsh_topk"](spark, SF_CORRECT).collect()
+    assert lsh, "LSH buckets must be non-degenerate"
+    for r in lsh:
+        if (r.query_id, r.data_id) in exact:
+            assert abs(exact[(r.query_id, r.data_id)] - r.cos) < 1e-9
+
+
+def test_simhash_is_deterministic(spark):
+    a = DOCS_QUERIES["dedup_simhash"](spark, SF_CORRECT).collect()
+    b = DOCS_QUERIES["dedup_simhash"](spark, SF_CORRECT).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
