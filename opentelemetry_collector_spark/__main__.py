@@ -1,0 +1,147 @@
+"""spark-submit entrypoint — the collector binary analog (otelcol/collector.go:154-255).
+
+Usage (cluster):
+    spark-submit --py-files otelcol_spark.zip \\
+        -m opentelemetry_collector_spark ...        # or path to this file
+Usage (local):
+    python -m opentelemetry_collector_spark \\
+        --source /root/testdata/sf0.001 --output /tmp/otelcol_out \\
+        [--mode batch|stream] [--n-buckets 16] [--resume]
+
+Lifecycle mirrors the reference: resolve+validate config -> build the DAG
+(one Catalyst plan) -> run -> report counters (service/service.go:83-233);
+checkpointed waves make any crash resumable (--resume skips committed
+buckets, persistent-queue semantics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="opentelemetry_collector_spark")
+    p.add_argument("--source", required=True,
+                   help="sf dir containing events.parquet, or a transcripts table path")
+    p.add_argument("--output", required=True, help="sink base path")
+    p.add_argument("--mode", choices=["batch", "stream"], default="batch")
+    p.add_argument("--source-kind", choices=["events", "transcripts"],
+                   default="events")
+    p.add_argument("--n-buckets", type=int, default=16)
+    p.add_argument("--buckets-per-wave", type=int, default=4)
+    p.add_argument("--bucket-seconds", type=int, default=300)
+    p.add_argument("--max-records-per-file", type=int, default=8192)
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="skip buckets already committed in the output ledger")
+    p.add_argument("--master", default=None,
+                   help="override master (default: from spark-submit / local[*])")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_arg_parser().parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from opentelemetry_collector_spark.operators.aggregate import sink_counts
+    from opentelemetry_collector_spark.operators.route import routed_ok
+    from opentelemetry_collector_spark.plans.checkpoint import (
+        CheckpointConfig,
+        CheckpointedRunner,
+    )
+    from opentelemetry_collector_spark.plans.pipeline import (
+        Pipeline,
+        PipelineConfig,
+    )
+    from opentelemetry_collector_spark.sources.transcripts import (
+        events_to_transcripts,
+        read_transcripts,
+    )
+
+    builder = SparkSession.builder.appName("otelcol-spark")
+    if args.master:
+        builder = builder.master(args.master)
+    builder = builder.config("spark.sql.adaptive.enabled", "true").config(
+        "spark.sql.session.timeZone", "UTC"
+    )
+    if args.shuffle_partitions:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(args.shuffle_partitions)
+        )
+    spark = builder.getOrCreate()
+
+    cfg = PipelineConfig(
+        source_path=args.source,
+        sink_base_path=args.output,
+        bucket_seconds=args.bucket_seconds,
+        max_records_per_file=args.max_records_per_file,
+    )
+    pipeline = Pipeline(spark, cfg)
+
+    if args.source_kind == "events":
+        transcripts = events_to_transcripts(spark, args.source)
+    else:
+        transcripts = read_transcripts(spark, args.source)
+
+    t0 = time.perf_counter()
+    if args.mode == "stream":
+        from opentelemetry_collector_spark.streaming.pipeline import (
+            routed_stream,
+            start_sink_writer,
+        )
+
+        stream = routed_stream(
+            spark.readStream.schema(
+                "conv_id string, turn_idx int, role string, text string, "
+                "tool string, ts timestamp"
+            ).parquet(args.source),
+            spark,
+        )
+        q = start_sink_writer(
+            stream, f"{args.output}/sinks", f"{args.output}/_stream_checkpoint"
+        )
+        q.awaitTermination()
+        report = {"mode": "stream", "wall_s": round(time.perf_counter() - t0, 2)}
+    else:
+        routed = pipeline.routed(transcripts)
+        runner = CheckpointedRunner(
+            spark,
+            CheckpointConfig(
+                base_path=args.output,
+                n_buckets=args.n_buckets,
+                buckets_per_wave=args.buckets_per_wave,
+                max_records_per_file=args.max_records_per_file,
+            ),
+        )
+        if not args.resume:
+            # fresh run: a prior ledger would mask new work — require clean dir
+            if runner.committed_buckets():
+                print(
+                    "output ledger exists; pass --resume to continue it",
+                    file=sys.stderr,
+                )
+                return 2
+        totals = runner.run(routed, run_id=args.run_id)
+        counts = sink_counts(routed_ok(routed), cfg.bucket_seconds)
+        counts.coalesce(1).write.mode("overwrite").parquet(
+            f"{args.output}/_metrics/sink_counts"
+        )
+        report = {
+            "mode": "batch",
+            "wall_s": round(time.perf_counter() - t0, 2),
+            **{k: v for k, v in totals.items() if k != "run_id"},
+            "run_id": totals["run_id"],
+        }
+
+    print(json.dumps(report))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

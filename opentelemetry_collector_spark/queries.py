@@ -24,6 +24,7 @@ from opentelemetry_collector_spark.operators.enrich import (
 from opentelemetry_collector_spark.operators.parse import parse_oracle_sql, parse_turns
 from opentelemetry_collector_spark.operators.route import dead_letter, route, routed_ok
 from opentelemetry_collector_spark.operators import dedup as _dedup
+from opentelemetry_collector_spark.operators import multimodal as _mm
 from opentelemetry_collector_spark.operators import similarity as _sim
 from opentelemetry_collector_spark.operators import textstats as _ts
 from opentelemetry_collector_spark.sources.transcripts import (
@@ -218,6 +219,7 @@ DOCS_QUERIES: dict[str, QueryFn] = {
     # rows-only — its float op order differs from the SQL fold, so exact
     # value-hash parity is not contractual.
     "ann_cosine_topk_pandas": _sim.cosine_topk_pandas,
+    "media_features": _mm.media_features,
 }
 
 DOCS_ORACLES: dict[str, str] = {
@@ -233,6 +235,7 @@ DOCS_ORACLES: dict[str, str] = {
     "dedup_embedding_pairs": _sim.DEDUP_EMBEDDING_ORACLE,
     "ann_cosine_topk": _sim.ANN_TOPK_ORACLE,
     "ann_lsh_topk": _sim.ANN_LSH_ORACLE,
+    "media_features": _mm.MEDIA_FEATURES_ORACLE,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
