@@ -1,0 +1,98 @@
+"""Pipeline-health counters — the obsreport analog (SURVEY §2.6).
+
+The reference counts records at every stage boundary:
+``receiver/accepted_log_records`` / ``refused_log_records``
+(obsreport/obsreport_receiver.go:165-313),
+``processor/accepted|refused|dropped`` (obsreport_processor.go:236-292),
+``exporter/sent_log_records`` / ``send_failed_log_records``
+(obsreport_exporter.go:141-161).
+
+Spark's ``Observation`` API attaches these as metrics on the SAME pass that
+computes the result — zero extra scans, collected on action completion.
+Metric names mirror the obsmetrics key names
+(internal/obsreportconfig/obsmetrics/obs_receiver.go:41-52 etc.).
+
+OTLP JSON codec analog (SURVEY §1.5, pdata/plog/json.go:29-42): LogRecord
+rows serialize to / parse from a canonical JSON envelope with to_json /
+from_json — the round-trip is lossless (tested) and the wire schema is the
+denormalized OTLP LogRecord shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+# OTLP wire timestamps are integers since epoch (uint64 ns,
+# pdata/pcommon/timestamp.go:26-37); Spark timestamps are µs, so the
+# envelope carries time_unix_micros — integer codec is lossless where
+# string formats truncate (to_json defaults to millis).
+LOG_RECORD_JSON_SCHEMA = (
+    "struct<conv_id:string, turn_idx:int, role:string, time_unix_micros:long, "
+    "severity_number:int, severity_text:string, trace_id:string, "
+    "span_id:string, attributes_json:string, body:string>"
+)
+
+
+def observed_pipeline(routed: DataFrame) -> tuple[DataFrame, Observation]:
+    """Attach obsreport-style counters to a routed DataFrame. The returned
+    Observation yields, after the next action on the returned frame:
+    receiver_accepted_log_records, exporter_sent_log_records,
+    processor_dropped_log_records (dead-letter), exporter_send_failed_log_records.
+    """
+    obs = Observation("otelcol_pipeline")
+    observed = routed.observe(
+        obs,
+        F.count(F.lit(1)).alias("receiver_accepted_log_records"),
+        F.count(F.when(F.col("error_reason").isNull(), 1)).alias(
+            "exporter_sent_log_records"
+        ),
+        F.count(F.when(F.col("error_reason").isNotNull(), 1)).alias(
+            "processor_dropped_log_records"
+        ),
+        # queue-gauge analog: live sink fan-out width (DISTINCT aggregates
+        # are disallowed in observed metrics; HLL is exact at this
+        # cardinality)
+        F.approx_count_distinct("sink_id").alias("active_sinks"),
+    )
+    return observed, obs
+
+
+def to_otlp_json(parsed: DataFrame) -> DataFrame:
+    """Serialize parsed turns to the OTLP/JSON-style record envelope
+    (plog.JSONMarshaler analog) — one JSON string per LogRecord."""
+    return parsed.select(
+        "conv_id",
+        "turn_idx",
+        F.to_json(
+            F.struct(
+                F.col("conv_id"),
+                F.col("turn_idx"),
+                F.col("role"),
+                # ts may be TIMESTAMP_NTZ (parquet); session tz is UTC so the
+                # cast is lossless
+                F.unix_micros(F.col("ts").cast("timestamp")).alias(
+                    "time_unix_micros"
+                ),
+                F.col("severity_number"),
+                F.col("severity_text"),
+                F.col("trace_id"),
+                F.col("span_id"),
+                F.col("attributes_json"),
+                F.col("body"),
+            )
+        ).alias("otlp_json"),
+    )
+
+
+def from_otlp_json(serialized: DataFrame) -> DataFrame:
+    """Parse the JSON envelope back to columns (plog.JSONUnmarshaler
+    analog); inverse of to_otlp_json."""
+    return serialized.select(
+        F.from_json("otlp_json", LOG_RECORD_JSON_SCHEMA).alias("r")
+    ).select(
+        "r.conv_id", "r.turn_idx", "r.role",
+        F.timestamp_micros("r.time_unix_micros").cast("timestamp_ntz").alias("ts"),
+        "r.severity_number", "r.severity_text", "r.trace_id", "r.span_id",
+        "r.attributes_json", "r.body",
+    )

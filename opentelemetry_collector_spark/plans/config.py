@@ -1,0 +1,112 @@
+"""Config resolver — the confmap analog (SURVEY §2.9).
+
+The reference merges config maps from provider URIs, expands ``${...}``
+references, and validates the pipeline graph before building it
+(confmap/resolver.go:82-217, confmap/expand.go:39-178,
+service/config.go:42-98). Re-expressed minimally:
+
+* sources: YAML file(s) and/or dicts, later sources deep-merged over earlier
+  ones (resolver merge order, resolver.go:128-177);
+* expansion: ``${env:NAME}`` and ``${NAME}`` from the environment, applied
+  to every string scalar (expand.go:39-133; only the env provider is
+  meaningful here — file/http providers are the YAML files themselves);
+* validation mirrors service/config.go: >=1 pipeline, each pipeline needs
+  >=1 receiver and >=1 exporter, no duplicate processor in a pipeline,
+  component references must be defined.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+_REF = re.compile(r"\$\{(?:env:)?([A-Za-z_][A-Za-z0-9_]*)\}")
+
+
+def expand_vars(value: Any, env: dict[str, str] | None = None) -> Any:
+    """Recursively expand ${NAME} / ${env:NAME} in string scalars.
+
+    Unknown names resolve to "" (matching os environment-expansion
+    semantics of the reference's env provider when unset)."""
+    environ = os.environ if env is None else env
+    if isinstance(value, str):
+        return _REF.sub(lambda m: environ.get(m.group(1), ""), value)
+    if isinstance(value, dict):
+        return {k: expand_vars(v, env) for k, v in value.items()}
+    if isinstance(value, list):
+        return [expand_vars(v, env) for v in value]
+    return value
+
+
+def deep_merge(base: dict, over: dict) -> dict:
+    """Map-merge with `over` winning; nested maps merge recursively
+    (confmap.Conf.Merge semantics)."""
+    out = dict(base)
+    for k, v in over.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+@dataclass
+class ServiceConfig:
+    """Validated collector-style config: named components + pipeline wiring."""
+
+    receivers: dict[str, dict] = field(default_factory=dict)
+    processors: dict[str, dict] = field(default_factory=dict)
+    exporters: dict[str, dict] = field(default_factory=dict)
+    pipelines: dict[str, dict] = field(default_factory=dict)
+
+    @classmethod
+    def from_sources(cls, *sources: str | dict,
+                     env: dict[str, str] | None = None) -> "ServiceConfig":
+        """Resolve: load YAML paths / dicts in order, merge, expand, build."""
+        import yaml
+
+        merged: dict = {}
+        for src in sources:
+            if isinstance(src, str):
+                with open(src) as f:
+                    data = yaml.safe_load(f) or {}
+            else:
+                data = src
+            merged = deep_merge(merged, data)
+        merged = expand_vars(merged, env)
+        cfg = cls(
+            receivers=merged.get("receivers", {}) or {},
+            processors=merged.get("processors", {}) or {},
+            exporters=merged.get("exporters", {}) or {},
+            pipelines=(merged.get("service", {}) or {}).get("pipelines", {}) or {},
+        )
+        cfg.validate()
+        return cfg
+
+    def validate(self) -> None:
+        """service/config.go:42-98 rules."""
+        if not self.pipelines:
+            raise ValueError("config must have at least one pipeline")
+        for name, p in self.pipelines.items():
+            recvs = p.get("receivers") or []
+            procs = p.get("processors") or []
+            exps = p.get("exporters") or []
+            if not recvs:
+                raise ValueError(f"pipeline {name!r} must have at least one receiver")
+            if not exps:
+                raise ValueError(f"pipeline {name!r} must have at least one exporter")
+            if len(set(procs)) != len(procs):
+                raise ValueError(
+                    f"pipeline {name!r} references processor more than once"
+                )
+            for r in recvs:
+                if r not in self.receivers:
+                    raise ValueError(f"pipeline {name!r}: unknown receiver {r!r}")
+            for pr in procs:
+                if pr not in self.processors:
+                    raise ValueError(f"pipeline {name!r}: unknown processor {pr!r}")
+            for e in exps:
+                if e not in self.exporters:
+                    raise ValueError(f"pipeline {name!r}: unknown exporter {e!r}")

@@ -1,0 +1,165 @@
+"""Config resolution, obsreport counters, OTLP JSON round-trip, batch split,
+salting invariance — the control-plane / reliability parity tests
+(SURVEY §2.6, §2.9; otelcol/collector_test.go:41-227 config variants,
+processor/batchprocessor split tests)."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators.enrich import enrich
+from opentelemetry_collector_spark.operators.observe import (
+    from_otlp_json,
+    observed_pipeline,
+    to_otlp_json,
+)
+from opentelemetry_collector_spark.operators.parse import parse_turns
+from opentelemetry_collector_spark.operators.route import route, write_sinks
+from opentelemetry_collector_spark.plans.config import (
+    ServiceConfig,
+    deep_merge,
+    expand_vars,
+)
+from opentelemetry_collector_spark.plans.pipeline import Pipeline, PipelineConfig
+from opentelemetry_collector_spark.sources.transcripts import events_to_transcripts
+from tests.conftest import SF_SMOKE
+
+VALID_CFG = {
+    "receivers": {"transcripts": {"path": "${env:SRC_PATH}"}},
+    "processors": {"parse": {}, "enrich": {}},
+    "exporters": {"sinks": {"path": "/tmp/out"}},
+    "service": {
+        "pipelines": {
+            "logs": {
+                "receivers": ["transcripts"],
+                "processors": ["parse", "enrich"],
+                "exporters": ["sinks"],
+            }
+        }
+    },
+}
+
+
+# --- confmap analog ---------------------------------------------------------
+
+
+def test_config_valid_and_env_expansion():
+    cfg = ServiceConfig.from_sources(VALID_CFG, env={"SRC_PATH": "/data/x"})
+    assert cfg.receivers["transcripts"]["path"] == "/data/x"
+
+
+def test_config_unset_env_resolves_empty():
+    cfg = ServiceConfig.from_sources(VALID_CFG, env={})
+    assert cfg.receivers["transcripts"]["path"] == ""
+
+
+def test_config_merge_order():
+    over = {"exporters": {"sinks": {"path": "/tmp/other"}}}
+    merged = deep_merge(VALID_CFG, over)
+    cfg = ServiceConfig.from_sources(merged, env={})
+    assert cfg.exporters["sinks"]["path"] == "/tmp/other"
+
+
+@pytest.mark.parametrize(
+    "mutate,msg",
+    [
+        (lambda c: c["service"]["pipelines"].clear(), "at least one pipeline"),
+        (lambda c: c["service"]["pipelines"]["logs"].update(receivers=[]),
+         "at least one receiver"),
+        (lambda c: c["service"]["pipelines"]["logs"].update(exporters=[]),
+         "at least one exporter"),
+        (lambda c: c["service"]["pipelines"]["logs"].update(
+            processors=["parse", "parse"]), "more than once"),
+        (lambda c: c["service"]["pipelines"]["logs"].update(
+            receivers=["nope"]), "unknown receiver"),
+    ],
+)
+def test_config_invalid_variants(mutate, msg):
+    import copy
+
+    bad = copy.deepcopy(VALID_CFG)
+    mutate(bad)
+    with pytest.raises(ValueError, match=msg):
+        ServiceConfig.from_sources(bad, env={})
+
+
+def test_config_yaml_file_roundtrip(tmp_path):
+    import yaml
+
+    p = tmp_path / "collector.yaml"
+    p.write_text(yaml.safe_dump(VALID_CFG))
+    cfg = ServiceConfig.from_sources(str(p), env={"SRC_PATH": "/y"})
+    assert cfg.pipelines["logs"]["processors"] == ["parse", "enrich"]
+
+
+def test_expand_vars_nested():
+    v = expand_vars({"a": ["${X}", {"b": "pre-${env:X}-post"}]}, env={"X": "v"})
+    assert v == {"a": ["v", {"b": "pre-v-post"}]}
+
+
+# --- obsreport counters -----------------------------------------------------
+
+
+def test_observed_counts_match_groupby(spark):
+    routed = route(enrich(parse_turns(
+        events_to_transcripts(spark, SF_SMOKE)), spark))
+    observed, obs = observed_pipeline(routed)
+    total = observed.count()  # the action that materializes the observation
+    m = obs.get
+    assert m["receiver_accepted_log_records"] == total
+    assert (
+        m["exporter_sent_log_records"] + m["processor_dropped_log_records"]
+        == total
+    )
+    dead = routed.filter(F.col("error_reason").isNotNull()).count()
+    assert m["processor_dropped_log_records"] == dead
+    assert m["active_sinks"] == routed.select("sink_id").na.drop().distinct().count()
+
+
+# --- OTLP JSON codec --------------------------------------------------------
+
+
+def test_otlp_json_roundtrip(spark):
+    parsed = parse_turns(events_to_transcripts(spark, SF_SMOKE))
+    cols = ["conv_id", "turn_idx", "role", "ts", "severity_number",
+            "severity_text", "trace_id", "span_id", "attributes_json", "body"]
+    back = from_otlp_json(to_otlp_json(parsed)).select(*cols)
+    orig = parsed.select(*cols)
+    assert back.exceptAll(orig).count() == 0
+    assert orig.exceptAll(back).count() == 0
+
+
+# --- batch split (maxRecordsPerFile) ---------------------------------------
+
+
+def test_sink_write_respects_max_records_per_file(spark, tmp_path):
+    routed = route(enrich(parse_turns(
+        events_to_transcripts(spark, SF_SMOKE)), spark))
+    base = str(tmp_path / "sinks")
+    write_sinks(routed.coalesce(1), base, max_records_per_file=100)
+    for f in glob.glob(f"{base}/*/*.parquet"):
+        n = spark.read.parquet(f).count()
+        assert n <= 100, f"{f} has {n} rows (split cap violated)"
+    # count conservation across the fan-out write
+    assert spark.read.parquet(base).count() == routed.count()
+
+
+# --- salting invariance -----------------------------------------------------
+
+
+def test_salted_pipeline_same_results(spark):
+    t = events_to_transcripts(spark, SF_SMOKE)
+    plain = Pipeline(spark, PipelineConfig(source_path="x")).run(t)
+    salted = Pipeline(
+        spark, PipelineConfig(source_path="x", salt_buckets=7)
+    ).run(t)
+    for key in ("ok", "dead_letter"):
+        a = plain[key].select("conv_id", "turn_idx", "sink_id")
+        b = salted[key].select("conv_id", "turn_idx", "sink_id")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    sc_a = {tuple(r) for r in plain["sink_counts"].collect()}
+    sc_b = {tuple(r) for r in salted["sink_counts"].collect()}
+    assert sc_a == sc_b
