@@ -66,7 +66,7 @@ def time_query(fn, spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-SCALING_AMP = int(os.environ.get("SPARK_GRAFT_SCALING_AMP", "32"))
+SCALING_AMP = int(os.environ.get("SPARK_GRAFT_SCALING_AMP", "64"))
 SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "4"))  # N vs 4N cores
 
 
@@ -116,14 +116,9 @@ def pipeline_throughput(cores: int, table_path: str) -> float:
             sink_counts(routed_ok(routed)).write.format("noop").mode("overwrite").save()
 
         run_once()  # warm-up (JVM/codegen)
-        # sandbox CPU supply is noisy (+/-20% minutes apart): best-of-3
-        # approximates uncontended capability at each level
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            run_once()
-            best = min(best, time.perf_counter() - t0)
-        return n_turns / best
+        t0 = time.perf_counter()
+        run_once()
+        return n_turns / (time.perf_counter() - t0)
     finally:
         spark.stop()
 
@@ -182,11 +177,16 @@ def main() -> None:
         import tempfile
 
         n_small, n_big = SCALING_N, 4 * SCALING_N
+        # the sandbox CPU supply swings +/-20% on minute timescales: take the
+        # best of 3 INTERLEAVED session pairs so a slow period can't bias one
+        # level, and measure the pure-CPU control adjacent to the job runs
+        thr_small = thr_big = 0.0
         with tempfile.TemporaryDirectory(prefix="otelcol_bench_") as tmp:
             table = f"{tmp}/amplified_transcripts"
             n_turns = materialize_amplified(SF_DIR, table, CPUS)
-            thr_small = pipeline_throughput(n_small, table)
-            thr_big = pipeline_throughput(n_big, table)
+            for _ in range(3):
+                thr_small = max(thr_small, pipeline_throughput(n_small, table))
+                thr_big = max(thr_big, pipeline_throughput(n_big, table))
         job_eff = (thr_big / thr_small) / (n_big / n_small)
         ctrl_eff = cpu_control_efficiency(n_small)
         out["scaling"] = {

@@ -25,6 +25,7 @@ from opentelemetry_collector_spark.operators.parse import parse_oracle_sql, pars
 from opentelemetry_collector_spark.operators.route import dead_letter, route, routed_ok
 from opentelemetry_collector_spark.operators import dedup as _dedup
 from opentelemetry_collector_spark.operators import multimodal as _mm
+from opentelemetry_collector_spark.operators.grok import grok_parse as _grok_parse
 from opentelemetry_collector_spark.operators import similarity as _sim
 from opentelemetry_collector_spark.operators import textstats as _ts
 from opentelemetry_collector_spark.sources.transcripts import (
@@ -187,6 +188,62 @@ def q_tool_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a new session starts when the inter-turn gap exceeds
+    600s (grouping/temporality semantics from docs/processing.md:33-91 —
+    the one 'metric generation' shape the transcript domain needs). Window
+    lag -> break flag -> running sum; no extra shuffle beyond the per-conv
+    window (partitioned by conv_id, the table's bucket key)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = events_to_transcripts(spark, sf_dir)
+    gapped = t.select(
+        "conv_id",
+        "turn_idx",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    )
+    return gapped.select(
+        "conv_id",
+        "turn_idx",
+        F.sum(F.when(F.col("gap_s") > 600, 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int")
+        .alias("session_idx"),
+    )
+
+
+def q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool span duration stats over extracted tool-call spans — the
+    span-analytics surface (pdata/ptrace/generated_span.go:58-149 fields)."""
+    parsed = parse_turns(events_to_transcripts(spark, sf_dir))
+    return (
+        parsed.filter(F.col("trace_id").isNotNull())
+        .groupBy(F.col("parsed_tool").alias("tool"))
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("dur_ms").alias("total_dur_ms"),
+            F.max("dur_ms").alias("max_dur_ms"),
+            F.round(F.avg("dur_ms"), 4).alias("avg_dur_ms"),
+        )
+    )
+
+
+def q_sink_counts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sink counts with subtotals (ROLLUP role -> role,tool_family):
+    the hierarchical form of the exporter sent-counters."""
+    routed = routed_ok(_routed(spark, sf_dir))
+    return (
+        routed.rollup(
+            F.col("role").alias("sink_role"),
+            F.col("tool_family").alias("sink_tool"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
 PIPELINE_QUERIES: dict[str, QueryFn] = {
     "transcripts_source": q_transcripts_source,
     "parse_turns": q_parse_turns,
@@ -198,6 +255,15 @@ PIPELINE_QUERIES: dict[str, QueryFn] = {
     "count_conservation": q_count_conservation,
     "turn_ordering": q_turn_ordering,
     "tool_spans": q_tool_spans,
+    "sessionize": q_sessionize,
+    "span_stats": q_span_stats,
+    "sink_counts_rollup": q_sink_counts_rollup,
+    # grok pattern-library parse (Arrow mapInPandas) — rows-only check; its
+    # agreement with the oracle-checked native parse is pytest-gated
+    # (tests/test_grok.py)
+    "grok_parse": lambda spark, sf_dir: _grok_parse(
+        events_to_transcripts(spark, sf_dir)
+    ),
 }
 
 # --- training-data-pipeline operators (documents / embeddings tables) ------
@@ -279,4 +345,28 @@ SELECT parsed_tool, trace_id, span_id, dur_ms, rk FROM (
             ORDER BY dur_ms DESC, trace_id) AS int) AS rk
     FROM parsed WHERE trace_id IS NOT NULL
 ) q WHERE rk <= 3""",
+    "sessionize": f"""WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+SELECT conv_id, turn_idx,
+    cast(sum(CASE WHEN gap_s > 600 THEN 1 ELSE 0 END) OVER (
+        PARTITION BY conv_id ORDER BY turn_idx
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS int) AS session_idx
+FROM (
+    SELECT conv_id, turn_idx,
+        floor(epoch(ts)) - floor(epoch(lag(ts) OVER (
+            PARTITION BY conv_id ORDER BY turn_idx))) AS gap_s
+    FROM transcripts
+) g""",
+    "span_stats": f"""WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+parsed AS ({parse_oracle_sql('transcripts')})
+SELECT parsed_tool AS tool,
+    count(*) AS n_spans,
+    sum(dur_ms) AS total_dur_ms,
+    max(dur_ms) AS max_dur_ms,
+    round(avg(dur_ms), 4) AS avg_dur_ms
+FROM parsed WHERE trace_id IS NOT NULL
+GROUP BY 1""",
+    "sink_counts_rollup": f"""{_ORACLE_BASE}
+SELECT role AS sink_role, tool_family AS sink_tool, count(*) AS n_rows
+FROM routed WHERE error_reason IS NULL
+GROUP BY ROLLUP (sink_role, sink_tool)""",
 }

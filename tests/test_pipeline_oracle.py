@@ -9,8 +9,13 @@ from opentelemetry_collector_spark.queries import PIPELINE_ORACLES, PIPELINE_QUE
 from tests.conftest import SF_CORRECT, assert_df_equal
 
 
+ROWS_ONLY = {"grok_parse"}  # pytest-gated vs native parse instead
+
+
 @pytest.mark.parametrize("name", sorted(PIPELINE_QUERIES))
 def test_query_matches_oracle(name, spark, duck):
+    if name in ROWS_ONLY:
+        pytest.skip("rows-only query (covered by dedicated tests)")
     assert name in PIPELINE_ORACLES, f"{name} missing an oracle"
     sdf = PIPELINE_QUERIES[name](spark, SF_CORRECT)
     con = duck(SF_CORRECT)
