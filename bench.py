@@ -188,7 +188,9 @@ def main() -> None:
                 thr_small = max(thr_small, pipeline_throughput(n_small, table))
                 thr_big = max(thr_big, pipeline_throughput(n_big, table))
         job_eff = (thr_big / thr_small) / (n_big / n_small)
-        ctrl_eff = cpu_control_efficiency(n_small)
+        # the control can measure >1.0 when the box speeds up mid-measurement;
+        # a hardware ceiling cannot exceed 1, so clamp before normalizing
+        ctrl_eff = min(1.0, cpu_control_efficiency(n_small))
         out["scaling"] = {
             "turns": n_turns,
             f"turns_per_sec_local[{n_small}]": round(thr_small, 1),
