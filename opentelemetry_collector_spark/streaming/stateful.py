@@ -1,0 +1,69 @@
+"""Custom stateful streaming operator: cross-batch sessionization with
+``applyInPandasWithState`` (SURVEY §2.8 "custom stateful operators").
+
+The batch sessionizer (queries.q_sessionize) is a window over the full
+table; a stream sees a conversation's turns across many micro-batches, so
+the per-conv state (last event time + running session index) must survive
+between triggers — exactly the state the collector would keep in a grouping
+processor. GroupState carries (last_epoch, session_idx) per conv_id;
+within a batch rows are processed in turn_idx order (arrival order is the
+collector's contract; the file-source WAL preserves file order).
+
+Scale notes: state is O(active conversations) x 12 bytes, hash-partitioned
+by conv_id (the same key as the table's bucket layout, so state shuffle
+aligns with storage partitioning); timeouts would evict idle convs in a
+production deployment (omitted here — finite test streams).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "conv_id string, turn_idx int, session_idx int"
+STATE_SCHEMA = "last_epoch long, session_idx int"
+
+
+def sessionize_stateful(transcripts: DataFrame, gap_s: int = 600) -> DataFrame:
+    """Streaming sessionization: session_idx increments whenever the gap
+    from the previous turn exceeds gap_s, continuing across micro-batches."""
+
+    gap = int(gap_s)
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (conv_id,) = key
+        last_epoch, session_idx = (
+            state.get if state.exists else (None, 0)
+        )
+        out_turns, out_sessions = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("turn_idx")
+            for r in pdf.itertuples(index=False):
+                epoch = int(pd.Timestamp(r.ts).value // 1_000_000_000)
+                if last_epoch is not None and epoch - last_epoch > gap:
+                    session_idx += 1
+                last_epoch = epoch
+                out_turns.append(int(r.turn_idx))
+                out_sessions.append(session_idx)
+        state.update((last_epoch, session_idx))
+        yield pd.DataFrame(
+            {
+                "conv_id": [conv_id] * len(out_turns),
+                "turn_idx": out_turns,
+                "session_idx": out_sessions,
+            }
+        )
+
+    return (
+        transcripts.select("conv_id", "turn_idx", "ts")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,64 @@
+"""Cross-batch stateful sessionization: streaming applyInPandasWithState
+must reproduce the batch window sessionizer even when a conversation's
+turns arrive split across micro-batches (state survives triggers)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.queries import q_sessionize
+from opentelemetry_collector_spark.sources.transcripts import events_to_transcripts
+from opentelemetry_collector_spark.streaming.stateful import sessionize_stateful
+from tests.conftest import SF_SMOKE
+
+
+def test_stateful_sessionize_matches_batch_across_batches(spark, tmp_path):
+    t = events_to_transcripts(spark, SF_SMOKE).select("conv_id", "turn_idx", "ts")
+    src = str(tmp_path / "stream_src")
+
+    # split EVERY conversation across two files: first half of its turns in
+    # file 1, rest in file 2; distinct mtimes force the file source to read
+    # them in order (arrival-ordered contract)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id")
+    marked = t.withColumn(
+        "half",
+        (F.col("turn_idx") < F.max("turn_idx").over(w) / 2).cast("int"),
+    )
+    marked.filter("half = 1").drop("half").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    time.sleep(1.1)
+    marked.filter("half = 0").drop("half").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx int, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize_stateful(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_state")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.conv_id, r.turn_idx): r.session_idx
+        for r in spark.sql("SELECT * FROM sess_state").collect()
+    }
+    want = {
+        (r.conv_id, r.turn_idx): r.session_idx
+        for r in q_sessionize(spark, SF_SMOKE).collect()
+    }
+    assert len(got) == len(want)
+    assert got == want
