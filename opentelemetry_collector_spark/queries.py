@@ -25,6 +25,10 @@ from opentelemetry_collector_spark.operators.parse import parse_oracle_sql, pars
 from opentelemetry_collector_spark.operators.route import dead_letter, route, routed_ok
 from opentelemetry_collector_spark.operators import dedup as _dedup
 from opentelemetry_collector_spark.operators import multimodal as _mm
+from opentelemetry_collector_spark.operators.asof import (
+    asof_oracle_sql,
+    q_asof_enrich,
+)
 from opentelemetry_collector_spark.operators.grok import grok_parse as _grok_parse
 from opentelemetry_collector_spark.operators import similarity as _sim
 from opentelemetry_collector_spark.operators import textstats as _ts
@@ -258,6 +262,7 @@ PIPELINE_QUERIES: dict[str, QueryFn] = {
     "sessionize": q_sessionize,
     "span_stats": q_span_stats,
     "sink_counts_rollup": q_sink_counts_rollup,
+    "asof_enrich": q_asof_enrich,
     # grok pattern-library parse (Arrow mapInPandas) — rows-only check; its
     # agreement with the oracle-checked native parse is pytest-gated
     # (tests/test_grok.py)
@@ -369,4 +374,7 @@ GROUP BY 1""",
 SELECT role AS sink_role, tool_family AS sink_tool, count(*) AS n_rows
 FROM routed WHERE error_reason IS NULL
 GROUP BY ROLLUP (sink_role, sink_tool)""",
+    "asof_enrich": asof_oracle_sql(
+        TRANSCRIPTS_FROM_EVENTS_SQL, parse_oracle_sql("transcripts")
+    ),
 }

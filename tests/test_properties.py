@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) for the pure-Python control-plane
+pieces — fast, Spark-free invariants."""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from opentelemetry_collector_spark.plans.config import deep_merge, expand_vars
+from opentelemetry_collector_spark.plans.retry import RetryConfig, with_retry
+from opentelemetry_collector_spark.severity import (
+    SEVERITY_NUMBER,
+    SEVERITY_TEXT,
+    severity_case_sql,
+)
+
+ident = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ_",
+    min_size=1, max_size=8,
+)
+
+
+def test_severity_ladder_is_bijective_25_levels():
+    assert len(SEVERITY_NUMBER) == 24  # + Unspecified=0 => 25 levels
+    assert sorted(SEVERITY_NUMBER.values()) == list(range(1, 25))
+    for name, num in SEVERITY_NUMBER.items():
+        assert SEVERITY_TEXT[num] == name
+    # generated CASE mentions every token exactly once
+    sql = severity_case_sql("x")
+    for name in SEVERITY_NUMBER:
+        assert f"WHEN '{name}'" in sql
+
+
+@given(st.dictionaries(ident, st.integers(), max_size=5),
+       st.dictionaries(ident, st.integers(), max_size=5))
+def test_deep_merge_right_biased(a, b):
+    m = deep_merge(a, b)
+    for k, v in b.items():
+        assert m[k] == v
+    for k in a:
+        if k not in b:
+            assert m[k] == a[k]
+
+
+@given(st.recursive(
+    st.one_of(st.integers(), st.booleans(), ident),
+    lambda c: st.one_of(st.lists(c, max_size=3),
+                        st.dictionaries(ident, c, max_size=3)),
+    max_leaves=10,
+))
+def test_expand_vars_no_refs_is_identity(value):
+    # values containing no ${...} refs pass through unchanged
+    assert expand_vars(value, env={}) == value
+
+
+@given(ident, ident)
+def test_expand_vars_substitutes(name, val):
+    assert expand_vars(f"a ${{{name}}} b", env={name: val}) == f"a {val} b"
+    assert expand_vars(f"${{env:{name}}}", env={name: val}) == val
+
+
+@given(st.floats(0.01, 2.0), st.floats(1.0, 3.0), st.integers(1, 10))
+@settings(max_examples=25, deadline=None)
+def test_retry_sleep_sequence_is_capped_and_monotone(initial, mult, n_fail):
+    sleeps = []
+    cfg = RetryConfig(initial_interval_s=initial, multiplier=mult,
+                      max_interval_s=initial * 4, max_elapsed_s=1e9)
+    clock = {"t": 0.0}
+
+    def fake_sleep(s):
+        sleeps.append(s)
+        clock["t"] += s
+
+    calls = {"n": 0}
+
+    def fn():
+        calls["n"] += 1
+        if calls["n"] <= n_fail:
+            raise OSError("x")
+        return "ok"
+
+    assert with_retry(fn, cfg, sleep=fake_sleep, clock=lambda: clock["t"]) == "ok"
+    assert len(sleeps) == n_fail
+    for i, s in enumerate(sleeps):
+        assert s <= cfg.max_interval_s + 1e-9
+        if i > 0:
+            assert s >= sleeps[i - 1] - 1e-9  # non-decreasing backoff
+
+
+def test_attributes_json_is_valid_sorted_json(spark):
+    """Every attributes_json produced by the parse stage parses as JSON with
+    keys in sorted order (canonical Map serialization)."""
+    from opentelemetry_collector_spark.operators.parse import parse_turns
+    from opentelemetry_collector_spark.sources.transcripts import (
+        events_to_transcripts,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        parse_turns(events_to_transcripts(spark, SF_SMOKE))
+        .select("attributes_json").distinct().collect()
+    )
+    assert rows
+    for r in rows:
+        obj = json.loads(r.attributes_json)
+        assert list(obj) == sorted(obj)
