@@ -212,7 +212,15 @@ class CheckpointedRunner:
 
     def metrics(self) -> DataFrame:
         """The checkpoint ledger as a DataFrame (queue-depth / sent-counter
-        gauges analog, queued_retry.go:209-223)."""
-        return self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(
+        gauges analog, queued_retry.go:209-223), with per-bucket throughput
+        (the north-rule "checkpoints carrying lineage AND throughput")."""
+        ledger = self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(
             self.config.ledger_path
+        )
+        return ledger.withColumn(
+            "rows_per_sec",
+            F.round(
+                F.col("n_input") / (F.greatest(F.col("wall_ms"), F.lit(1)) / 1000.0),
+                1,
+            ),
         )

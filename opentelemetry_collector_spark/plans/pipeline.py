@@ -70,6 +70,9 @@ class Pipeline:
             # salt the implicit partitioning so one hot conv_id spreads over
             # salt_buckets reducers. AQE skew-join covers the join side; this
             # covers pathological scan-side clustering.
+            # salt_buckets must be SEVERAL TIMES the partition count: k salts
+            # hash into p partitions with birthday collisions, so k ~ p leaves
+            # 2-3 salts stacked on one reducer; k >= 4p flattens it.
             df = df.repartition(
                 self.spark.sparkContext.defaultParallelism,
                 F.col("conv_id"),
