@@ -54,11 +54,6 @@ def make_spark(cores: int):
     )
 
 
-def _consume(df) -> int:
-    """Force full evaluation of every row (not just count pushdown)."""
-    return df.foreach(lambda r: None) or -1
-
-
 def time_query(fn, spark, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)

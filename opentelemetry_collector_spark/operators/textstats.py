@@ -187,3 +187,51 @@ SELECT doc_id,
         i -> md5(substr(text, i, {FP_SHINGLE})))) AS prefix_fp
 FROM documents
 """
+
+
+def corpus_curation(spark, sf_dir: str) -> DataFrame:
+    """End-to-end curation: quality-gate -> near-dup canonical selection ->
+    class tag. One composed Catalyst plan (the workflow a training-data
+    pipeline runs before tokenization):
+
+    1. drop docs with quality_score < 0.55;
+    2. among surviving near-dups (prefix-fingerprint groups — the cheap
+       first-pass dedup), keep the lowest doc_id;
+    3. tag with the langid class.
+
+    All three stages reuse the oracle-checked operators; the composition
+    stays one scan + one window (fingerprint grouping).
+    """
+    from pyspark.sql.window import Window
+
+    q = doc_quality(spark, sf_dir).select("doc_id", "quality_score")
+    fp = doc_fingerprint(spark, sf_dir).select("doc_id", "prefix_fp")
+    lang = doc_langid(spark, sf_dir).select("doc_id", "pred_class")
+    kept = (
+        q.filter(F.col("quality_score") >= 0.55)
+        .join(fp, "doc_id")
+        .join(lang, "doc_id")
+    )
+    w = Window.partitionBy("prefix_fp")
+    return (
+        kept.withColumn("canonical_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id", "quality_score", "prefix_fp", "pred_class")
+    )
+
+
+CORPUS_CURATION_ORACLE = f"""
+WITH q AS ({DOC_QUALITY_ORACLE}),
+fp AS ({DOC_FINGERPRINT_ORACLE}),
+lang AS ({DOC_LANGID_ORACLE}),
+kept AS (
+    SELECT q.doc_id, q.quality_score, fp.prefix_fp, lang.pred_class
+    FROM q JOIN fp ON q.doc_id = fp.doc_id
+    JOIN lang ON q.doc_id = lang.doc_id
+    WHERE q.quality_score >= 0.55
+)
+SELECT doc_id, quality_score, prefix_fp, pred_class FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY prefix_fp) AS canonical_id
+    FROM kept
+) c WHERE doc_id = canonical_id
+"""

@@ -291,6 +291,7 @@ DOCS_QUERIES: dict[str, QueryFn] = {
     # value-hash parity is not contractual.
     "ann_cosine_topk_pandas": _sim.cosine_topk_pandas,
     "media_features": _mm.media_features,
+    "corpus_curation": _ts.corpus_curation,
 }
 
 DOCS_ORACLES: dict[str, str] = {
@@ -307,6 +308,7 @@ DOCS_ORACLES: dict[str, str] = {
     "ann_cosine_topk": _sim.ANN_TOPK_ORACLE,
     "ann_lsh_topk": _sim.ANN_LSH_ORACLE,
     "media_features": _mm.MEDIA_FEATURES_ORACLE,
+    "corpus_curation": _ts.CORPUS_CURATION_ORACLE,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
