@@ -3,13 +3,20 @@
 Per-sink partitioned writes at high fan-out produce many small files
 (every task x every sink partition it touches); at 10^12 rows the sink
 tables degrade scans unless compacted. Iceberg deployments run
-``rewrite_data_files``; this is the parquet-dir equivalent with the same
-contract: rows and partition values are preserved exactly, file count per
-partition drops to ceil(rows / max_records_per_file).
+``rewrite_data_files`` (use that for object-store tables — this module is
+the parquet-dir equivalent for driver-local warehouses and refuses URI
+paths); the contract is the same: rows and partition values preserved
+exactly, small files merged up to the record cap.
 
-Compaction is idempotent and crash-safe the same way the checkpoint runner
-is: rewrite to a staging dir, then atomic directory swap — a crash
-mid-rewrite leaves the original intact.
+Crash-safety protocol (rewrite-then-swap with recovery preamble):
+  1. stale ``.compacting`` / orphaned ``.pre-compact`` dirs from an earlier
+     crash are healed first (backup restored if the live dir is missing,
+     removed if the swap had completed);
+  2. the rewrite goes to ``.compacting``; any failure before the swap
+     leaves the original untouched (staging cleaned up on error);
+  3. swap = rename live -> ``.pre-compact``, rename staging -> live,
+     delete backup. A crash inside the swap is healed by the next run's
+     preamble, so the operation is re-runnable after any crash point.
 """
 
 from __future__ import annotations
@@ -21,35 +28,77 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
+def _heal(base_path: str, staging: str, backup: str) -> None:
+    """Recover from a previous crash at any point of the swap protocol."""
+    if os.path.exists(backup):
+        if os.path.exists(base_path):
+            # crash after swap completed but before backup cleanup
+            shutil.rmtree(backup)
+        else:
+            # crash mid-swap: restore the original
+            os.rename(backup, base_path)
+    if os.path.exists(staging):
+        shutil.rmtree(staging)  # incomplete rewrite from a previous attempt
+
+
 def compact_sinks(
     spark: SparkSession,
     base_path: str,
-    partition_col: str = "sink",
+    partition_cols: list[str] | None = None,
     max_records_per_file: int = 8192,
+    tasks_per_partition: int = 1,
 ) -> dict:
     """Rewrite a partitioned sink dir with bin-packed files.
 
+    partition_cols must match the dir's layout (default ["sink"]; the
+    checkpoint runner's sinks use ["part_bucket", "sink"]).
+    tasks_per_partition > 1 salts the rewrite shuffle so one hot sink
+    doesn't serialize onto a single task (cost: up to that many extra
+    files per partition).
+
     Returns {files_before, files_after, rows} for observability."""
+    if "://" in base_path:
+        raise ValueError(
+            "compact_sinks operates on driver-local paths; for object-store "
+            "tables use Iceberg rewrite_data_files"
+        )
+    partition_cols = partition_cols or ["sink"]
+    staging = base_path.rstrip("/") + ".compacting"
+    backup = base_path.rstrip("/") + ".pre-compact"
+    _heal(base_path, staging, backup)
+
     df = spark.read.parquet(base_path)
+    missing = [c for c in partition_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition_cols not in table: {missing}")
     rows = df.count()
     files_before = len(df.inputFiles())
 
-    staging = base_path.rstrip("/") + ".compacting"
-    # one output slice per partition value, bin-packed by the record cap:
-    # repartition on the partition column collapses each sink's files, and
-    # maxRecordsPerFile re-splits only where a sink exceeds the cap
-    (
-        df.repartition(F.col(partition_col))
-        .write.option("maxRecordsPerFile", max_records_per_file)
-        .partitionBy(partition_col)
-        .mode("overwrite")
-        .parquet(staging)
-    )
+    shuffle_keys = [F.col(c) for c in partition_cols]
+    if tasks_per_partition > 1:
+        data_cols = [c for c in df.columns if c not in partition_cols]
+        shuffle_keys.append(
+            F.pmod(F.xxhash64(*data_cols), F.lit(tasks_per_partition))
+        )
+    try:
+        (
+            df.repartition(*shuffle_keys)
+            .write.option("maxRecordsPerFile", max_records_per_file)
+            .partitionBy(*partition_cols)
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        n_staged = spark.read.parquet(staging).count()
+        if n_staged != rows:
+            raise RuntimeError(
+                f"compaction would lose rows ({n_staged} != {rows}); "
+                "original left untouched"
+            )
+    except Exception:
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        raise
 
-    compacted = spark.read.parquet(staging)
-    assert compacted.count() == rows, "compaction must conserve rows"
-
-    backup = base_path.rstrip("/") + ".pre-compact"
     os.rename(base_path, backup)
     os.rename(staging, base_path)
     shutil.rmtree(backup)
