@@ -109,13 +109,14 @@ def main(argv: list[str] | None = None) -> int:
         report = {"mode": "stream", "wall_s": round(time.perf_counter() - t0, 2)}
     else:
         routed = pipeline.routed(transcripts)
+        # the validated PipelineConfig is the single source for sink knobs
         runner = CheckpointedRunner(
             spark,
             CheckpointConfig(
-                base_path=args.output,
+                base_path=cfg.sink_base_path or args.output,
                 n_buckets=args.n_buckets,
                 buckets_per_wave=args.buckets_per_wave,
-                max_records_per_file=args.max_records_per_file,
+                max_records_per_file=cfg.max_records_per_file,
             ),
         )
         if not args.resume:

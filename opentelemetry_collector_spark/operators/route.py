@@ -59,17 +59,25 @@ def dead_letter(routed: DataFrame) -> DataFrame:
     return routed.filter(F.col("error_reason").isNotNull())
 
 
-def write_sinks(routed: DataFrame, base_path: str, max_records_per_file: int = 8192) -> None:
+def write_sinks(
+    routed: DataFrame,
+    base_path: str,
+    max_records_per_file: int = 8192,
+    extra_partition_cols: list[str] | None = None,
+) -> None:
     """Single-pass fan-out write: one scan, partitioned by sink key.
 
     max_records_per_file=8192 mirrors the batch processor's send_batch_size
     default (processor/batchprocessor/factory.go:31) — the batch-split
     semantics (splitlogs.go:22-84) become a file-size cap.
+
+    extra_partition_cols are prepended to the layout (the checkpoint runner
+    passes ["part_bucket"] so waves can dynamic-overwrite their own buckets).
     """
     (
         routed.withColumn("sink", F.coalesce("sink_id", F.lit("dead_letter")))
         .write.option("maxRecordsPerFile", max_records_per_file)
-        .partitionBy("sink")
+        .partitionBy(*(extra_partition_cols or []), "sink")
         .mode("overwrite")
         .parquet(base_path)
     )

@@ -42,6 +42,7 @@ from opentelemetry_collector_spark.plans.retry import RetryConfig, with_retry
 CHECKPOINT_SCHEMA = T.StructType(
     [
         T.StructField("run_id", T.StringType(), False),
+        T.StructField("n_buckets", T.IntegerType(), False),
         T.StructField("bucket", T.IntegerType(), False),
         T.StructField("input_fingerprint", T.LongType(), True),
         T.StructField("n_input", T.LongType(), False),
@@ -99,20 +100,41 @@ class CheckpointedRunner:
     # --- ledger -----------------------------------------------------------
 
     def committed_buckets(self) -> set[int]:
+        """Committed bucket ids from the ledger.
+
+        Raises if the ledger was written with a DIFFERENT n_buckets —
+        resuming under a changed bucketing would silently mix two
+        incompatible partitionings. Only a genuinely-missing ledger path
+        means "fresh run"; any other read failure propagates (a transient
+        FS error must not erase resume state)."""
         try:
             ledger = self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(
                 self.config.ledger_path
             )
-        except Exception:  # no ledger yet -> fresh run
-            return set()
-        rows = ledger.filter(F.col("status") == "committed").select("bucket").distinct()
-        return {r.bucket for r in rows.collect()}
+            rows = (
+                ledger.filter(F.col("status") == "committed")
+                .select("bucket", "n_buckets").distinct().collect()
+            )
+        except Exception as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return set()
+            raise
+        seen_nb = {r.n_buckets for r in rows}
+        if seen_nb and seen_nb != {self.config.n_buckets}:
+            raise ValueError(
+                f"ledger was written with n_buckets={sorted(seen_nb)}, "
+                f"config has n_buckets={self.config.n_buckets}; resuming "
+                "under a different bucketing would corrupt the output"
+            )
+        return {r.bucket for r in rows}
 
     def _commit(self, records: list[dict]) -> None:
         df = self.spark.createDataFrame(
             [
                 (
-                    r["run_id"], r["bucket"], r["input_fingerprint"], r["n_input"],
+                    r["run_id"], self.config.n_buckets, r["bucket"],
+                    r["input_fingerprint"], r["n_input"],
                     r["n_routed_ok"], r["n_dead_letter"], r["wall_ms"], "committed",
                 )
                 for r in records
@@ -144,69 +166,92 @@ class CheckpointedRunner:
             for i in range(0, len(todo), cfg.buckets_per_wave)
         ]
 
+        from opentelemetry_collector_spark.operators.route import write_sinks
+
         # dynamic overwrite: a re-run of a crashed wave replaces only its own
-        # bucket partitions (idempotence = exactly-once output).
+        # bucket partitions (idempotence = exactly-once output). Session
+        # config is restored afterwards — other writers in this session may
+        # rely on static overwrite truncating stale partitions.
+        prev_mode = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
         bucketed = routed.withColumn("part_bucket", bucket_col(cfg.n_buckets))
         totals = {"run_id": run_id, "skipped_buckets": sorted(done),
                   "processed_buckets": [], "n_routed_ok": 0, "n_dead_letter": 0}
 
-        for w_idx, wave in enumerate(waves):
-            t0 = time.perf_counter()
-            wave_df = bucketed.filter(F.col("part_bucket").isin(wave))
+        try:
+            for w_idx, wave in enumerate(waves):
+                t0 = time.perf_counter()
+                # persist the wave: the sink write and the lineage stats must
+                # consume ONE materialization (a re-scan could see an input
+                # that changed between the two actions, making the committed
+                # fingerprint describe data that was never written), and it
+                # halves the upstream scans per wave
+                wave_df = bucketed.filter(
+                    F.col("part_bucket").isin(wave)
+                ).persist()
 
-            # Single pass: write sinks, then derive per-bucket lineage counts
-            # from the written output (write-then-commit ordering).
-            def _write(df=wave_df):
-                (
-                    df.withColumn("sink", F.coalesce("sink_id", F.lit("dead_letter")))
-                    .write.option("maxRecordsPerFile", cfg.max_records_per_file)
-                    .partitionBy("part_bucket", "sink")
-                    .mode("overwrite")
-                    .parquet(cfg.sinks_path)
+                with_retry(
+                    lambda df=wave_df: write_sinks(
+                        df, cfg.sinks_path, cfg.max_records_per_file,
+                        extra_partition_cols=["part_bucket"],
+                    ),
+                    self.retry,
                 )
 
-            with_retry(_write, self.retry)
-
-            stats = (
-                wave_df.groupBy("part_bucket")
-                .agg(
-                    # order-independent lineage fingerprint; pmod keeps the
-                    # sum far from int64 overflow even at 10^12 rows/bucket
-                    F.sum(
-                        F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(1_000_000_007))
-                    ).alias("fp"),
-                    F.count(F.lit(1)).alias("n_input"),
-                    F.count(F.when(F.col("error_reason").isNull(), 1)).alias("n_ok"),
-                    F.count(F.when(F.col("error_reason").isNotNull(), 1)).alias("n_dl"),
+                stats = (
+                    wave_df.groupBy("part_bucket")
+                    .agg(
+                        # order-independent 64-bit lineage fingerprint;
+                        # bit_xor cannot overflow at any row count (a sum of
+                        # hashes overflows int64 around 1.8e10 rows, which
+                        # ANSI mode turns into a post-write failure)
+                        F.expr("bit_xor(xxhash64(conv_id, turn_idx))").alias("fp"),
+                        F.count(F.lit(1)).alias("n_input"),
+                        F.count(F.when(F.col("error_reason").isNull(), 1)).alias("n_ok"),
+                        F.count(F.when(F.col("error_reason").isNotNull(), 1)).alias("n_dl"),
+                    )
+                    .collect()
                 )
-                .collect()
+                wave_df.unpersist()
+                by_bucket = {r.part_bucket: r for r in stats}
+                wall_ms = int((time.perf_counter() - t0) * 1000)
+                # attribute wave wall time to buckets by row share (buckets
+                # run concurrently in one job; an even split overstates the
+                # small buckets' throughput)
+                wave_rows = max(sum(r.n_input for r in stats), 1)
+                self._commit(
+                    [
+                        {
+                            "run_id": run_id,
+                            "bucket": b,
+                            "input_fingerprint": int(by_bucket[b].fp) if b in by_bucket else None,
+                            "n_input": by_bucket[b].n_input if b in by_bucket else 0,
+                            "n_routed_ok": by_bucket[b].n_ok if b in by_bucket else 0,
+                            "n_dead_letter": by_bucket[b].n_dl if b in by_bucket else 0,
+                            "wall_ms": max(
+                                1,
+                                wall_ms * (by_bucket[b].n_input if b in by_bucket else 0)
+                                // wave_rows,
+                            ),
+                        }
+                        for b in wave
+                    ]
+                )
+                totals["processed_buckets"].extend(wave)
+                totals["n_routed_ok"] += sum(r.n_ok for r in stats)
+                totals["n_dead_letter"] += sum(r.n_dl for r in stats)
+
+                if fail_after_waves is not None and w_idx + 1 >= fail_after_waves:
+                    raise RuntimeError(
+                        f"injected crash after wave {w_idx + 1} (test hook)"
+                    )
+        finally:
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
             )
-            by_bucket = {r.part_bucket: r for r in stats}
-            wall_ms = int((time.perf_counter() - t0) * 1000)
-            self._commit(
-                [
-                    {
-                        "run_id": run_id,
-                        "bucket": b,
-                        "input_fingerprint": int(by_bucket[b].fp) if b in by_bucket else None,
-                        "n_input": by_bucket[b].n_input if b in by_bucket else 0,
-                        "n_routed_ok": by_bucket[b].n_ok if b in by_bucket else 0,
-                        "n_dead_letter": by_bucket[b].n_dl if b in by_bucket else 0,
-                        "wall_ms": wall_ms // max(len(wave), 1),
-                    }
-                    for b in wave
-                ]
-            )
-            totals["processed_buckets"].extend(wave)
-            totals["n_routed_ok"] += sum(r.n_ok for r in stats)
-            totals["n_dead_letter"] += sum(r.n_dl for r in stats)
-
-            if fail_after_waves is not None and w_idx + 1 >= fail_after_waves:
-                raise RuntimeError(
-                    f"injected crash after wave {w_idx + 1} (test hook)"
-                )
 
         return totals
 

@@ -28,11 +28,16 @@ _REF = re.compile(r"\$\{(?:env:)?([A-Za-z_][A-Za-z0-9_]*)\}")
 def expand_vars(value: Any, env: dict[str, str] | None = None) -> Any:
     """Recursively expand ${NAME} / ${env:NAME} in string scalars.
 
-    Unknown names resolve to "" (matching os environment-expansion
-    semantics of the reference's env provider when unset)."""
+    ``$$`` escapes a literal ``$`` (confmap expand.go semantics — "$$x"
+    stays "$x", never expanded). Unknown names resolve to "" (matching the
+    reference's env provider when unset)."""
     environ = os.environ if env is None else env
     if isinstance(value, str):
-        return _REF.sub(lambda m: environ.get(m.group(1), ""), value)
+        # split on the escape FIRST so "$${X}" survives as literal "${X}"
+        parts = value.split("$$")
+        return "$".join(
+            _REF.sub(lambda m: environ.get(m.group(1), ""), p) for p in parts
+        )
     if isinstance(value, dict):
         return {k: expand_vars(v, env) for k, v in value.items()}
     if isinstance(value, list):

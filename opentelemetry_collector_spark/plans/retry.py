@@ -29,7 +29,10 @@ class PermanentError(Exception):
 
 @dataclass
 class RetryConfig:
-    """Defaults mirror exporter/exporterhelper/queued_retry.go:267-277."""
+    """Defaults mirror exporter/exporterhelper/queued_retry.go:267-277.
+
+    max_elapsed_s = 0 means NO time limit (retry until success), matching
+    the reference's max_elapsed_time semantics."""
 
     initial_interval_s: float = 5.0
     multiplier: float = 1.5
@@ -41,6 +44,8 @@ class RetryConfig:
             raise ValueError("initial_interval_s > 0 and multiplier >= 1 required")
         if self.max_interval_s < self.initial_interval_s:
             raise ValueError("max_interval_s must be >= initial_interval_s")
+        if self.max_elapsed_s < 0:
+            raise ValueError("max_elapsed_s must be >= 0 (0 = no limit)")
 
 
 def with_retry(
@@ -65,7 +70,7 @@ def with_retry(
         except PermanentError:
             raise
         except Exception:
-            if clock() - start + interval > cfg.max_elapsed_s:
+            if cfg.max_elapsed_s and clock() - start + interval > cfg.max_elapsed_s:
                 raise
             sleep(interval)
             interval = min(interval * cfg.multiplier, cfg.max_interval_s)

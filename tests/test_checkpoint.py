@@ -142,3 +142,42 @@ def test_permanent_error_not_retried():
     with pytest.raises(PermanentError):
         with_retry(fn, RetryConfig(initial_interval_s=0.001))
     assert len(calls) == 1  # dropped immediately (queued_retry.go:399-407)
+
+
+def test_resume_with_different_n_buckets_raises(spark, routed, tmp_path):
+    """Changing the bucketing between runs must be refused — resuming under
+    a different pmod silently mixes two incompatible partitionings."""
+    cfg8 = CheckpointConfig(base_path=str(tmp_path / "out"), n_buckets=8)
+    CheckpointedRunner(spark, cfg8).run(routed, run_id="first")
+    cfg16 = CheckpointConfig(base_path=str(tmp_path / "out"), n_buckets=16)
+    with pytest.raises(ValueError, match="n_buckets"):
+        CheckpointedRunner(spark, cfg16).run(routed, run_id="second")
+
+
+def test_overwrite_mode_restored_after_run(spark, routed, tmp_path):
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    cfg = CheckpointConfig(base_path=str(tmp_path / "out"), n_buckets=4)
+    CheckpointedRunner(spark, cfg).run(routed, run_id="r")
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == prev
+
+
+def test_retry_zero_max_elapsed_means_no_limit():
+    """max_elapsed_s=0 retries indefinitely (reference max_elapsed_time
+    semantics), not zero retries."""
+    calls = []
+    cfg = RetryConfig(initial_interval_s=1, multiplier=2, max_interval_s=4,
+                      max_elapsed_s=0)
+    clock = {"t": 0.0}
+
+    def fake_sleep(s):
+        clock["t"] += s
+
+    def fn():
+        calls.append(1)
+        if len(calls) < 50:
+            raise OSError("down")
+        return "ok"
+
+    assert with_retry(fn, cfg, sleep=fake_sleep,
+                      clock=lambda: clock["t"]) == "ok"
+    assert len(calls) == 50  # far beyond any finite max_elapsed budget

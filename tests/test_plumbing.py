@@ -163,3 +163,11 @@ def test_salted_pipeline_same_results(spark):
     sc_a = {tuple(r) for r in plain["sink_counts"].collect()}
     sc_b = {tuple(r) for r in salted["sink_counts"].collect()}
     assert sc_a == sc_b
+
+
+def test_expand_vars_dollar_escape():
+    """$$ escapes a literal $ (confmap expand.go parity): $${X} is never
+    expanded."""
+    assert expand_vars("a $${X} b", env={"X": "v"}) == "a ${X} b"
+    assert expand_vars("$$", env={}) == "$"
+    assert expand_vars("cost: $$5 for ${X}", env={"X": "v"}) == "cost: $5 for v"
