@@ -77,6 +77,11 @@ def compact_sinks(
     shuffle_keys = [F.col(c) for c in partition_cols]
     if tasks_per_partition > 1:
         data_cols = [c for c in df.columns if c not in partition_cols]
+        if not data_cols:
+            raise ValueError(
+                "tasks_per_partition > 1 needs at least one non-partition "
+                "column to salt on"
+            )
         shuffle_keys.append(
             F.pmod(F.xxhash64(*data_cols), F.lit(tasks_per_partition))
         )

@@ -38,7 +38,8 @@ def observed_pipeline(routed: DataFrame) -> tuple[DataFrame, Observation]:
     """Attach obsreport-style counters to a routed DataFrame. The returned
     Observation yields, after the next action on the returned frame:
     receiver_accepted_log_records, exporter_sent_log_records,
-    processor_dropped_log_records (dead-letter), exporter_send_failed_log_records.
+    processor_dropped_log_records (dead-letter), and active_sinks (the live
+    fan-out width, a queue-gauge analog).
     """
     obs = Observation("otelcol_pipeline")
     observed = routed.observe(

@@ -81,16 +81,28 @@ def _cos_sql(a: str, b: str) -> str:
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-{TOPK} for each query vector (vec_id < {N_QUERIES}):
-    broadcast the query set, scan the corpus once, rank per query."""
+    broadcast the query set, scan the corpus once, rank per query.
+
+    Norms are precomputed per SIDE before the join — an O(DIM) fold once per
+    row, not once per (query, data) pair; the quotient is the same doubles,
+    so oracle parity is unaffected."""
     from pyspark.sql.window import Window
 
-    data = _emb(spark, sf_dir, "data_id", "dv")
-    q = _emb(spark, sf_dir, "query_id", "qv").filter(F.col("query_id") < N_QUERIES)
-    pairs = data.crossJoin(F.broadcast(q.select("query_id", "qv"))).filter(
-        F.col("data_id") != F.col("query_id")
+    data = _emb(spark, sf_dir, "data_id", "dv").withColumn("dnorm", _norm("dv"))
+    q = (
+        _emb(spark, sf_dir, "query_id", "qv")
+        .filter(F.col("query_id") < N_QUERIES)
+        .withColumn("qnorm", _norm("qv"))
     )
+    pairs = data.crossJoin(
+        F.broadcast(q.select("query_id", "qv", "qnorm"))
+    ).filter(F.col("data_id") != F.col("query_id"))
     scored = pairs.select(
-        "query_id", "data_id", F.round(_cos("qv", "dv"), 6).alias("cos")
+        "query_id",
+        "data_id",
+        F.round(
+            _dot("qv", "dv") / (F.col("qnorm") * F.col("dnorm")), 6
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("data_id")
@@ -195,17 +207,27 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine inside the bucket."""
     from pyspark.sql.window import Window
 
-    data = _emb(spark, sf_dir, "data_id", "dv").withColumn("bucket", _bucket("dv"))
+    data = (
+        _emb(spark, sf_dir, "data_id", "dv")
+        .withColumn("bucket", _bucket("dv"))
+        .withColumn("dnorm", _norm("dv"))
+    )
     q = (
         _emb(spark, sf_dir, "query_id", "qv")
         .filter(F.col("query_id") < N_QUERIES)
         .withColumn("bucket", _bucket("qv"))
+        .withColumn("qnorm", _norm("qv"))
     )
     pairs = data.join(
-        F.broadcast(q.select("query_id", "qv", "bucket")), "bucket"
+        F.broadcast(q.select("query_id", "qv", "qnorm", "bucket")), "bucket"
     ).filter(F.col("data_id") != F.col("query_id"))
     scored = pairs.select(
-        "query_id", "data_id", "bucket", F.round(_cos("qv", "dv"), 6).alias("cos")
+        "query_id",
+        "data_id",
+        "bucket",
+        F.round(
+            _dot("qv", "dv") / (F.col("qnorm") * F.col("dnorm")), 6
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("data_id"))
     return (

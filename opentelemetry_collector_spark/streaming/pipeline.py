@@ -56,19 +56,33 @@ def start_sink_writer(
     base_path: str,
     checkpoint_dir: str,
     trigger_available_now: bool = True,
+    max_records_per_file: int = 8192,
 ):
     """Fan-out sink writer: one foreachBatch per epoch writes every sink
-    partition in a single pass (partitionBy), append-mode idempotent via the
-    streaming WAL (epoch id tracked in checkpoint_dir)."""
+    partition in a single pass.
+
+    Exactly-once on epoch REPLAY (crash between the parquet write and the
+    WAL commit): output is partitioned by (epoch_id, sink) and written with
+    dynamic partition overwrite, so a replayed epoch replaces only its own
+    partitions instead of appending duplicates — the same idempotence
+    pattern as the batch checkpoint runner's bucket waves. The write itself
+    is route.write_sinks (shared layout + the maxRecordsPerFile batch-split
+    cap)."""
+    from opentelemetry_collector_spark.operators.route import write_sinks
 
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
-        (
-            batch_df.withColumn("sink", F.coalesce("sink_id", F.lit("dead_letter")))
-            .withColumn("epoch_id", F.lit(epoch_id))
-            .write.partitionBy("sink")
-            .mode("append")
-            .parquet(base_path)
-        )
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            write_sinks(
+                batch_df.withColumn("epoch_id", F.lit(epoch_id)),
+                base_path,
+                max_records_per_file=max_records_per_file,
+                extra_partition_cols=["epoch_id"],
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     writer = (
         routed.writeStream.foreachBatch(write_epoch)

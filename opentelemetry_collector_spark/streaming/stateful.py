@@ -37,16 +37,21 @@ def sessionize_stateful(transcripts: DataFrame, gap_s: int = 600) -> DataFrame:
         last_epoch, session_idx = (
             state.get if state.exists else (None, 0)
         )
+        # a group's micro-batch data may span multiple Arrow chunks with
+        # arbitrary post-shuffle order — materialize and sort ONCE, or gaps
+        # computed across chunk boundaries see out-of-order timestamps
+        chunks = list(pdfs)
+        if not chunks:  # timeout-only invocation: no data, keep state
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("turn_idx")
         out_turns, out_sessions = [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("turn_idx")
-            for r in pdf.itertuples(index=False):
-                epoch = int(pd.Timestamp(r.ts).value // 1_000_000_000)
-                if last_epoch is not None and epoch - last_epoch > gap:
-                    session_idx += 1
-                last_epoch = epoch
-                out_turns.append(int(r.turn_idx))
-                out_sessions.append(session_idx)
+        for r in pdf.itertuples(index=False):
+            epoch = int(pd.Timestamp(r.ts).value // 1_000_000_000)
+            if last_epoch is not None and epoch - last_epoch > gap:
+                session_idx += 1
+            last_epoch = epoch
+            out_turns.append(int(r.turn_idx))
+            out_sessions.append(session_idx)
         state.update((last_epoch, session_idx))
         yield pd.DataFrame(
             {

@@ -19,6 +19,15 @@ def test_media_features_match_oracle(spark, duck):
         MEDIA_FEATURES_ORACLE,
     )
 
+    # the oracle's "pure byte arithmetic on text" shortcut requires the
+    # corpus to be non-empty ASCII; assert that precondition explicitly so a
+    # fixture change surfaces here rather than as silent divergence
+    media = synth_media(spark, SF_SMOKE)
+    assert media.filter(F.length("payload") == 0).count() == 0
+    assert media.filter(
+        F.length(F.col("payload").cast("string")) != F.col("n_bytes")
+    ).count() == 0
+
     con = duck(SF_SMOKE)
     assert_df_equal(media_features(spark, SF_SMOKE), con.sql(MEDIA_FEATURES_ORACLE))
 
