@@ -171,3 +171,46 @@ def test_expand_vars_dollar_escape():
     assert expand_vars("a $${X} b", env={"X": "v"}) == "a ${X} b"
     assert expand_vars("$$", env={}) == "$"
     assert expand_vars("cost: $$5 for ${X}", env={"X": "v"}) == "cost: $5 for v"
+
+
+# --- JSON-lines wire format (OTLP/HTTP JSON analog) -------------------------
+
+
+def test_jsonl_file_roundtrip(spark, tmp_path):
+    """Parsed turns -> JSON-lines files (gzip) -> typed columns: the full
+    wire round-trip must be lossless, including µs timestamps."""
+    from opentelemetry_collector_spark.sources.jsonl import (
+        read_otlp_jsonl,
+        write_otlp_jsonl,
+    )
+
+    parsed = parse_turns(events_to_transcripts(spark, SF_SMOKE))
+    path = str(tmp_path / "export")
+    write_otlp_jsonl(parsed, path, compression="gzip")
+
+    back = read_otlp_jsonl(spark, path)
+    cols = ["conv_id", "turn_idx", "role", "ts", "severity_number",
+            "severity_text", "trace_id", "span_id", "attributes_json", "body"]
+    orig = parsed.select(*cols)
+    got = back.select(*cols)
+    assert got.exceptAll(orig).count() == 0
+    assert orig.exceptAll(got).count() == 0
+
+
+def test_jsonl_malformed_lines_dead_letter(spark, tmp_path):
+    """Garbage lines become null-column rows (partial success), not scan
+    failures."""
+    from opentelemetry_collector_spark.sources.jsonl import read_otlp_jsonl
+
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "part-0.txt").write_text(
+        '{"conv_id": "c1", "turn_idx": 0, "role": "user", '
+        '"time_unix_micros": 1700000000000000, "severity_number": 0, '
+        '"body": "ok"}\n'
+        "NOT JSON AT ALL\n"
+    )
+    df = read_otlp_jsonl(spark, str(p))
+    assert df.count() == 2
+    assert df.filter("conv_id IS NULL").count() == 1  # the dead-letter row
+    assert df.filter("conv_id = 'c1'").count() == 1
