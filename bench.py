@@ -144,8 +144,11 @@ def _burn(_arg) -> int:
 def main() -> None:
     import __spark_entry__ as entry_mod
 
+    import re
+
     qs = entry_mod.queries()
-    sf = float(Path(SF_DIR).name.replace("sf", "") or 0.1)
+    m = re.fullmatch(r"sf([0-9.]+)", Path(SF_DIR).name)
+    sf = float(m.group(1)) if m else None  # non-standard dir name: report null
 
     spark = make_spark(CPUS)
     per_query: dict[str, float] = {}
@@ -172,14 +175,18 @@ def main() -> None:
         import tempfile
 
         n_small, n_big = SCALING_N, 4 * SCALING_N
+        try:
+            reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2")))
+        except ValueError:
+            reps = 2
         # the sandbox CPU supply swings +/-20% on minute timescales: take the
-        # best of 3 INTERLEAVED session pairs so a slow period can't bias one
-        # level, and measure the pure-CPU control adjacent to the job runs
+        # best of `reps` INTERLEAVED session pairs so a slow period can't
+        # bias one level, and measure the pure-CPU control adjacent
         thr_small = thr_big = 0.0
         with tempfile.TemporaryDirectory(prefix="otelcol_bench_") as tmp:
             table = f"{tmp}/amplified_transcripts"
             n_turns = materialize_amplified(SF_DIR, table, CPUS)
-            for _ in range(3):
+            for _ in range(reps):
                 thr_small = max(thr_small, pipeline_throughput(n_small, table))
                 thr_big = max(thr_big, pipeline_throughput(n_big, table))
         job_eff = (thr_big / thr_small) / (n_big / n_small)

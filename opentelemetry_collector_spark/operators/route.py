@@ -43,9 +43,12 @@ def route(enriched: DataFrame) -> DataFrame:
     reason = _error_reason()
     return enriched.withColumn("error_reason", reason).withColumn(
         "sink_id",
+        # NULL-propagating concat (matches the oracle's `||`): concat_ws
+        # would silently SKIP a null role/tool_family and emit a partial
+        # sink id on the Spark side only
         F.when(
             reason.isNull(),
-            F.concat_ws("/", F.col("role"), F.col("tool_family")),
+            F.concat(F.col("role"), F.lit("/"), F.col("tool_family")),
         ),
     )
 

@@ -61,6 +61,12 @@ def bucket_col(n_buckets: int):
     xxhash64 is a fixed-seed deterministic Spark builtin — bucket membership
     is a pure function of the data (persistent queue item keys are likewise
     monotone-deterministic, persistent_storage.go:93-122).
+
+    NOTE: these work buckets are NOT Iceberg storage buckets (Iceberg's
+    bucket transform is murmur3). On an Iceberg table, pass
+    ``F.expr(f"system.bucket({n}, conv_id)")`` as ``bucket_expr`` to
+    CheckpointedRunner.run so wave filters align with (and prune on) the
+    table's own partitioning.
     """
     return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
 
@@ -150,6 +156,7 @@ class CheckpointedRunner:
         routed: DataFrame,
         run_id: str | None = None,
         fail_after_waves: int | None = None,
+        bucket_expr=None,
     ) -> dict:
         """Write ``routed`` (route() output) to per-sink tables, resumably.
 
@@ -177,7 +184,13 @@ class CheckpointedRunner:
         )
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-        bucketed = routed.withColumn("part_bucket", bucket_col(cfg.n_buckets))
+        # bucket_expr overrides the work-bucket derivation (e.g. Iceberg's
+        # system.bucket so wave filters prune the storage partitions)
+        bucketed = routed.withColumn(
+            "part_bucket",
+            (bucket_expr if bucket_expr is not None
+             else bucket_col(cfg.n_buckets)).cast("int"),
+        )
         totals = {"run_id": run_id, "skipped_buckets": sorted(done),
                   "processed_buckets": [], "n_routed_ok": 0, "n_dead_letter": 0}
 

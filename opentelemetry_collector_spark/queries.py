@@ -22,6 +22,7 @@ from opentelemetry_collector_spark.operators.enrich import (
     tools_values_sql,
 )
 from opentelemetry_collector_spark.operators.parse import parse_oracle_sql, parse_turns
+from opentelemetry_collector_spark.severity import ERROR_THRESHOLD
 from opentelemetry_collector_spark.operators.route import dead_letter, route, routed_ok
 from opentelemetry_collector_spark.operators import dedup as _dedup
 from opentelemetry_collector_spark.operators import multimodal as _mm
@@ -328,7 +329,7 @@ SELECT
     role AS sink_role,
     tool_family AS sink_tool,
     count(*) AS n_rows,
-    count(*) FILTER (WHERE severity_number >= 17) AS n_error_severity
+    count(*) FILTER (WHERE severity_number >= {ERROR_THRESHOLD}) AS n_error_severity
 FROM routed WHERE error_reason IS NULL
 GROUP BY 1, 2, 3""",
     "severity_histogram": f"""WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),

@@ -120,18 +120,26 @@ class IcebergCatalog:
 
     def write_transcripts(self, df: DataFrame, table: str = "transcripts",
                           mode: str = "append") -> None:
+        """mode='overwrite' uses overwritePartitions, which replaces EVERY
+        storage partition the incoming rows touch — safe only when the
+        write covers whole Iceberg buckets (i.e. work units align with
+        ``system.bucket``); subset writes must use append."""
         self.ensure_transcripts(table)
         writer = df.writeTo(f"{self.catalog}.{table}")
         (writer.append() if mode == "append" else writer.overwritePartitions())
 
     def read_transcripts(self, table: str = "transcripts",
                          buckets: list[int] | None = None) -> DataFrame:
+        """Bucket-scoped reads MUST use Iceberg's own bucket transform
+        (murmur3 per the Iceberg spec — NOT the engine's xxhash64 work
+        buckets, which are a different hash and would neither prune nor
+        align with the storage partitions). The ``system.bucket`` SQL
+        function (Iceberg extensions >= 1.3) evaluates the same transform
+        the partitioning uses, so the predicate prunes manifests."""
         df = self.spark.read.table(f"{self.catalog}.{table}")
         if buckets is not None:
-            # Iceberg prunes manifests for bucket-transform predicates
             df = df.filter(
-                F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets))
-                .cast("int").isin(buckets)
+                F.expr(f"system.bucket({self.n_buckets}, conv_id)").isin(buckets)
             )
         return df
 

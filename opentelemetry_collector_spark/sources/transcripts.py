@@ -102,9 +102,10 @@ def events_to_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
-    """Scan a materialized transcripts table (parquet; Iceberg when the
-    runtime catalog is configured — same reader call with a table identifier).
-    """
+    """Scan a materialized transcripts parquet directory. For Iceberg
+    tables use sources/catalog.py's ``IcebergCatalog.read_transcripts``
+    (``spark.read.table``, bucket-prunable) — a table identifier is NOT a
+    valid argument here."""
     return spark.read.parquet(path)
 
 

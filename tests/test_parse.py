@@ -92,3 +92,32 @@ def test_parse_multiline_unicode(spark):
     ).collect()[0]
     assert r.severity_number == 0
     assert r.body == "multi\nline é中文"
+
+
+def test_trace_ids_match_deterministic_helpers(spark):
+    """The id-generation helpers (functions/values.py) are the definition
+    of the fixture's embedded trace/span ids: every parsed id must equal
+    the helper applied to (conv_id, turn_idx) — keeps the helpers and the
+    synthesis SQL from drifting apart."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.functions.values import (
+        deterministic_span_id,
+        deterministic_trace_id,
+    )
+    from opentelemetry_collector_spark.operators.parse import parse_turns
+    from opentelemetry_collector_spark.sources.transcripts import (
+        events_to_transcripts,
+    )
+    from tests.conftest import SF_SMOKE
+
+    parsed = parse_turns(events_to_transcripts(spark, SF_SMOKE)).filter(
+        F.col("trace_id").isNotNull()
+    )
+    mismatches = parsed.filter(
+        (F.col("trace_id")
+         != deterministic_trace_id(F.col("conv_id"), F.col("turn_idx")))
+        | (F.col("span_id")
+           != deterministic_span_id(F.col("conv_id"), F.col("turn_idx")))
+    ).count()
+    assert parsed.count() > 0 and mismatches == 0
