@@ -1,0 +1,150 @@
+"""Service builder — config -> running pipeline (the service/graph analog,
+SURVEY §2.4/§3.2; service/internal/graph/graph.go:66-249, otelcol/collector.go).
+
+The reference builds components from config by factory name and wires
+receivers -> processors -> exporters per pipeline. Here the "graph" is
+DataFrame composition: each named component resolves to a function, and a
+pipeline is a fold of processors over the receiver's DataFrame, fanned out
+to every exporter (fanoutconsumer semantics — the DataFrame is shared; each
+exporter is one write action over the same plan).
+
+Component registry (extensible by passing extra factories):
+  receivers:  transcripts (events-derived), transcripts_table (parquet dir),
+              otlp_jsonl (JSON-lines wire)
+  processors: parse, enrich, route
+  exporters:  sinks (partitioned fan-out write), sink_counts (metrics
+              table), otlp_jsonl (JSON-lines export), dead_letter
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from opentelemetry_collector_spark.plans.config import ServiceConfig
+
+
+def _builtin_receivers() -> dict[str, Callable]:
+    from opentelemetry_collector_spark.sources.jsonl import read_otlp_jsonl
+    from opentelemetry_collector_spark.sources.transcripts import (
+        events_to_transcripts,
+        read_transcripts,
+    )
+
+    return {
+        "transcripts": lambda spark, cfg: events_to_transcripts(
+            spark, cfg["path"]
+        ),
+        "transcripts_table": lambda spark, cfg: read_transcripts(
+            spark, cfg["path"]
+        ),
+        "otlp_jsonl": lambda spark, cfg: read_otlp_jsonl(spark, cfg["path"]),
+    }
+
+
+def _builtin_processors() -> dict[str, Callable]:
+    from opentelemetry_collector_spark.operators.enrich import enrich
+    from opentelemetry_collector_spark.operators.parse import parse_turns
+    from opentelemetry_collector_spark.operators.route import route
+
+    return {
+        "parse": lambda spark, df, cfg: parse_turns(df),
+        "enrich": lambda spark, df, cfg: enrich(df, spark),
+        "route": lambda spark, df, cfg: route(df),
+    }
+
+
+def _builtin_exporters() -> dict[str, Callable]:
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.aggregate import sink_counts
+    from opentelemetry_collector_spark.operators.route import (
+        dead_letter,
+        routed_ok,
+        write_sinks,
+    )
+    from opentelemetry_collector_spark.sources.jsonl import write_otlp_jsonl
+
+    def export_sinks(spark, df, cfg):
+        write_sinks(df, cfg["path"],
+                    cfg.get("max_records_per_file", 8192))
+
+    def export_counts(spark, df, cfg):
+        counts = sink_counts(routed_ok(df), cfg.get("bucket_seconds", 300))
+        counts.coalesce(1).write.mode("overwrite").parquet(cfg["path"])
+
+    def export_jsonl(spark, df, cfg):
+        write_otlp_jsonl(df, cfg["path"], cfg.get("compression"))
+
+    def export_dead_letter(spark, df, cfg):
+        dead_letter(df).write.mode("overwrite").parquet(cfg["path"])
+
+    return {
+        "sinks": export_sinks,
+        "sink_counts": export_counts,
+        "otlp_jsonl": export_jsonl,
+        "dead_letter": export_dead_letter,
+    }
+
+
+def run_service(
+    spark: SparkSession,
+    config: ServiceConfig,
+    extra_receivers: dict[str, Callable] | None = None,
+    extra_processors: dict[str, Callable] | None = None,
+    extra_exporters: dict[str, Callable] | None = None,
+) -> dict[str, DataFrame]:
+    """Build and execute every configured pipeline. Component TYPE is the
+    config key before any '/' (collector 'type/name' instance convention,
+    e.g. 'otlp_jsonl/backup'). Returns the final DataFrame per pipeline
+    (pre-export) for inspection.
+
+    Fan-out parity (fanoutconsumer/logs.go:35-85): all of a pipeline's
+    exporters consume the SAME DataFrame — immutability replaces the
+    clone-if-mutating dance; Catalyst may recompute the plan per action,
+    which callers avoid at scale by .persist() between exporters (handled
+    here when a pipeline has >1 exporter)."""
+    receivers = {**_builtin_receivers(), **(extra_receivers or {})}
+    processors = {**_builtin_processors(), **(extra_processors or {})}
+    exporters = {**_builtin_exporters(), **(extra_exporters or {})}
+
+    def ctype(name: str) -> str:
+        return name.split("/", 1)[0]
+
+    results: dict[str, DataFrame] = {}
+    for pname, p in config.pipelines.items():
+        # receivers: union of all configured sources (shared-component dedup
+        # happens naturally — one DataFrame per receiver instance)
+        dfs = []
+        for rname in p["receivers"]:
+            factory = receivers.get(ctype(rname))
+            if factory is None:
+                raise ValueError(f"no factory for receiver type {ctype(rname)!r}")
+            dfs.append(factory(spark, config.receivers[rname]))
+        df = dfs[0]
+        for other in dfs[1:]:
+            df = df.unionByName(other, allowMissingColumns=True)
+
+        for prname in p.get("processors", []):
+            factory = processors.get(ctype(prname))
+            if factory is None:
+                raise ValueError(f"no factory for processor type {ctype(prname)!r}")
+            df = factory(spark, df, config.processors[prname])
+
+        exps = p["exporters"]
+        if len(exps) > 1:
+            df = df.persist()
+        try:
+            for ename in exps:
+                factory = exporters.get(ctype(ename))
+                if factory is None:
+                    raise ValueError(
+                        f"no factory for exporter type {ctype(ename)!r}"
+                    )
+                factory(spark, df, config.exporters[ename])
+        finally:
+            if len(exps) > 1:
+                df.unpersist()
+        results[pname] = df
+    return results
