@@ -317,3 +317,110 @@ def cosine_topk_pandas(spark: SparkSession, sf_dir: str, k: int = TOPK,
         .filter(F.col("rk") <= k)
         .select("query_id", "data_id", "cos", "rk")
     )
+
+
+# --- IVF-bucketed ANN (the second scale path) --------------------------------
+
+N_CELLS = 8  # coarse quantizer size; seeds are the first N_CELLS vectors
+N_PROBE = 2  # query probes its nearest N_PROBE cells
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-{TOPK}: a coarse quantizer assigns every vector
+    to its nearest seed cell (seeds = vectors vec_id < {N_CELLS} — a
+    deterministic stand-in for trained kmeans centroids; the plan shape is
+    identical), queries probe their {N_PROBE} nearest cells, and exact
+    cosine ranks candidates inside the probed cells.
+
+    Scale path: cell assignment is one broadcast join against {N_CELLS}
+    centroids (O(n*k) map work, no shuffle of the corpus); the probe join
+    is an equality join on cell id — at 10^9 vectors this replaces the
+    brute-force O(n*q) scan exactly like the LSH variant, with recall
+    controlled by n_probe instead of plane count."""
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir, "data_id", "dv").withColumn("dnorm", _norm("dv"))
+    seeds = (
+        _emb(spark, sf_dir, "seed_id", "sv")
+        .filter(F.col("seed_id") < N_CELLS)
+        .withColumn("snorm", _norm("sv"))
+        .select("seed_id", "sv", "snorm")
+    )
+
+    def assign(df, id_col, vec, norm, rank_n):
+        """nearest-`rank_n` seed cells by cosine (rank 1 = home cell)."""
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("seed_cos").desc(), F.col("seed_id")
+        )
+        return (
+            df.crossJoin(F.broadcast(seeds))
+            .withColumn(
+                "seed_cos",
+                F.round(_dot(vec, "sv") / (F.col(norm) * F.col("snorm")), 6),
+            )
+            .withColumn("cell_rk", F.row_number().over(w))
+            .filter(F.col("cell_rk") <= rank_n)
+            .drop("sv", "snorm", "seed_cos", "cell_rk")
+            .withColumnRenamed("seed_id", "cell")
+        )
+
+    data = assign(emb, "data_id", "dv", "dnorm", 1)
+    q = assign(
+        _emb(spark, sf_dir, "query_id", "qv")
+        .filter(F.col("query_id") < N_QUERIES)
+        .withColumn("qnorm", _norm("qv")),
+        "query_id", "qv", "qnorm", N_PROBE,
+    )
+
+    pairs = data.join(
+        F.broadcast(q.select("query_id", "qv", "qnorm", "cell")), "cell"
+    ).filter(F.col("data_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "data_id",
+        F.round(_dot("qv", "dv") / (F.col("qnorm") * F.col("dnorm")), 6).alias("cos"),
+    ).distinct()  # a data point probed via 2 cells appears once
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("data_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOPK)
+        .select("query_id", "data_id", "cos", "rk")
+    )
+
+
+ANN_IVF_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+    FROM embeddings
+),
+seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < {N_CELLS}),
+data_cells AS (
+    SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, s.seed_id AS cell,
+            row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY round({_cos_sql('e.v', 's.sv')}, 6) DESC, s.seed_id)
+                AS cell_rk
+        FROM e, seeds s
+    ) a WHERE cell_rk = 1
+),
+query_cells AS (
+    SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, s.seed_id AS cell,
+            row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY round({_cos_sql('e.v', 's.sv')}, 6) DESC, s.seed_id)
+                AS cell_rk
+        FROM e, seeds s WHERE e.vec_id < {N_QUERIES}
+    ) a WHERE cell_rk <= {N_PROBE}
+),
+scored AS (
+    SELECT DISTINCT q.vec_id AS query_id, d.vec_id AS data_id,
+        round({_cos_sql('q.v', 'd.v')}, 6) AS cos
+    FROM query_cells q JOIN data_cells d USING (cell)
+    WHERE d.vec_id <> q.vec_id
+)
+SELECT query_id, data_id, cos, rk FROM (
+    SELECT *, cast(row_number() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, data_id) AS int) AS rk
+    FROM scored
+) r WHERE rk <= {TOPK}
+"""

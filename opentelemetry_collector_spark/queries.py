@@ -287,6 +287,7 @@ DOCS_QUERIES: dict[str, QueryFn] = {
     "dedup_embedding_pairs": _sim.dedup_embedding_pairs,
     "ann_cosine_topk": _sim.ann_cosine_topk,
     "ann_lsh_topk": _sim.ann_lsh_topk,
+    "ann_ivf_topk": _sim.ann_ivf_topk,
     # performance-path twin of ann_cosine_topk (Arrow/numpy matmul); checked
     # rows-only — its float op order differs from the SQL fold, so exact
     # value-hash parity is not contractual.
@@ -308,6 +309,7 @@ DOCS_ORACLES: dict[str, str] = {
     "dedup_embedding_pairs": _sim.DEDUP_EMBEDDING_ORACLE,
     "ann_cosine_topk": _sim.ANN_TOPK_ORACLE,
     "ann_lsh_topk": _sim.ANN_LSH_ORACLE,
+    "ann_ivf_topk": _sim.ANN_IVF_ORACLE,
     "media_features": _mm.MEDIA_FEATURES_ORACLE,
     "corpus_curation": _ts.CORPUS_CURATION_ORACLE,
 }

@@ -68,3 +68,21 @@ def test_simhash_is_deterministic(spark):
     a = DOCS_QUERIES["dedup_simhash"](spark, SF_CORRECT).collect()
     b = DOCS_QUERIES["dedup_simhash"](spark, SF_CORRECT).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with n_probe=2 over 8 cells must recover a reasonable share of
+    the exact top-5 neighbors (recall floor pins quantizer quality), and
+    every returned score must equal the brute-force cosine."""
+    exact = {}
+    for r in DOCS_QUERIES["ann_cosine_topk"](spark, SF_CORRECT).collect():
+        exact.setdefault(r.query_id, {})[r.data_id] = r.cos
+    ivf_rows = DOCS_QUERIES["ann_ivf_topk"](spark, SF_CORRECT).collect()
+    hit = tot = 0
+    for r in ivf_rows:
+        if r.data_id in exact.get(r.query_id, {}):
+            hit += 1
+            assert abs(exact[r.query_id][r.data_id] - r.cos) < 1e-9
+    tot = sum(len(v) for v in exact.values())
+    assert tot > 0
+    assert hit / tot >= 0.5, f"IVF recall {hit}/{tot} below floor"
