@@ -140,6 +140,46 @@ def frame_sample(media: DataFrame, every_n: int = 8) -> DataFrame:
     return media.mapInPandas(kernel, "doc_id long, frame_idx int, frame_bytes binary")
 
 
+def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """Resize kernel: re-encode each payload at target dimensions.
+
+    STUB CODEC (like decode): the "resized" payload is a deterministic
+    byte-slice proportional to the target area — a real deployment swaps in
+    PIL/ffmpeg scaling; the Spark contract is what is under test: one
+    mapInPandas pass, payload-in/payload-out with updated metadata, rows
+    conserved, failures kept as null payloads for the dead-letter split."""
+    import pandas as pd
+
+    decode = _make_fake_decode()  # local binding -> pickled by value
+    tw, th = int(target_w), int(target_h)
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload)
+                try:
+                    w, h, _ = decode(payload, r.media_type)
+                    # fake scale: output size proportional to target area
+                    n_out = max(8, (tw * th) // 256)
+                    resized = (payload * (n_out // max(len(payload), 1) + 1))[:n_out]
+                except ValueError:
+                    w = h = None
+                    resized = None
+                out.append((r.doc_id, r.media_type, w, h, tw, th, resized))
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "media_type", "orig_width", "orig_height",
+                         "width", "height", "payload"],
+            )
+
+    return media.mapInPandas(
+        kernel,
+        "doc_id long, media_type string, orig_width int, orig_height int, "
+        "width int, height int, payload binary",
+    )
+
+
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """queries() surface: synth media -> decode/extract (payload dropped
     from the output so the oracle-comparable columns are scalar)."""

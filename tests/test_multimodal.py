@@ -63,3 +63,17 @@ def test_frame_sample_expands_video_rows(spark):
     a = sorted(map(tuple, frames.collect()))
     b = sorted(map(tuple, frame_sample(media, every_n=8).collect()))
     assert a == b
+
+
+def test_resize_conserves_rows_and_sets_dims(spark):
+    from opentelemetry_collector_spark.operators.multimodal import resize_media
+
+    media = synth_media(spark, SF_SMOKE)
+    resized = resize_media(media, target_w=32, target_h=32)
+    assert resized.count() == media.count()
+    ok = resized.filter(F.col("payload").isNotNull())
+    assert ok.filter((F.col("width") != 32) | (F.col("height") != 32)).count() == 0
+    # output payload size is the deterministic fake-scale size
+    assert ok.filter(F.length("payload") != max(8, (32 * 32) // 256)).count() == 0
+    # original dims preserved for lineage
+    assert ok.filter(F.col("orig_width").isNull()).count() == 0
