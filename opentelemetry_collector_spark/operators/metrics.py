@@ -1,0 +1,239 @@
+"""Metrics-signal operators — the pmetric data-model analog (SURVEY §1.1).
+
+The reference's metrics signal (pdata/pmetric/metrics.go:45-65) carries five
+metric types (pdata/pmetric/metric_type.go:21-27): Gauge, Sum, Histogram,
+ExponentialHistogram, Summary — each a stream of data points keyed by a
+series identity, with Sum/Histogram carrying an AggregationTemporality
+(delta vs cumulative, pdata/pmetric/aggregation_temporality.go). Here the
+data points are the tool-call spans extracted by the parse stage (one
+NumberDataPoint per span, value = dur_ms), and each metric type becomes a
+DataFrame aggregation:
+
+- Gauge          -> last-sampled value per series (arg-max over ts)
+- Sum            -> delta->cumulative temporality conversion: running sum per
+                    series stream (the delta-to-cumulative processor pattern)
+- Histogram      -> explicit-bounds bucket counts + count/sum/min/max per
+                    (series, time bucket) (pdata/pmetric/generated_histogramdatapoint.go)
+- ExponentialHistogram -> base-2 scale-0 buckets: index = floor(log2(v)),
+                    computed exactly as length(bin(v))-1 in BOTH engines so
+                    no float rounding can diverge; zero values land in the
+                    reference's dedicated zero bucket (index -1 here)
+                    (pdata/pmetric/generated_exponentialhistogramdatapoint.go)
+
+Scale notes: gauge/histogram aggs are partial-agg-friendly groupBys with tiny
+output cardinality. The cumulative conversion windows by (conv_id, tool) — a
+per-stream running sum whose partitions align with the table's bucket(conv_id)
+layout, so at 10^12 rows it shuffles once into bucket-aligned partitions and
+never builds a global order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators.aggregate import BUCKET_SECONDS, time_bucket
+
+# Explicit histogram bounds (ms): value v falls in the first bucket with
+# v <= bound, else the overflow bucket — mirroring the <= upper-bound
+# semantics of pmetric explicit_bounds.
+HISTOGRAM_BOUNDS = (100, 250, 500, 750)
+
+
+def _spans(parsed: DataFrame) -> DataFrame:
+    return parsed.filter(F.col("trace_id").isNotNull())
+
+
+def gauge_last(parsed: DataFrame) -> DataFrame:
+    """Gauge semantics: the most recent data point per series (tool).
+
+    Deterministic arg-max: order by (ts, conv_id, turn_idx) desc.
+    """
+    w = Window.partitionBy("parsed_tool").orderBy(
+        F.col("ts").desc(), F.col("conv_id").desc(), F.col("turn_idx").desc()
+    )
+    return (
+        _spans(parsed)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("parsed_tool").alias("tool"),
+            F.unix_timestamp("ts").cast("long").alias("last_ts_epoch"),
+            F.col("dur_ms").alias("last_value"),
+        )
+    )
+
+
+def sum_delta_to_cumulative(parsed: DataFrame) -> DataFrame:
+    """AggregationTemporality conversion (delta -> cumulative) per stream.
+
+    Each (conv_id, tool) pair is one metric stream; every span is a delta
+    data point (value = dur_ms); the cumulative value at turn T is the
+    running sum over the stream's turn order — the delta-to-cumulative
+    processor pattern over pmetric Sum points.
+    """
+    w = (
+        Window.partitionBy("conv_id", "parsed_tool")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _spans(parsed).select(
+        "conv_id",
+        F.col("parsed_tool").alias("tool"),
+        "turn_idx",
+        F.col("dur_ms").alias("delta_value"),
+        F.sum("dur_ms").over(w).alias("cumulative_value"),
+    )
+
+
+def histogram_explicit(
+    parsed: DataFrame, bucket_seconds: int = BUCKET_SECONDS
+) -> DataFrame:
+    """Explicit-bounds HistogramDataPoint per (tool, time bucket):
+    count/sum/min/max plus one count per bound (le_N) and overflow (gt_last).
+    """
+    spans = _spans(parsed)
+    aggs = [
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("dur_ms").alias("sum_value"),
+        F.min("dur_ms").alias("min_value"),
+        F.max("dur_ms").alias("max_value"),
+    ]
+    lower = None
+    for bound in HISTOGRAM_BOUNDS:
+        cond = F.col("dur_ms") <= bound
+        if lower is not None:
+            cond = cond & (F.col("dur_ms") > lower)
+        aggs.append(F.count(F.when(cond, 1)).alias(f"bucket_le_{bound}"))
+        lower = bound
+    aggs.append(
+        F.count(F.when(F.col("dur_ms") > HISTOGRAM_BOUNDS[-1], 1)).alias(
+            f"bucket_gt_{HISTOGRAM_BOUNDS[-1]}"
+        )
+    )
+    return spans.groupBy(
+        time_bucket(F.col("ts"), bucket_seconds).alias("bucket_start_epoch"),
+        F.col("parsed_tool").alias("tool"),
+    ).agg(*aggs)
+
+
+def exp_histogram(parsed: DataFrame) -> DataFrame:
+    """Base-2 scale-0 ExponentialHistogram buckets per tool.
+
+    Bucket index for v>0 is floor(log2(v)), computed exactly via the binary
+    representation (length(bin(v))-1) to avoid any float-rounding divergence
+    between engines; v=0 maps to the zero bucket (index -1), mirroring the
+    reference's dedicated ZeroCount field.
+    """
+    idx = F.when(
+        F.col("dur_ms") > 0, (F.length(F.bin(F.col("dur_ms"))) - 1).cast("int")
+    ).otherwise(F.lit(-1))
+    return (
+        _spans(parsed)
+        .groupBy(F.col("parsed_tool").alias("tool"), idx.alias("bucket_idx"))
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+def span_red_metrics(
+    parsed: DataFrame, bucket_seconds: int = BUCKET_SECONDS
+) -> DataFrame:
+    """RED metrics generated from spans (the spanmetrics-connector pattern:
+    a connector that derives a metrics signal from the traces signal): per
+    (tool, time bucket) call count, error count, error rate, total and max
+    duration.
+    """
+    return (
+        _spans(parsed)
+        .groupBy(
+            time_bucket(F.col("ts"), bucket_seconds).alias("bucket_start_epoch"),
+            F.col("parsed_tool").alias("tool"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.count(F.when(F.col("status") == "ERROR", 1)).alias("n_errors"),
+            F.round(
+                F.count(F.when(F.col("status") == "ERROR", 1))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("error_rate"),
+            F.sum("dur_ms").alias("total_dur_ms"),
+            F.max("dur_ms").alias("max_dur_ms"),
+        )
+    )
+
+
+# --- DuckDB oracle SQL builders (run over a `parsed` CTE) -------------------
+
+GAUGE_LAST_ORACLE_BODY = """
+SELECT tool, last_ts_epoch, last_value FROM (
+    SELECT parsed_tool AS tool,
+        cast(floor(epoch(ts)) AS bigint) AS last_ts_epoch,
+        dur_ms AS last_value,
+        row_number() OVER (PARTITION BY parsed_tool
+            ORDER BY ts DESC, conv_id DESC, turn_idx DESC) AS rk
+    FROM parsed WHERE trace_id IS NOT NULL
+) q WHERE rk = 1
+"""
+
+SUM_CUMULATIVE_ORACLE_BODY = """
+SELECT conv_id, parsed_tool AS tool, turn_idx,
+    dur_ms AS delta_value,
+    sum(dur_ms) OVER (PARTITION BY conv_id, parsed_tool ORDER BY turn_idx
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative_value
+FROM parsed WHERE trace_id IS NOT NULL
+"""
+
+
+def histogram_oracle_body(bucket_seconds: int = BUCKET_SECONDS) -> str:
+    bucket_cols = []
+    lower = None
+    for bound in HISTOGRAM_BOUNDS:
+        cond = f"dur_ms <= {bound}"
+        if lower is not None:
+            cond += f" AND dur_ms > {lower}"
+        bucket_cols.append(
+            f"count(*) FILTER (WHERE {cond}) AS bucket_le_{bound}"
+        )
+        lower = bound
+    bucket_cols.append(
+        f"count(*) FILTER (WHERE dur_ms > {HISTOGRAM_BOUNDS[-1]}) "
+        f"AS bucket_gt_{HISTOGRAM_BOUNDS[-1]}"
+    )
+    return f"""
+SELECT
+    cast(floor(epoch(ts)/{bucket_seconds})*{bucket_seconds} AS bigint) AS bucket_start_epoch,
+    parsed_tool AS tool,
+    count(*) AS n_points,
+    sum(dur_ms) AS sum_value,
+    min(dur_ms) AS min_value,
+    max(dur_ms) AS max_value,
+    {', '.join(bucket_cols)}
+FROM parsed WHERE trace_id IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+EXP_HISTOGRAM_ORACLE_BODY = """
+SELECT tool, bucket_idx, count(*) AS n_points FROM (
+    SELECT parsed_tool AS tool,
+        CASE WHEN dur_ms > 0 THEN cast(length(bin(dur_ms)) - 1 AS int)
+             ELSE -1 END AS bucket_idx
+    FROM parsed WHERE trace_id IS NOT NULL
+) q GROUP BY 1, 2
+"""
+
+
+def span_red_oracle_body(bucket_seconds: int = BUCKET_SECONDS) -> str:
+    return f"""
+SELECT
+    cast(floor(epoch(ts)/{bucket_seconds})*{bucket_seconds} AS bigint) AS bucket_start_epoch,
+    parsed_tool AS tool,
+    count(*) AS n_calls,
+    count(*) FILTER (WHERE status = 'ERROR') AS n_errors,
+    round(cast(count(*) FILTER (WHERE status = 'ERROR') AS double) / count(*), 6) AS error_rate,
+    sum(dur_ms) AS total_dur_ms,
+    max(dur_ms) AS max_dur_ms
+FROM parsed WHERE trace_id IS NOT NULL
+GROUP BY 1, 2
+"""

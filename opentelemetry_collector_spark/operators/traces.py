@@ -1,0 +1,114 @@
+"""Trace-signal operators — the ptrace analog (SURVEY §1.1, §2.8).
+
+The reference's trace signal groups spans under a trace identity
+(pdata/ptrace/traces.go:45 SpanCount; pdata/ptrace/generated_span.go:58-149
+span fields). Here a conversation is the trace: every tool-call span parsed
+out of its turns shares the conversation's identity, so trace-level analytics
+group by conv_id.
+
+Two operators:
+
+- ``trace_rollup`` — per-trace summary (SpanCount analog + duration/status
+  rollup): span count, error count, total/max span duration, trace wall span
+  (first..last turn timestamp).
+- ``tail_sampling`` — the tail-sampling pattern the reference's docs call out
+  as requiring traceID-affinity routing (docs/performance.md:69-72): the
+  keep/drop decision needs ALL spans of a trace in one place. Policies
+  (first match wins): `error` (any span with status=ERROR), `latency`
+  (any span with dur_ms >= threshold). Kept traces emit all their spans
+  with the deciding policy attached.
+
+Scale notes: both operators shuffle by conv_id — the table's bucket(conv_id)
+layout means this is the one partitioning the whole pipeline already uses, so
+on a bucketed table the "shuffle" is a co-partitioned exchange-free pass.
+tail_sampling uses a window (not a groupBy + self-join) so the spans are
+scanned once; the trace-affinity requirement is satisfied by partitioning,
+which is exactly how the reference scales it horizontally (load-balancer
+traceID affinity -> Spark hash partitioning on conv_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+LATENCY_THRESHOLD_MS = 900
+
+
+def trace_rollup(parsed: DataFrame) -> DataFrame:
+    """Per-conversation (= per-trace) rollup: SpanCount + status/duration."""
+    return parsed.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count(F.when(F.col("trace_id").isNotNull(), 1)).alias("n_spans"),
+        F.count(F.when(F.col("status") == "ERROR", 1)).alias("n_errors"),
+        F.sum("dur_ms").alias("total_dur_ms"),
+        F.max("dur_ms").alias("max_dur_ms"),
+        (
+            F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))
+        ).cast("long").alias("wall_s"),
+    )
+
+
+def tail_sampling(
+    parsed: DataFrame, latency_threshold_ms: int = LATENCY_THRESHOLD_MS
+) -> DataFrame:
+    """Keep whole traces matching a policy; emit their spans + the policy.
+
+    Policy order mirrors tail-sampling's first-match semantics: `error`
+    wins over `latency`.
+    """
+    w = Window.partitionBy("conv_id")
+    spans = parsed.filter(F.col("trace_id").isNotNull())
+    flagged = spans.withColumn(
+        "keep_policy",
+        F.when(
+            F.max(F.when(F.col("status") == "ERROR", 1).otherwise(0)).over(w)
+            == 1,
+            F.lit("error"),
+        ).when(
+            F.max("dur_ms").over(w) >= latency_threshold_ms, F.lit("latency")
+        ),
+    )
+    return flagged.filter(F.col("keep_policy").isNotNull()).select(
+        "conv_id",
+        "turn_idx",
+        F.col("parsed_tool").alias("tool"),
+        "trace_id",
+        "span_id",
+        "dur_ms",
+        "status",
+        "keep_policy",
+    )
+
+
+# --- DuckDB oracle SQL (over a `parsed` CTE) --------------------------------
+
+TRACE_ROLLUP_ORACLE_BODY = """
+SELECT conv_id,
+    count(*) AS n_turns,
+    count(*) FILTER (WHERE trace_id IS NOT NULL) AS n_spans,
+    count(*) FILTER (WHERE status = 'ERROR') AS n_errors,
+    sum(dur_ms) AS total_dur_ms,
+    max(dur_ms) AS max_dur_ms,
+    cast(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS bigint) AS wall_s
+FROM parsed
+GROUP BY conv_id
+"""
+
+
+def tail_sampling_oracle_body(
+    latency_threshold_ms: int = LATENCY_THRESHOLD_MS,
+) -> str:
+    return f"""
+SELECT conv_id, turn_idx, tool, trace_id, span_id, dur_ms, status, keep_policy
+FROM (
+    SELECT conv_id, turn_idx, parsed_tool AS tool, trace_id, span_id, dur_ms, status,
+        CASE
+            WHEN max(CASE WHEN status = 'ERROR' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY conv_id) = 1 THEN 'error'
+            WHEN max(dur_ms) OVER (PARTITION BY conv_id)
+                >= {latency_threshold_ms} THEN 'latency'
+        END AS keep_policy
+    FROM parsed WHERE trace_id IS NOT NULL
+) q WHERE keep_policy IS NOT NULL
+"""

@@ -31,6 +31,8 @@ from opentelemetry_collector_spark.operators.asof import (
     q_asof_enrich,
 )
 from opentelemetry_collector_spark.operators.grok import grok_parse as _grok_parse
+from opentelemetry_collector_spark.operators import metrics as _met
+from opentelemetry_collector_spark.operators import traces as _tr
 from opentelemetry_collector_spark.operators import similarity as _sim
 from opentelemetry_collector_spark.operators import textstats as _ts
 from opentelemetry_collector_spark.sources.transcripts import (
@@ -249,6 +251,46 @@ def q_sink_counts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parse_turns(events_to_transcripts(spark, sf_dir))
+
+
+# --- metrics-signal queries (pmetric analog; operators/metrics.py) ----------
+
+def q_metrics_gauge_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _met.gauge_last(_parsed(spark, sf_dir))
+
+
+def q_metrics_sum_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _met.sum_delta_to_cumulative(_parsed(spark, sf_dir))
+
+
+def q_metrics_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _met.histogram_explicit(_parsed(spark, sf_dir))
+
+
+def q_metrics_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _met.exp_histogram(_parsed(spark, sf_dir))
+
+
+def q_span_red_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _met.span_red_metrics(_parsed(spark, sf_dir))
+
+
+# --- trace-signal queries (ptrace analog; operators/traces.py) --------------
+
+def q_trace_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tr.trace_rollup(_parsed(spark, sf_dir))
+
+
+def q_tail_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tr.tail_sampling(_parsed(spark, sf_dir))
+
+
+_PARSED_CTE = f"""WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+parsed AS ({parse_oracle_sql('transcripts')})"""
+
+
 PIPELINE_QUERIES: dict[str, QueryFn] = {
     "transcripts_source": q_transcripts_source,
     "parse_turns": q_parse_turns,
@@ -270,6 +312,13 @@ PIPELINE_QUERIES: dict[str, QueryFn] = {
     "grok_parse": lambda spark, sf_dir: _grok_parse(
         events_to_transcripts(spark, sf_dir)
     ),
+    "metrics_gauge_last": q_metrics_gauge_last,
+    "metrics_sum_cumulative": q_metrics_sum_cumulative,
+    "metrics_histogram": q_metrics_histogram,
+    "metrics_exp_histogram": q_metrics_exp_histogram,
+    "span_red_metrics": q_span_red_metrics,
+    "trace_rollup": q_trace_rollup,
+    "tail_sampling": q_tail_sampling,
 }
 
 # --- training-data-pipeline operators (documents / embeddings tables) ------
@@ -382,4 +431,11 @@ GROUP BY ROLLUP (sink_role, sink_tool)""",
     "asof_enrich": asof_oracle_sql(
         TRANSCRIPTS_FROM_EVENTS_SQL, parse_oracle_sql("transcripts")
     ),
+    "metrics_gauge_last": f"{_PARSED_CTE}\n{_met.GAUGE_LAST_ORACLE_BODY}",
+    "metrics_sum_cumulative": f"{_PARSED_CTE}\n{_met.SUM_CUMULATIVE_ORACLE_BODY}",
+    "metrics_histogram": f"{_PARSED_CTE}\n{_met.histogram_oracle_body()}",
+    "metrics_exp_histogram": f"{_PARSED_CTE}\n{_met.EXP_HISTOGRAM_ORACLE_BODY}",
+    "span_red_metrics": f"{_PARSED_CTE}\n{_met.span_red_oracle_body()}",
+    "trace_rollup": f"{_PARSED_CTE}\n{_tr.TRACE_ROLLUP_ORACLE_BODY}",
+    "tail_sampling": f"{_PARSED_CTE}\n{_tr.tail_sampling_oracle_body()}",
 }

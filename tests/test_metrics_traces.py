@@ -1,0 +1,124 @@
+"""Semantic invariants for the metrics-signal (pmetric analog) and
+trace-signal (ptrace analog) operators beyond raw oracle parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.queries import (
+    _parsed,
+    q_metrics_exp_histogram,
+    q_metrics_histogram,
+    q_metrics_sum_cumulative,
+    q_span_red_metrics,
+    q_tail_sampling,
+    q_trace_rollup,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _span_count(spark):
+    return (
+        _parsed(spark, SF_SMOKE).filter(F.col("trace_id").isNotNull()).count()
+    )
+
+
+def test_cumulative_final_equals_stream_sum(spark):
+    """Delta->cumulative conversion: the last cumulative value of each
+    (conv_id, tool) stream equals the plain sum of its deltas."""
+    cum = q_metrics_sum_cumulative(spark, SF_SMOKE)
+    finals = (
+        cum.groupBy("conv_id", "tool")
+        .agg(
+            F.max_by("cumulative_value", "turn_idx").alias("final_cum"),
+            F.sum("delta_value").alias("stream_sum"),
+        )
+    )
+    assert finals.filter(F.col("final_cum") != F.col("stream_sum")).count() == 0
+    assert finals.count() > 0
+
+
+def test_histogram_buckets_partition_points(spark):
+    """Explicit-bounds buckets are a partition: per data point exactly one
+    bucket increments, so bucket counts sum to n_points (and globally to the
+    span count)."""
+    h = q_metrics_histogram(spark, SF_SMOKE)
+    bucket_cols = [
+        c for c in h.columns if c.startswith(("bucket_le_", "bucket_gt_"))
+    ]
+    assert len(bucket_cols) == 5
+    expr = None
+    for c in bucket_cols:
+        expr = F.col(c) if expr is None else expr + F.col(c)
+    assert h.filter(expr != F.col("n_points")).count() == 0
+    total = h.agg(F.sum("n_points")).collect()[0][0]
+    assert total == _span_count(spark)
+
+
+def test_exp_histogram_bucket_bounds_and_total(spark):
+    """Scale-0 base-2 buckets: every v in bucket i satisfies
+    2^i <= v < 2^(i+1); totals conserve the span count."""
+    eh = q_metrics_exp_histogram(spark, SF_SMOKE)
+    total = eh.agg(F.sum("n_points")).collect()[0][0]
+    assert total == _span_count(spark)
+    parsed = _parsed(spark, SF_SMOKE).filter(F.col("trace_id").isNotNull())
+    idx = F.when(
+        F.col("dur_ms") > 0, (F.length(F.bin(F.col("dur_ms"))) - 1).cast("int")
+    ).otherwise(F.lit(-1))
+    bad = parsed.withColumn("i", idx).filter(
+        (F.col("i") >= 0)
+        & (
+            (F.col("dur_ms") < F.pow(F.lit(2.0), F.col("i")))
+            | (F.col("dur_ms") >= F.pow(F.lit(2.0), F.col("i") + 1))
+        )
+    )
+    assert bad.count() == 0
+
+
+def test_tail_sampling_trace_affinity(spark):
+    """All-or-nothing per trace: every kept conv_id keeps ALL its spans,
+    with one uniform policy (the traceID-affinity requirement,
+    docs/performance.md:69-72)."""
+    kept = q_tail_sampling(spark, SF_SMOKE)
+    per_conv = kept.groupBy("conv_id").agg(
+        F.countDistinct("keep_policy").alias("n_policies"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    assert per_conv.filter(F.col("n_policies") != 1).count() == 0
+    all_spans = (
+        _parsed(spark, SF_SMOKE)
+        .filter(F.col("trace_id").isNotNull())
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+    )
+    joined = per_conv.join(all_spans, "conv_id")
+    assert joined.filter(F.col("n_kept") != F.col("n_spans")).count() == 0
+    # policy precedence: an ERROR-containing trace is tagged error, not latency
+    err_convs = (
+        _parsed(spark, SF_SMOKE)
+        .filter(F.col("status") == "ERROR")
+        .select("conv_id")
+        .distinct()
+    )
+    mismatch = kept.join(err_convs, "conv_id").filter(
+        F.col("keep_policy") != "error"
+    )
+    assert mismatch.count() == 0
+
+
+def test_trace_rollup_conserves_turns(spark):
+    roll = q_trace_rollup(spark, SF_SMOKE)
+    total_turns = roll.agg(F.sum("n_turns")).collect()[0][0]
+    assert total_turns == _parsed(spark, SF_SMOKE).count()
+    assert roll.filter(F.col("n_spans") > F.col("n_turns")).count() == 0
+
+
+def test_red_metrics_error_rate_bounds(spark):
+    red = q_span_red_metrics(spark, SF_SMOKE)
+    bad = red.filter(
+        (F.col("error_rate") < 0)
+        | (F.col("error_rate") > 1)
+        | (F.col("n_errors") > F.col("n_calls"))
+    )
+    assert bad.count() == 0
+    assert red.agg(F.sum("n_calls")).collect()[0][0] == _span_count(spark)
