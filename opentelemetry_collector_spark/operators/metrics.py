@@ -163,6 +163,61 @@ def span_red_metrics(
     )
 
 
+def summary_quantiles(parsed: DataFrame) -> DataFrame:
+    """Summary data points (pdata/pmetric/generated_summarydatapoint.go):
+    count, sum, and exact quantile values per series (tool).
+
+    Spark's ``percentile`` (exact, linear interpolation) computes the same
+    value as DuckDB's ``quantile_cont`` — both interpolate (1-g)*a + g*b over
+    the sorted values with IEEE doubles, so parity is exact, not approximate.
+    At 10^12 rows a per-series exact percentile requires a sort of each
+    series' values; series cardinality here is tiny (|tools|), so each group
+    fits one reducer — for high-cardinality series swap in percentile_approx
+    (t-digest) and drop the oracle to rows-only.
+    """
+    spans = _spans(parsed)
+    return spans.groupBy(F.col("parsed_tool").alias("tool")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("dur_ms").alias("sum_value"),
+        F.expr("percentile(dur_ms, 0.5)").alias("p50"),
+        F.expr("percentile(dur_ms, 0.9)").alias("p90"),
+        F.expr("percentile(dur_ms, 0.99)").alias("p99"),
+    )
+
+
+def histogram_exemplars(parsed: DataFrame) -> DataFrame:
+    """Exemplars (pdata/pmetric/generated_exemplar.go): one representative
+    measurement per (tool, explicit bucket), carrying its trace/span identity
+    so a metric point links back to the trace that produced it. The exemplar
+    is the bucket's max-duration span (ties broken by trace_id for
+    determinism).
+    """
+    spans = _spans(parsed)
+    bucket = F.when(
+        F.col("dur_ms") <= HISTOGRAM_BOUNDS[0], F.lit(f"le_{HISTOGRAM_BOUNDS[0]}")
+    )
+    for lo, hi in zip(HISTOGRAM_BOUNDS, HISTOGRAM_BOUNDS[1:]):
+        bucket = bucket.when(
+            (F.col("dur_ms") > lo) & (F.col("dur_ms") <= hi), F.lit(f"le_{hi}")
+        )
+    bucket = bucket.otherwise(F.lit(f"gt_{HISTOGRAM_BOUNDS[-1]}"))
+    w = Window.partitionBy("parsed_tool", "bucket").orderBy(
+        F.col("dur_ms").desc(), F.col("trace_id").desc()
+    )
+    return (
+        spans.withColumn("bucket", bucket)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("parsed_tool").alias("tool"),
+            "bucket",
+            F.col("trace_id").alias("exemplar_trace_id"),
+            F.col("span_id").alias("exemplar_span_id"),
+            F.col("dur_ms").alias("exemplar_dur_ms"),
+        )
+    )
+
+
 # --- DuckDB oracle SQL builders (run over a `parsed` CTE) -------------------
 
 GAUGE_LAST_ORACLE_BODY = """
@@ -221,6 +276,38 @@ SELECT tool, bucket_idx, count(*) AS n_points FROM (
              ELSE -1 END AS bucket_idx
     FROM parsed WHERE trace_id IS NOT NULL
 ) q GROUP BY 1, 2
+"""
+
+
+SUMMARY_ORACLE_BODY = """
+SELECT parsed_tool AS tool,
+    count(*) AS n_points,
+    sum(dur_ms) AS sum_value,
+    quantile_cont(dur_ms, 0.5) AS p50,
+    quantile_cont(dur_ms, 0.9) AS p90,
+    quantile_cont(dur_ms, 0.99) AS p99
+FROM parsed WHERE trace_id IS NOT NULL
+GROUP BY 1
+"""
+
+
+def exemplars_oracle_body() -> str:
+    cases = [f"WHEN dur_ms <= {HISTOGRAM_BOUNDS[0]} THEN 'le_{HISTOGRAM_BOUNDS[0]}'"]
+    for lo, hi in zip(HISTOGRAM_BOUNDS, HISTOGRAM_BOUNDS[1:]):
+        cases.append(f"WHEN dur_ms > {lo} AND dur_ms <= {hi} THEN 'le_{hi}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE 'gt_{HISTOGRAM_BOUNDS[-1]}' END"
+    return f"""
+SELECT tool, bucket, exemplar_trace_id, exemplar_span_id, exemplar_dur_ms
+FROM (
+    SELECT parsed_tool AS tool,
+        {case_sql} AS bucket,
+        trace_id AS exemplar_trace_id,
+        span_id AS exemplar_span_id,
+        dur_ms AS exemplar_dur_ms,
+        row_number() OVER (PARTITION BY parsed_tool, {case_sql}
+            ORDER BY dur_ms DESC, trace_id DESC) AS rk
+    FROM parsed WHERE trace_id IS NOT NULL
+) q WHERE rk = 1
 """
 
 

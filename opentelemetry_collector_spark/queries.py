@@ -277,6 +277,14 @@ def q_span_red_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _met.span_red_metrics(_parsed(spark, sf_dir))
 
 
+def q_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _met.summary_quantiles(_parsed(spark, sf_dir))
+
+
+def q_histogram_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _met.histogram_exemplars(_parsed(spark, sf_dir))
+
+
 # --- trace-signal queries (ptrace analog; operators/traces.py) --------------
 
 def q_trace_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,6 +325,8 @@ PIPELINE_QUERIES: dict[str, QueryFn] = {
     "metrics_histogram": q_metrics_histogram,
     "metrics_exp_histogram": q_metrics_exp_histogram,
     "span_red_metrics": q_span_red_metrics,
+    "metrics_summary": q_metrics_summary,
+    "histogram_exemplars": q_histogram_exemplars,
     "trace_rollup": q_trace_rollup,
     "tail_sampling": q_tail_sampling,
 }
@@ -436,6 +446,8 @@ GROUP BY ROLLUP (sink_role, sink_tool)""",
     "metrics_histogram": f"{_PARSED_CTE}\n{_met.histogram_oracle_body()}",
     "metrics_exp_histogram": f"{_PARSED_CTE}\n{_met.EXP_HISTOGRAM_ORACLE_BODY}",
     "span_red_metrics": f"{_PARSED_CTE}\n{_met.span_red_oracle_body()}",
+    "metrics_summary": f"{_PARSED_CTE}\n{_met.SUMMARY_ORACLE_BODY}",
+    "histogram_exemplars": f"{_PARSED_CTE}\n{_met.exemplars_oracle_body()}",
     "trace_rollup": f"{_PARSED_CTE}\n{_tr.TRACE_ROLLUP_ORACLE_BODY}",
     "tail_sampling": f"{_PARSED_CTE}\n{_tr.tail_sampling_oracle_body()}",
 }

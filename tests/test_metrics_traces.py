@@ -113,6 +113,43 @@ def test_trace_rollup_conserves_turns(spark):
     assert roll.filter(F.col("n_spans") > F.col("n_turns")).count() == 0
 
 
+def test_summary_quantiles_ordered(spark):
+    """Summary quantiles are monotone (p50 <= p90 <= p99) and bounded by the
+    series min/max."""
+    from opentelemetry_collector_spark.queries import q_metrics_summary
+
+    s = q_metrics_summary(spark, SF_SMOKE)
+    bad = s.filter(
+        (F.col("p50") > F.col("p90")) | (F.col("p90") > F.col("p99"))
+    )
+    assert bad.count() == 0
+    assert s.count() > 0
+
+
+def test_exemplars_lie_in_their_bucket(spark):
+    """Each exemplar's value respects its bucket's bounds, and every
+    non-empty (tool, bucket) cell has exactly one exemplar."""
+    from opentelemetry_collector_spark.operators.metrics import HISTOGRAM_BOUNDS
+    from opentelemetry_collector_spark.queries import q_histogram_exemplars
+
+    ex = q_histogram_exemplars(spark, SF_SMOKE).collect()
+    assert len(ex) > 0
+    seen = set()
+    for r in ex:
+        key = (r["tool"], r["bucket"])
+        assert key not in seen, f"duplicate exemplar for {key}"
+        seen.add(key)
+        v = r["exemplar_dur_ms"]
+        if r["bucket"].startswith("gt_"):
+            assert v > HISTOGRAM_BOUNDS[-1]
+        else:
+            hi = int(r["bucket"].removeprefix("le_"))
+            assert v <= hi
+            i = HISTOGRAM_BOUNDS.index(hi)
+            if i > 0:
+                assert v > HISTOGRAM_BOUNDS[i - 1]
+
+
 def test_red_metrics_error_rate_bounds(spark):
     red = q_span_red_metrics(spark, SF_SMOKE)
     bad = red.filter(
