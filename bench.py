@@ -176,9 +176,9 @@ def main() -> None:
 
         n_small, n_big = SCALING_N, 4 * SCALING_N
         try:
-            reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2")))
+            reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3")))
         except ValueError:
-            reps = 2
+            reps = 3
         # the sandbox CPU supply swings +/-20% on minute timescales: take the
         # best of `reps` INTERLEAVED session pairs so a slow period can't
         # bias one level, and measure the pure-CPU control adjacent

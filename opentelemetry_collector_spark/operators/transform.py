@@ -1,0 +1,147 @@
+"""Transform/filter processor — the telemetry-mutation category
+(docs/processing.md:33-60) as declarative statements compiled to Catalyst.
+
+The reference's processing model defines "telemetry mutation" processors that
+set/delete/hash fields and attributes, and filtering processors that drop
+records, all driven by YAML config (the attributes/filter/transform processor
+family whose semantic categories core documents in docs/processing.md; the
+core scaffold they plug into is processorhelper, processor/processorhelper/
+logs.go:40-82). Here each statement is a dict compiled into native Column
+expressions — the whole statement list fuses into the surrounding
+WholeStageCodegen projection, so a 20-statement transform costs one pass and
+no Python.
+
+Statement forms (list order = execution order, like OTTL statement lists):
+
+  {"op": "set",    "field": F, "expr": SQL, "where": SQL?}   # set field
+  {"op": "hash",   "field": F, "where": SQL?}                # sha256 mask
+  {"op": "set_attribute",    "key": K, "expr": SQL, "where": SQL?}
+  {"op": "delete_attribute", "key": K, "where": SQL?}
+  {"op": "drop", "where": SQL}                               # filter out
+  {"op": "keep", "where": SQL}                               # filter in
+
+`expr`/`where` are Spark-SQL expressions (the engine's expression language —
+the OTTL analog), evaluated JVM-side via F.expr. Attribute statements rewrite
+the canonical sorted-key ``attributes_json`` column (pcommon.Map upsert
+semantics, pdata/pcommon/map.go:109-127): upsert keeps key order sorted,
+delete removes the key. Values that are pure digits serialize unquoted
+(matching the parse stage's typed-number convention), everything else is
+quoted.
+
+Scale note: every op is a narrow projection/filter — no shuffle, no UDF. The
+attributes rebuild uses map_entries/array_sort/transform higher-order
+functions, which are interpreted per row (not codegen'd) — fine off the hot
+path; hot-path pipelines should set attributes at parse time instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_ATTR_MAP_TYPE = "map<string,string>"
+
+
+def _attrs_map() -> Column:
+    """attributes_json -> map<string,string> (values lose their number/quote
+    distinction here; _serialize restores it by the digits convention)."""
+    return F.from_json(F.col("attributes_json"), _ATTR_MAP_TYPE)
+
+
+def _serialize(map_col_name: str) -> Column:
+    """named map column -> canonical sorted-key JSON, digits unquoted
+    (parse-stage convention, functions/values.attributes_json)."""
+    entry = (
+        "x -> concat('\"', x.key, '\": ', "
+        "CASE WHEN x.value RLIKE '^[0-9]+$' THEN x.value "
+        "ELSE concat('\"', x.value, '\"') END)"
+    )
+    parts = F.expr(
+        f"transform(array_sort(map_entries({map_col_name})), {entry})"
+    )
+    return F.concat(F.lit("{"), F.array_join(parts, ", "), F.lit("}"))
+
+
+def _guard(new: Column, old: Column, where: str | None) -> Column:
+    if where is None:
+        return new
+    return F.when(F.expr(where), new).otherwise(old)
+
+
+def _apply_attr(df: DataFrame, new_map: Column, where: str | None) -> DataFrame:
+    df = df.withColumn("__attrs_m", _guard(new_map, _attrs_map(), where))
+    return df.withColumn("attributes_json", _serialize("__attrs_m")).drop(
+        "__attrs_m"
+    )
+
+
+def compile_statements(
+    statements: list[dict],
+) -> Callable[[DataFrame], DataFrame]:
+    """Validate a statement list and return a DataFrame transform applying
+    the statements in order. Raises ValueError on malformed statements
+    (config-validation parity, service/config.go:42-98)."""
+    for i, st in enumerate(statements):
+        op = st.get("op")
+        if op in ("set",):
+            missing = {"field", "expr"} - st.keys()
+        elif op == "hash":
+            missing = {"field"} - st.keys()
+        elif op == "set_attribute":
+            missing = {"key", "expr"} - st.keys()
+        elif op == "delete_attribute":
+            missing = {"key"} - st.keys()
+        elif op in ("drop", "keep"):
+            missing = {"where"} - st.keys()
+        else:
+            raise ValueError(f"statement {i}: unknown op {op!r}")
+        if missing:
+            raise ValueError(f"statement {i} ({op}): missing {sorted(missing)}")
+
+    def apply(df: DataFrame) -> DataFrame:
+        for st in statements:
+            op = st["op"]
+            where = st.get("where")
+            if op == "set":
+                df = df.withColumn(
+                    st["field"],
+                    _guard(F.expr(st["expr"]), F.col(st["field"]), where),
+                )
+            elif op == "hash":
+                df = df.withColumn(
+                    st["field"],
+                    _guard(
+                        F.sha2(F.col(st["field"]).cast("string"), 256),
+                        F.col(st["field"]),
+                        where,
+                    ),
+                )
+            elif op == "set_attribute":
+                new = F.map_concat(
+                    F.map_filter(
+                        _attrs_map(), lambda k, _v: k != F.lit(st["key"])
+                    ),
+                    F.create_map(
+                        F.lit(st["key"]), F.expr(st["expr"]).cast("string")
+                    ),
+                )
+                df = _apply_attr(df, new, where)
+            elif op == "delete_attribute":
+                new = F.map_filter(
+                    _attrs_map(), lambda k, _v: k != F.lit(st["key"])
+                )
+                df = _apply_attr(df, new, where)
+            elif op == "drop":
+                df = df.filter(~F.coalesce(F.expr(where), F.lit(False)))
+            elif op == "keep":
+                df = df.filter(F.coalesce(F.expr(where), F.lit(False)))
+        return df
+
+    return apply
+
+
+def transform_processor_factory(spark, df: DataFrame, cfg: dict) -> DataFrame:
+    """Service-builder factory: cfg = {"statements": [...]}."""
+    return compile_statements(cfg.get("statements", []))(df)

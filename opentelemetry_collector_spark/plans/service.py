@@ -47,11 +47,16 @@ def _builtin_processors() -> dict[str, Callable]:
     from opentelemetry_collector_spark.operators.enrich import enrich
     from opentelemetry_collector_spark.operators.parse import parse_turns
     from opentelemetry_collector_spark.operators.route import route
+    from opentelemetry_collector_spark.operators.transform import (
+        transform_processor_factory,
+    )
 
     return {
         "parse": lambda spark, df, cfg: parse_turns(df),
         "enrich": lambda spark, df, cfg: enrich(df, spark),
         "route": lambda spark, df, cfg: route(df),
+        # telemetry-mutation / filter statements (docs/processing.md:33-60)
+        "transform": transform_processor_factory,
     }
 
 

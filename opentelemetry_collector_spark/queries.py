@@ -285,6 +285,40 @@ def q_histogram_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _met.histogram_exemplars(_parsed(spark, sf_dir))
 
 
+TRANSFORM_DEMO_STATEMENTS = [
+    # PII masking (attributesprocessor hash action analog)
+    {"op": "hash", "field": "conv_id"},
+    # resource enrichment: constant attribute upsert
+    {"op": "set_attribute", "key": "env", "expr": "'prod'"},
+    # drop a noisy attribute on the happy path
+    {"op": "delete_attribute", "key": "status", "where": "status = 'OK'"},
+    # field mutation with a condition
+    {"op": "set", "field": "role", "expr": "upper(role)",
+     "where": "severity_number >= 17"},
+    # filter processor: drop system turns
+    {"op": "drop", "where": "role = 'system'"},
+]
+
+
+def q_transform_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative transform/filter statements over parsed turns
+    (operators/transform.py; telemetry-mutation semantics)."""
+    from opentelemetry_collector_spark.operators.transform import (
+        compile_statements,
+    )
+
+    out = compile_statements(TRANSFORM_DEMO_STATEMENTS)(
+        _parsed(spark, sf_dir)
+    )
+    return out.select(
+        F.col("conv_id").alias("conv_hash"),
+        "turn_idx",
+        "role",
+        "severity_number",
+        "attributes_json",
+    )
+
+
 # --- trace-signal queries (ptrace analog; operators/traces.py) --------------
 
 def q_trace_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,6 +354,7 @@ PIPELINE_QUERIES: dict[str, QueryFn] = {
     "grok_parse": lambda spark, sf_dir: _grok_parse(
         events_to_transcripts(spark, sf_dir)
     ),
+    "transform_pipeline": q_transform_pipeline,
     "metrics_gauge_last": q_metrics_gauge_last,
     "metrics_sum_cumulative": q_metrics_sum_cumulative,
     "metrics_histogram": q_metrics_histogram,
@@ -441,6 +476,22 @@ GROUP BY ROLLUP (sink_role, sink_tool)""",
     "asof_enrich": asof_oracle_sql(
         TRANSCRIPTS_FROM_EVENTS_SQL, parse_oracle_sql("transcripts")
     ),
+    # transform statements re-expressed declaratively: hash, env upsert,
+    # conditional status delete, conditional role upper-case, system drop
+    "transform_pipeline": f"""{_PARSED_CTE}
+SELECT conv_hash, turn_idx, role, severity_number, attributes_json FROM (
+    SELECT sha256(conv_id) AS conv_hash, turn_idx,
+        CASE WHEN severity_number >= 17 THEN upper(role) ELSE role END AS role,
+        severity_number,
+        '{{' || concat_ws(', ',
+            CASE WHEN dur_ms IS NOT NULL THEN '"dur_ms": ' || cast(dur_ms AS string) END,
+            '"env": "prod"',
+            CASE WHEN status IS NOT NULL AND status <> 'OK'
+                THEN '"status": "' || status || '"' END,
+            CASE WHEN parsed_tool IS NOT NULL THEN '"tool": "' || parsed_tool || '"' END
+        ) || '}}' AS attributes_json
+    FROM parsed
+) q WHERE role <> 'system'""",
     "metrics_gauge_last": f"{_PARSED_CTE}\n{_met.GAUGE_LAST_ORACLE_BODY}",
     "metrics_sum_cumulative": f"{_PARSED_CTE}\n{_met.SUM_CUMULATIVE_ORACLE_BODY}",
     "metrics_histogram": f"{_PARSED_CTE}\n{_met.histogram_oracle_body()}",

@@ -1,0 +1,111 @@
+"""Transform/filter processor (operators/transform.py): statement
+validation, ordering semantics, and service-builder integration."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators.transform import compile_statements
+from opentelemetry_collector_spark.queries import _parsed
+from tests.conftest import SF_SMOKE
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        [{"op": "nope"}],
+        [{"op": "set", "field": "x"}],                # missing expr
+        [{"op": "hash"}],                             # missing field
+        [{"op": "set_attribute", "key": "k"}],        # missing expr
+        [{"op": "delete_attribute"}],                 # missing key
+        [{"op": "drop"}],                             # missing where
+    ],
+)
+def test_invalid_statements_rejected(bad):
+    with pytest.raises(ValueError):
+        compile_statements(bad)
+
+
+def test_statement_order_matters(spark):
+    """set-then-drop vs drop-then-set differ when the set feeds the drop
+    predicate (OTTL statement-list ordering)."""
+    df = _parsed(spark, SF_SMOKE)
+    set_then_drop = compile_statements(
+        [
+            {"op": "set", "field": "role", "expr": "'x'", "where": "role = 'user'"},
+            {"op": "drop", "where": "role = 'x'"},
+        ]
+    )(df)
+    drop_then_set = compile_statements(
+        [
+            {"op": "drop", "where": "role = 'x'"},
+            {"op": "set", "field": "role", "expr": "'x'", "where": "role = 'user'"},
+        ]
+    )(df)
+    n_users = df.filter("role = 'user'").count()
+    assert n_users > 0
+    assert set_then_drop.count() == df.count() - n_users
+    assert drop_then_set.count() == df.count()
+
+
+def test_attribute_upsert_is_sorted_and_idempotent(spark):
+    df = _parsed(spark, SF_SMOKE)
+    once = compile_statements(
+        [{"op": "set_attribute", "key": "env", "expr": "'prod'"}]
+    )
+    twice = compile_statements(
+        [
+            {"op": "set_attribute", "key": "env", "expr": "'stale'"},
+            {"op": "set_attribute", "key": "env", "expr": "'prod'"},
+        ]
+    )
+    a = once(df).select("conv_id", "turn_idx", "attributes_json")
+    b = twice(df).select("conv_id", "turn_idx", "attributes_json")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # every row has env, keys stay sorted
+    sample = a.filter(~F.col("attributes_json").contains('"env": "prod"'))
+    assert sample.count() == 0
+
+
+def test_hash_preserves_grouping(spark):
+    """Masking conv_id is a bijection on the fixture: group cardinality is
+    unchanged (PII-safe aggregation)."""
+    df = _parsed(spark, SF_SMOKE)
+    hashed = compile_statements([{"op": "hash", "field": "conv_id"}])(df)
+    assert (
+        hashed.select("conv_id").distinct().count()
+        == df.select("conv_id").distinct().count()
+    )
+
+
+def test_service_builder_runs_transform(spark, tmp_path):
+    """A pipeline with a transform processor wired via config."""
+    from opentelemetry_collector_spark.plans.config import ServiceConfig
+    from opentelemetry_collector_spark.plans.service import run_service
+
+    cfg = ServiceConfig(
+        receivers={"transcripts": {"path": SF_SMOKE}},
+        processors={
+            "parse": {},
+            "transform": {
+                "statements": [
+                    {"op": "drop", "where": "role = 'system'"},
+                    {"op": "set_attribute", "key": "env", "expr": "'test'"},
+                ]
+            },
+            "enrich": {},
+            "route": {},
+        },
+        exporters={"sinks": {"path": str(tmp_path / "sinks")}},
+        pipelines={
+            "logs": {
+                "receivers": ["transcripts"],
+                "processors": ["parse", "transform", "enrich", "route"],
+                "exporters": ["sinks"],
+            }
+        },
+    )
+    out = run_service(spark, cfg)["logs"]
+    assert out.filter("role = 'system'").count() == 0
+    assert out.filter(~F.col("attributes_json").contains('"env": "test"')).count() == 0
