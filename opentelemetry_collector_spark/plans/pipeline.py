@@ -32,7 +32,8 @@ class PipelineConfig:
     sink_base_path: str | None = None
     bucket_seconds: int = 300
     max_records_per_file: int = 8192  # batchprocessor/factory.go:31
-    salt_buckets: int = 0  # >0 enables hot-conv_id salting (SURVEY §4)
+    salt_buckets: int = 0  # >0 enables static hot-conv_id salting (SURVEY §4)
+    adaptive_salting: bool = False  # two-pass histogram-driven salting
     processors: list[str] = field(
         default_factory=lambda: ["parse", "enrich", "route"]
     )
@@ -46,6 +47,10 @@ class PipelineConfig:
             # batch processor config validation: send_batch_max_size >= 1
             # (processor/batchprocessor/config.go:25-52)
             raise ValueError("max_records_per_file must be positive")
+        if self.adaptive_salting and self.salt_buckets > 0:
+            raise ValueError(
+                "choose static salt_buckets OR adaptive_salting, not both"
+            )
         if len(set(self.processors)) != len(self.processors):
             raise ValueError("duplicate processor in pipeline")  # config.go:78-84
         unknown = set(self.processors) - {"parse", "enrich", "route"}
@@ -65,7 +70,23 @@ class Pipeline:
 
     def routed(self, transcripts: DataFrame) -> DataFrame:
         df = transcripts
-        if self.config.salt_buckets > 0:
+        if self.config.adaptive_salting:
+            # Two-pass histogram-driven salting (operators/skew.py): only
+            # keys observed above the share threshold get split, and each
+            # gets exactly the factor its volume requires — the SURVEY §7
+            # "computed from observed key histograms" requirement.
+            from opentelemetry_collector_spark.operators.skew import (
+                SALT_COL,
+                skew_aware_repartition,
+            )
+
+            df = skew_aware_repartition(
+                df,
+                "conv_id",
+                "turn_idx",
+                self.spark.sparkContext.defaultParallelism,
+            ).drop(SALT_COL)
+        elif self.config.salt_buckets > 0:
             # Hot-conversation skew handling (SURVEY §4 "ours to design"):
             # salt the implicit partitioning so one hot conv_id spreads over
             # salt_buckets reducers. AQE skew-join covers the join side; this

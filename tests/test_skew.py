@@ -48,6 +48,70 @@ def test_salting_spreads_hot_conversation(spark):
     assert max_share < 0.25, f"max partition share {max_share:.2f}"
 
 
+def test_adaptive_salting_targets_only_heavy_keys(spark):
+    """Two-pass scheme: the histogram finds the hot conversation, the salt
+    plan splits only it, and the spread flattens without touching cold
+    keys."""
+    from opentelemetry_collector_spark.operators.skew import (
+        key_histogram,
+        plan_salts,
+        skew_aware_repartition,
+        SALT_COL,
+    )
+
+    skewed, hot_conv = _skewed_transcripts(spark)
+    n_total = skewed.count()
+    parallelism = spark.sparkContext.defaultParallelism
+
+    total, heavy = key_histogram(skewed, "conv_id", min_share=0.05)
+    assert total == n_total
+    assert hot_conv in heavy, "histogram must surface the hot key"
+
+    salts = plan_salts(total, heavy, parallelism)
+    assert salts.get(hot_conv, 1) > 1, "hot key must be split"
+    # cold keys stay unsalted: the plan contains only above-target keys
+    assert all(f > 1 for f in salts.values())
+
+    spread = skew_aware_repartition(
+        skewed, "conv_id", "turn_idx", parallelism, min_share=0.05
+    )
+    # the hot conversation now spans multiple salt cells
+    n_cells = (
+        spread.filter(F.col("conv_id") == hot_conv)
+        .select(SALT_COL)
+        .distinct()
+        .count()
+    )
+    assert n_cells == salts[hot_conv]
+    dist = (
+        spread.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in dist) / n_total < 0.25
+
+
+def test_adaptive_salting_preserves_results(spark):
+    skewed, _ = _skewed_transcripts(spark)
+    plain = Pipeline(spark, PipelineConfig(source_path="x")).run(skewed)
+    adaptive = Pipeline(
+        spark, PipelineConfig(source_path="x", adaptive_salting=True)
+    ).run(skewed)
+    a = {tuple(r) for r in plain["sink_counts"].collect()}
+    b = {tuple(r) for r in adaptive["sink_counts"].collect()}
+    assert a == b
+
+
+def test_static_and_adaptive_salting_exclusive():
+    import pytest
+
+    with pytest.raises(ValueError):
+        PipelineConfig(
+            source_path="x", salt_buckets=8, adaptive_salting=True
+        ).validate()
+
+
 def test_salting_preserves_results_on_skewed_input(spark):
     skewed, _ = _skewed_transcripts(spark)
     plain = Pipeline(spark, PipelineConfig(source_path="x")).run(skewed)
