@@ -1,0 +1,115 @@
+"""Incremental file ingest — the pull/scraper receiver analog for batch
+(SURVEY §2.1, §3.3; receiver/scraperhelper/scrapercontroller.go:91-227).
+
+The scraper controller ticks on a timer, collects whatever is new, and feeds
+the pipeline; the persistent queue guarantees nothing is lost or double-sent
+(persistent_storage.go:51-396). Batch re-expression: each ``process_new``
+call is one tick — it lists the source directory (METADATA ONLY: a Hadoop
+FileSystem listing, never a data scan — at 100 TB listing is thousands of
+file statuses, not bytes), anti-joins against the processed-files ledger,
+reads only the new files, runs the caller's action, and only then commits
+the files to the ledger (write-then-commit = delete-after-
+OnProcessingFinished ordering, persistent_storage.go:268-273). A crash
+before commit re-processes the same files on the next tick — the caller's
+write must be idempotent (dynamic partition overwrite, as in
+plans/checkpoint.py), which makes the tick exactly-once in the output.
+
+This is the parquet-directory stand-in for Iceberg incremental snapshot
+reads (read between snapshot IDs); the ledger is the "last snapshot"
+bookmark. Structured Streaming's file source does the same bookkeeping in
+its WAL — this source exists for batch/cron deployments where a long-lived
+streaming query isn't wanted.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LEDGER_SCHEMA = T.StructType(
+    [
+        T.StructField("file_path", T.StringType(), False),
+        T.StructField("file_size", T.LongType(), False),
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("n_rows", T.LongType(), True),
+        T.StructField("committed_at", T.TimestampType(), False),
+    ]
+)
+
+
+def list_data_files(spark: SparkSession, path: str) -> dict[str, int]:
+    """{absolute file path: size} via the Hadoop FileSystem API — a metadata
+    listing, no data read."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    if not fs.exists(hpath):
+        return {}
+    out: dict[str, int] = {}
+    it = fs.listFiles(hpath, True)  # recursive
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):  # _SUCCESS, hidden/temp files
+            continue
+        out[p] = st.getLen()
+    return out
+
+
+class IncrementalSource:
+    """One-directory incremental reader with a processed-files ledger."""
+
+    def __init__(self, spark: SparkSession, data_path: str, ledger_path: str):
+        self.spark = spark
+        self.data_path = data_path
+        self.ledger_path = ledger_path
+
+    def processed_files(self) -> set[str]:
+        try:
+            ledger = self.spark.read.schema(LEDGER_SCHEMA).parquet(
+                self.ledger_path
+            )
+            return {r.file_path for r in ledger.select("file_path").distinct().collect()}
+        except Exception as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return set()
+            raise  # a transient FS error must not look like "nothing processed"
+
+    def new_files(self) -> dict[str, int]:
+        files = list_data_files(self.spark, self.data_path)
+        done = self.processed_files()
+        return {p: sz for p, sz in files.items() if p not in done}
+
+    def _commit(self, files: dict[str, int], run_id: str, n_rows: int | None) -> None:
+        df = self.spark.createDataFrame(
+            [(p, sz, run_id, n_rows) for p, sz in sorted(files.items())],
+            schema=LEDGER_SCHEMA[:-1],
+        ).withColumn("committed_at", F.current_timestamp())
+        df.coalesce(1).write.mode("append").parquet(self.ledger_path)
+
+    def process_new(self, action, run_id: str | None = None) -> dict:
+        """One tick: read files not yet committed, run ``action(df) -> None``
+        over them, then commit the file list. ``action`` must be idempotent
+        (re-run on crash-before-commit). Returns tick metrics."""
+        run_id = run_id or uuid.uuid4().hex[:12]
+        t0 = time.perf_counter()
+        new = self.new_files()
+        if not new:
+            return {"run_id": run_id, "n_files": 0, "n_rows": 0, "wall_ms": 0}
+        df = self.spark.read.parquet(*sorted(new))
+        n_rows = df.count()
+        action(df)
+        self._commit(new, run_id, n_rows)
+        return {
+            "run_id": run_id,
+            "n_files": len(new),
+            "n_rows": n_rows,
+            "wall_ms": int((time.perf_counter() - t0) * 1000),
+        }
