@@ -97,3 +97,120 @@ def from_otlp_json(serialized: DataFrame) -> DataFrame:
         "r.severity_number", "r.severity_text", "r.trace_id", "r.span_id",
         "r.attributes_json", "r.body",
     )
+
+
+# --- trace-signal codec (ptrace.JSONMarshaler analog, pdata/ptrace/json.go) --
+
+SPAN_JSON_SCHEMA = (
+    "struct<trace_id:string, span_id:string, parent_span_id:string, "
+    "name:string, kind:int, start_unix_micros:long, end_unix_micros:long, "
+    "status_code:int, conv_id:string, turn_idx:int, attributes_json:string>"
+)
+
+# SpanKind enum (pdata/ptrace/span_kind.go): tool calls are CLIENT spans
+SPAN_KIND_CLIENT = 3
+# StatusCode enum (pdata/ptrace/status_code.go): Unset=0, Ok=1, Error=2
+_STATUS_CODE = (
+    "CASE WHEN status = 'ERROR' THEN 2 WHEN status = 'OK' THEN 1 ELSE 0 END"
+)
+
+
+def to_otlp_span_json(parsed: DataFrame) -> DataFrame:
+    """Serialize parsed tool-call spans to the OTLP/JSON Span envelope
+    (generated_span.go:58-149 fields: identity, name, kind, start/end,
+    status). Start = the turn timestamp; end = start + dur_ms."""
+    start = F.unix_micros(F.col("ts").cast("timestamp"))
+    return parsed.filter(F.col("trace_id").isNotNull()).select(
+        "conv_id",
+        "turn_idx",
+        F.to_json(
+            F.struct(
+                F.col("trace_id"),
+                F.col("span_id"),
+                F.lit("").alias("parent_span_id"),  # root span per turn
+                F.col("parsed_tool").alias("name"),
+                F.lit(SPAN_KIND_CLIENT).alias("kind"),
+                start.alias("start_unix_micros"),
+                (start + F.col("dur_ms") * 1000).alias("end_unix_micros"),
+                F.expr(_STATUS_CODE).alias("status_code"),
+                F.col("conv_id"),
+                F.col("turn_idx"),
+                F.col("attributes_json"),
+            )
+        ).alias("otlp_span_json"),
+    )
+
+
+def from_otlp_span_json(serialized: DataFrame) -> DataFrame:
+    """Inverse of to_otlp_span_json (ptrace.JSONUnmarshaler analog);
+    reconstructs span fields incl. dur_ms from start/end."""
+    return serialized.select(
+        F.from_json("otlp_span_json", SPAN_JSON_SCHEMA).alias("s")
+    ).select(
+        "s.conv_id", "s.turn_idx",
+        "s.trace_id", "s.span_id", "s.parent_span_id",
+        F.col("s.name").alias("parsed_tool"),
+        "s.kind",
+        F.timestamp_micros(F.col("s.start_unix_micros"))
+        .cast("timestamp_ntz").alias("ts"),
+        ((F.col("s.end_unix_micros") - F.col("s.start_unix_micros")) / 1000)
+        .cast("long").alias("dur_ms"),
+        "s.status_code", "s.attributes_json",
+    )
+
+
+# --- metrics-signal codec (pmetric.JSONMarshaler analog, pdata/pmetric) -----
+
+METRIC_JSON_SCHEMA = (
+    "struct<name:string, type:string, time_unix_micros:long, "
+    "value:double, attributes_json:string>"
+)
+
+
+def to_otlp_metric_json(
+    points: DataFrame,
+    metric_name: str,
+    value_col: str,
+    ts_col: str = "ts",
+    attr_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Serialize a data-point frame to NumberDataPoint JSON envelopes
+    (pdata/pmetric/generated_numberdatapoint.go): one Sum/Gauge point per
+    row, with the listed attr columns folded into sorted-key attributes."""
+    attrs = F.concat(
+        F.lit("{"),
+        F.concat_ws(
+            ", ",
+            *[
+                F.concat(
+                    F.lit(f'"{c}": "'), F.col(c).cast("string"), F.lit('"')
+                )
+                for c in sorted(attr_cols)
+            ],
+        ),
+        F.lit("}"),
+    )
+    return points.select(
+        F.to_json(
+            F.struct(
+                F.lit(metric_name).alias("name"),
+                F.lit("sum").alias("type"),
+                F.unix_micros(F.col(ts_col).cast("timestamp")).alias(
+                    "time_unix_micros"
+                ),
+                F.col(value_col).cast("double").alias("value"),
+                attrs.alias("attributes_json"),
+            )
+        ).alias("otlp_metric_json")
+    )
+
+
+def from_otlp_metric_json(serialized: DataFrame) -> DataFrame:
+    return serialized.select(
+        F.from_json("otlp_metric_json", METRIC_JSON_SCHEMA).alias("m")
+    ).select(
+        "m.name", "m.type",
+        F.timestamp_micros(F.col("m.time_unix_micros"))
+        .cast("timestamp_ntz").alias("ts"),
+        "m.value", "m.attributes_json",
+    )

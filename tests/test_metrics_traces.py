@@ -150,6 +150,58 @@ def test_exemplars_lie_in_their_bucket(spark):
                 assert v > HISTOGRAM_BOUNDS[i - 1]
 
 
+def test_span_json_round_trip(spark):
+    """ptrace JSON codec: serialize -> parse recovers identity, timing
+    (incl. reconstructed dur_ms), and status for every span."""
+    from opentelemetry_collector_spark.operators.observe import (
+        from_otlp_span_json,
+        to_otlp_span_json,
+    )
+
+    parsed = _parsed(spark, SF_SMOKE)
+    spans = parsed.filter(F.col("trace_id").isNotNull())
+    back = from_otlp_span_json(to_otlp_span_json(parsed))
+    assert back.count() == spans.count() > 0
+
+    orig = spans.select(
+        "conv_id", "turn_idx", "trace_id", "span_id",
+        F.col("parsed_tool"), "ts", "dur_ms", "attributes_json",
+    )
+    rt = back.select(
+        "conv_id", "turn_idx", "trace_id", "span_id",
+        "parsed_tool", "ts", "dur_ms", "attributes_json",
+    )
+    assert orig.exceptAll(rt).count() == 0
+    assert rt.exceptAll(orig).count() == 0
+    # status enum mapping (status_code.go): ERROR->2, OK->1
+    joined = back.join(
+        spans.select("conv_id", "turn_idx", "status"), ["conv_id", "turn_idx"]
+    )
+    assert joined.filter(
+        (F.col("status") == "ERROR") & (F.col("status_code") != 2)
+    ).count() == 0
+    assert joined.filter(
+        (F.col("status") == "OK") & (F.col("status_code") != 1)
+    ).count() == 0
+
+
+def test_metric_json_round_trip(spark):
+    from opentelemetry_collector_spark.operators.observe import (
+        from_otlp_metric_json,
+        to_otlp_metric_json,
+    )
+
+    spans = _parsed(spark, SF_SMOKE).filter(F.col("trace_id").isNotNull())
+    ser = to_otlp_metric_json(
+        spans, "tool.call.duration", "dur_ms", attr_cols=("parsed_tool",)
+    )
+    back = from_otlp_metric_json(ser)
+    assert back.count() == spans.count()
+    assert back.filter(F.col("name") != "tool.call.duration").count() == 0
+    total = back.agg(F.sum("value")).collect()[0][0]
+    assert int(total) == spans.agg(F.sum("dur_ms")).collect()[0][0]
+
+
 def test_red_metrics_error_rate_bounds(spark):
     red = q_span_red_metrics(spark, SF_SMOKE)
     bad = red.filter(
