@@ -34,6 +34,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--buckets-per-wave", type=int, default=4)
     p.add_argument("--bucket-seconds", type=int, default=300)
     p.add_argument("--max-records-per-file", type=int, default=8192)
+    p.add_argument("--salt-buckets", type=int, default=0,
+                   help="static hot-conv_id salting factor (0 = off)")
+    p.add_argument("--adaptive-salting", action="store_true",
+                   help="two-pass histogram-driven skew salting")
     p.add_argument("--run-id", default=None)
     p.add_argument("--resume", action="store_true",
                    help="skip buckets already committed in the output ledger")
@@ -80,6 +84,8 @@ def main(argv: list[str] | None = None) -> int:
         sink_base_path=args.output,
         bucket_seconds=args.bucket_seconds,
         max_records_per_file=args.max_records_per_file,
+        salt_buckets=args.salt_buckets,
+        adaptive_salting=args.adaptive_salting,
     )
     pipeline = Pipeline(spark, cfg)
 

@@ -1,0 +1,115 @@
+#!/usr/bin/env bash
+# Two-cluster-size scaling evidence in the deployed shape (north rule):
+# submit the SAME pipeline job via spark-submit --py-files to
+# local-cluster[N,1,mem] and local-cluster[4N,1,mem] — separate executor
+# JVMs, one core each, so executor count is the only variable — and report
+# throughput at both plus efficiency = (thr_4N / thr_N) / 4.
+#
+# One core per executor keeps 4N total cores well under this host's
+# memory-bandwidth ceiling (BENCH.md: the string-heavy parse saturates the
+# single host's bus past ~16 cores), so the pair measures executor scaling,
+# not host saturation — the regime a real N->4N multi-node cluster is in.
+#
+#   ./scripts/spark_submit_scaling.sh [N] [amp] [sf_dir]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+N="${1:-2}"
+AMP="${2:-16}"
+SF_DIR="${3:-/root/testdata/sf0.1}"
+MEM=2048
+ZIP=/tmp/otelcol_spark_scaling.zip
+TABLE=/tmp/otelcol_scaling_table
+
+python - <<PY
+import zipfile, os
+with zipfile.ZipFile("$ZIP", "w") as z:
+    for root, dirs, files in os.walk("opentelemetry_collector_spark"):
+        dirs[:] = [d for d in dirs if d != "__pycache__"]
+        for f in files:
+            if f.endswith(".py"):
+                p = os.path.join(root, f)
+                z.write(p, p)
+PY
+
+# materialize the amplified transcripts table once (both levels read it)
+python - <<PY
+import shutil
+from pyspark.sql import SparkSession, functions as F
+import sys; sys.path.insert(0, ".")
+from opentelemetry_collector_spark.sources.transcripts import events_to_transcripts
+shutil.rmtree("$TABLE", ignore_errors=True)
+spark = (SparkSession.builder.master("local[16]")
+         .config("spark.sql.shuffle.partitions", "16")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.session.timeZone", "UTC").getOrCreate())
+base = events_to_transcripts(spark, "$SF_DIR")
+(base.repartition(32)
+ .crossJoin(F.broadcast(spark.range($AMP).select(F.col("id").alias("r"))))
+ .withColumn("conv_id", F.concat_ws("-", "conv_id", F.col("r").cast("string")))
+ .drop("r").write.mode("overwrite").parquet("$TABLE"))
+spark.stop()
+PY
+
+run_level() {
+    local execs="$1"
+    # Faithful single-host emulation of a cluster size: confine the WHOLE
+    # job (driver + executors) to exactly `execs` cores + 1 driver core via
+    # taskset, and pin each executor's auxiliary JVM threads (GC, JIT) to
+    # its own budget. Without confinement the SMALL level is subsidized by
+    # the host's idle cores (GC/JIT/IO threads spill over; measured 52k
+    # turns/s/core at 2 executors vs 31.5k in-process), understating
+    # scaling. A real cluster grants no such subsidy.
+    local pin=()
+    if command -v taskset >/dev/null; then
+        pin=(taskset -c "0-${execs}")
+    fi
+    "${pin[@]}" spark-submit --master "local-cluster[${execs},1,${MEM}]" \
+        --py-files "$ZIP" \
+        --conf spark.sql.shuffle.partitions="$execs" \
+        --conf spark.sql.session.timeZone=UTC \
+        --conf spark.ui.enabled=false \
+        --conf spark.executor.extraJavaOptions="-XX:ParallelGCThreads=1 -XX:ConcGCThreads=1 -XX:CICompilerCount=2" \
+        scripts/scaling_job.py "$TABLE" 3 2>/dev/null | grep '"turns_per_sec"'
+}
+
+# interleave the levels: the sandbox's CPU supply swings +/-20% on minute
+# timescales, so consecutive same-level reps would let one slow period bias
+# a whole level; alternating submissions + best-of keeps the pair honest
+PAIRS="${SCALING_PAIRS:-2}"
+best_json() {
+    python - "$@" <<'PY'
+import json, sys
+rows = [json.loads(a) for a in sys.argv[1:]]
+print(json.dumps(max(rows, key=lambda r: r["turns_per_sec"])))
+PY
+}
+SMALLS=(); BIGS=()
+for _ in $(seq "$PAIRS"); do
+    SMALLS+=("$(run_level "$N")")
+    BIGS+=("$(run_level "$((4 * N))")")
+done
+SMALL_JSON=$(best_json "${SMALLS[@]}")
+BIG_JSON=$(best_json "${BIGS[@]}")
+
+python - <<PY
+import json, sys
+sys.path.insert(0, ".")
+from bench import cpu_control_efficiency
+small = json.loads('''$SMALL_JSON''')
+big = json.loads('''$BIG_JSON''')
+eff = (big["turns_per_sec"] / small["turns_per_sec"]) / 4
+# same hardware-ceiling control as bench.py: a pure-CPU busy loop's own
+# N->4N scaling on this host bounds what ANY workload can demonstrate here
+ctrl = min(1.0, cpu_control_efficiency($N))
+print(json.dumps({
+    "metric": "spark-submit two-cluster-size scaling",
+    "executors_N": $N, "executors_4N": $((4 * N)),
+    "turns": small["turns"],
+    "turns_per_sec_N": small["turns_per_sec"],
+    "turns_per_sec_4N": big["turns_per_sec"],
+    "scaling_efficiency": round(eff, 3),
+    "cpu_control_efficiency": round(ctrl, 3),
+    "efficiency_normalized_to_hw_ceiling": round(eff / ctrl, 3),
+}))
+PY

@@ -89,6 +89,72 @@ def test_retry_sleep_sequence_is_capped_and_monotone(initial, mult, n_fail):
             assert s >= sleeps[i - 1] - 1e-9  # non-decreasing backoff
 
 
+_attr_key = st.text(alphabet="abcdefghijklmnop_", min_size=1, max_size=6)
+_sql_str = st.text(alphabet="abcdefghijklmnop 0123456789", max_size=8)
+
+
+@st.composite
+def _statements(draw):
+    ops = []
+    for _ in range(draw(st.integers(0, 4))):
+        kind = draw(st.sampled_from(
+            ["set_attribute", "delete_attribute", "hash", "set"]
+        ))
+        if kind == "set_attribute":
+            ops.append({"op": kind, "key": draw(_attr_key),
+                        "expr": f"'{draw(_sql_str)}'"})
+        elif kind == "delete_attribute":
+            ops.append({"op": kind, "key": draw(_attr_key)})
+        elif kind == "hash":
+            ops.append({"op": kind, "field": "role"})
+        else:
+            ops.append({"op": kind, "field": "body", "expr": "upper(body)"})
+    return ops
+
+
+@given(_statements())
+def test_transform_statements_always_compile(statements):
+    """Any well-formed statement list compiles (validation is total on the
+    grammar); compile is pure — no DataFrame needed."""
+    from opentelemetry_collector_spark.operators.transform import (
+        compile_statements,
+    )
+
+    fn = compile_statements(statements)
+    assert callable(fn)
+
+
+def test_transform_mutations_preserve_rows_and_canonical_json(spark):
+    """Non-filter statements never change row count, and the rewritten
+    attributes_json stays valid sorted-key JSON (pcommon.Map canonical
+    form survives arbitrary upsert/delete sequences)."""
+    from opentelemetry_collector_spark.operators.parse import parse_turns
+    from opentelemetry_collector_spark.operators.transform import (
+        compile_statements,
+    )
+    from opentelemetry_collector_spark.sources.transcripts import (
+        events_to_transcripts,
+    )
+    from tests.conftest import SF_SMOKE
+
+    df = parse_turns(events_to_transcripts(spark, SF_SMOKE))
+    out = compile_statements(
+        [
+            {"op": "set_attribute", "key": "zz", "expr": "'9'"},
+            {"op": "set_attribute", "key": "aa", "expr": "'first'"},
+            {"op": "delete_attribute", "key": "tool"},
+            {"op": "set_attribute", "key": "mm", "expr": "'42'"},
+            {"op": "hash", "field": "conv_id"},
+        ]
+    )(df)
+    assert out.count() == df.count()
+    for r in out.select("attributes_json").distinct().collect():
+        obj = json.loads(r.attributes_json)
+        assert list(obj) == sorted(obj)
+        assert "tool" not in obj
+        assert obj["aa"] == "first" and obj["zz"] == 9 and obj["mm"] == 42
+
+
 def test_attributes_json_is_valid_sorted_json(spark):
     """Every attributes_json produced by the parse stage parses as JSON with
     keys in sorted order (canonical Map serialization)."""
