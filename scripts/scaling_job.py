@@ -16,11 +16,20 @@ from __future__ import annotations
 import json
 import sys
 import time
+from pathlib import Path
+
+# plain-python invocation (bench.py subprocess mode): the engine package
+# lives in the repo root, one level above scripts/. Under spark-submit the
+# --py-files zip provides it instead; the extra path entry is harmless.
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main(argv: list[str]) -> int:
     table_path = argv[0]
     reps = int(argv[1]) if len(argv) > 1 else 2
+    # optional master for plain-python invocation (bench.py subprocess mode);
+    # under spark-submit the master comes from the submit command instead
+    master = argv[2] if len(argv) > 2 else None
 
     from pyspark.sql import SparkSession
 
@@ -29,7 +38,28 @@ def main(argv: list[str]) -> int:
     from opentelemetry_collector_spark.operators.parse import parse_turns
     from opentelemetry_collector_spark.operators.route import route, routed_ok
 
-    spark = SparkSession.builder.getOrCreate()
+    builder = SparkSession.builder
+    if master:
+        cores = master.split("[")[1].rstrip("]")
+        builder = (
+            builder.master(master)
+            .config("spark.sql.shuffle.partitions", cores)
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.driver.memory", "8g")
+        )
+    spark = builder.getOrCreate()
+    # on local-cluster masters executors register asynchronously; measuring
+    # before they all arrive understates the level's core count
+    expected_cores = int(argv[3]) if len(argv) > 3 else None
+    if expected_cores:
+        deadline = time.monotonic() + 60
+        while (
+            spark.sparkContext.defaultParallelism < expected_cores
+            and time.monotonic() < deadline
+        ):
+            time.sleep(0.5)
     cores = spark.sparkContext.defaultParallelism
     t = spark.read.parquet(table_path)
     n_turns = t.count()

@@ -70,7 +70,7 @@ run_level() {
         --conf spark.sql.session.timeZone=UTC \
         --conf spark.ui.enabled=false \
         --conf spark.executor.extraJavaOptions="-XX:ParallelGCThreads=1 -XX:ConcGCThreads=1 -XX:CICompilerCount=2" \
-        scripts/scaling_job.py "$TABLE" 3 2>/dev/null | grep '"turns_per_sec"'
+        scripts/scaling_job.py "$TABLE" 3 "" "$execs" 2>/dev/null | grep '"turns_per_sec"'
 }
 
 # interleave the levels: the sandbox's CPU supply swings +/-20% on minute
