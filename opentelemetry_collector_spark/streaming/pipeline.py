@@ -138,3 +138,46 @@ def start_windowed_counts(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_windowed_red_metrics(
+    parsed,
+    checkpoint_dir: str,
+    query_name: str = "red_metrics_stream",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    trigger_available_now: bool = True,
+    output_mode: str = "complete",
+):
+    """Streaming RED metrics over tool-call spans (the spanmetrics-connector
+    pattern in continuous mode): per (tool, event-time window) call count,
+    error count, and duration sum/max, with the same watermark semantics as
+    start_windowed_counts. Input is a streaming parsed frame
+    (parse_turns over a stream source)."""
+    red = (
+        parsed.filter(F.col("trace_id").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("bucket"),
+            F.col("parsed_tool").alias("tool"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.count(F.when(F.col("status") == "ERROR", 1)).alias("n_errors"),
+            F.sum("dur_ms").alias("total_dur_ms"),
+            F.max("dur_ms").alias("max_dur_ms"),
+        )
+        .select(
+            F.unix_timestamp("bucket.start").alias("bucket_start_epoch"),
+            "tool", "n_calls", "n_errors", "total_dur_ms", "max_dur_ms",
+        )
+    )
+    writer = (
+        red.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

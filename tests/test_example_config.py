@@ -1,0 +1,34 @@
+"""The shipped example config resolves, validates, and runs end-to-end
+(reference examples/ parity: a user can start from the YAML alone)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.plans.config import ServiceConfig
+from opentelemetry_collector_spark.plans.service import run_service
+from tests.conftest import SF_SMOKE
+
+EXAMPLE = str(
+    Path(__file__).resolve().parent.parent / "examples" / "transcripts_pipeline.yaml"
+)
+
+
+def test_example_config_runs_end_to_end(spark, tmp_path):
+    cfg = ServiceConfig.from_sources(
+        EXAMPLE, env={"DATA_DIR": SF_SMOKE, "OUT_DIR": str(tmp_path)}
+    )
+    out = run_service(spark, cfg)["logs"]
+
+    # the transform dropped system turns and masked conv_id
+    assert out.filter("role = 'system'").count() == 0
+    assert out.filter(F.length("conv_id") != 64).count() == 0  # sha256 hex
+    # all three exporters wrote
+    assert (tmp_path / "sinks").exists()
+    assert (tmp_path / "metrics" / "sink_counts").exists()
+    assert (tmp_path / "dead_letter").exists()
+    counts = spark.read.parquet(str(tmp_path / "metrics" / "sink_counts"))
+    ok_rows = out.filter("error_reason IS NULL").count()
+    assert counts.agg(F.sum("n_rows")).collect()[0][0] == ok_rows > 0

@@ -83,6 +83,34 @@ def test_stream_windowed_counts_match_batch(spark, transcripts_dir, tmp_path):
     assert got == want
 
 
+def test_stream_red_metrics_match_batch(spark, transcripts_dir, tmp_path):
+    """Streaming RED metrics (windowed spanmetrics) equal the batch
+    span_red_metrics aggregate on a finite input."""
+    from opentelemetry_collector_spark.operators.metrics import span_red_metrics
+    from opentelemetry_collector_spark.streaming.pipeline import (
+        start_windowed_red_metrics,
+    )
+
+    src = stream_transcripts(spark, transcripts_dir)
+    q = start_windowed_red_metrics(
+        parse_turns(src), str(tmp_path / "ckpt3"), query_name="t_red"
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.bucket_start_epoch, r.tool): (r.n_calls, r.n_errors, r.total_dur_ms)
+        for r in spark.sql("SELECT * FROM t_red").collect()
+    }
+    batch = span_red_metrics(
+        parse_turns(spark.read.parquet(transcripts_dir))
+    )
+    want = {
+        (r.bucket_start_epoch, r.tool): (r.n_calls, r.n_errors, r.total_dur_ms)
+        for r in batch.collect()
+    }
+    assert got == want
+
+
 def test_stream_resume_from_checkpoint(spark, transcripts_dir, tmp_path):
     """Second availableNow start on the same checkpoint must be a no-op
     (file-source WAL remembers consumed files — persistent-queue recovery,
