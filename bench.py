@@ -61,7 +61,10 @@ def time_query(fn, spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-SCALING_AMP = int(os.environ.get("SPARK_GRAFT_SCALING_AMP", "64"))
+# 32x amplification (3.2M turns): long enough that per-run timer noise is
+# small, short enough that 4 interleaved pairs sample 4 distinct minutes of
+# the sandbox's swinging CPU/bandwidth supply
+SCALING_AMP = int(os.environ.get("SPARK_GRAFT_SCALING_AMP", "32"))
 # N vs 4N EXECUTORS (local-cluster, 1 core each). Default 2 -> 8: 8 total
 # cores stays below this host's memory-bandwidth ceiling (~330k turns/s,
 # BENCH.md), so the pair measures executor scaling, not host saturation.
@@ -210,9 +213,9 @@ def main() -> None:
 
         n_small, n_big = SCALING_N, 4 * SCALING_N
         try:
-            reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3")))
+            reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "4")))
         except ValueError:
-            reps = 3
+            reps = 4
         # the sandbox's CPU *and memory-bandwidth* supply swing on minute
         # timescales, and they hit the two levels asymmetrically (the 4N
         # level is bandwidth-sensitive, the N level is not — a throttled

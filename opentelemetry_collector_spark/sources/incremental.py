@@ -94,6 +94,21 @@ class IncrementalSource:
         ).withColumn("committed_at", F.current_timestamp())
         df.coalesce(1).write.mode("append").parquet(self.ledger_path)
 
+    def pending_tick_id(self) -> str | None:
+        """Deterministic id of the CURRENT pending tick: a hash of the sorted
+        new-file list. A tick that crashes mid-action re-derives the SAME id
+        on retry (same pending files), so tick-scoped state — e.g. a
+        checkpoint ledger under ``{base}/{tick_id}`` — resumes instead of
+        restarting (layered exactly-once: file-level ledger across ticks,
+        bucket-level ledger within one). None when nothing is pending."""
+        import hashlib
+
+        new = self.new_files()
+        if not new:
+            return None
+        h = hashlib.sha256("\n".join(sorted(new)).encode()).hexdigest()[:16]
+        return f"tick-{h}"
+
     def process_new(self, action, run_id: str | None = None) -> dict:
         """One tick: read files not yet committed, run ``action(df) -> None``
         over them, then commit the file list. ``action`` must be idempotent

@@ -1,0 +1,100 @@
+"""Layered exactly-once integration: incremental file ticks (file-level
+ledger, sources/incremental.py) composed with checkpointed sink waves
+(bucket-level ledger, plans/checkpoint.py) — the full persistent-queue
+recovery story across BOTH granularities (persistent_storage.go:268-348)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators.enrich import enrich
+from opentelemetry_collector_spark.operators.parse import parse_turns
+from opentelemetry_collector_spark.operators.route import route
+from opentelemetry_collector_spark.plans.checkpoint import (
+    CheckpointConfig,
+    CheckpointedRunner,
+)
+from opentelemetry_collector_spark.sources.incremental import IncrementalSource
+from opentelemetry_collector_spark.sources.transcripts import events_to_transcripts
+from tests.conftest import SF_SMOKE
+
+
+def _routed(spark, df):
+    from opentelemetry_collector_spark.queries import _normalize_enriched
+
+    return _normalize_enriched(route(enrich(parse_turns(df), spark)))
+
+
+def test_crashed_tick_resumes_at_both_layers(spark, tmp_path):
+    data = str(tmp_path / "incoming")
+    out = str(tmp_path / "out")
+    src = IncrementalSource(spark, data, str(tmp_path / "file_ledger"))
+
+    base = events_to_transcripts(spark, SF_SMOKE)
+    half1 = base.filter(F.crc32("conv_id") % 2 == 0)
+    half2 = base.filter(F.crc32("conv_id") % 2 == 1)
+    half1.coalesce(1).write.mode("append").parquet(data)
+
+    # --- tick 1, crashing after the first committed wave -------------------
+    tick1 = src.pending_tick_id()
+    assert tick1 is not None
+
+    def crashing_action(df):
+        runner = CheckpointedRunner(
+            spark,
+            CheckpointConfig(base_path=f"{out}/{tick1}", n_buckets=4,
+                             buckets_per_wave=2),
+        )
+        runner.run(_routed(spark, df), fail_after_waves=1)
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        src.process_new(crashing_action)
+
+    # file ledger did not commit -> same files pending, SAME tick id
+    assert src.pending_tick_id() == tick1
+
+    # --- retry: bucket ledger resumes, file ledger commits ------------------
+    resumed = {}
+
+    def resuming_action(df):
+        runner = CheckpointedRunner(
+            spark,
+            CheckpointConfig(base_path=f"{out}/{tick1}", n_buckets=4,
+                             buckets_per_wave=2),
+        )
+        resumed.update(runner.run(_routed(spark, df)))
+
+    r1 = src.process_new(resuming_action)
+    assert r1["n_rows"] == half1.count()
+    # wave 1's buckets were NOT rerun (bucket-level resume inside the tick)
+    assert len(resumed["skipped_buckets"]) == 2
+    assert len(resumed["processed_buckets"]) == 2
+
+    # --- tick 2 over new files only ----------------------------------------
+    half2.coalesce(1).write.mode("append").parquet(data)
+    tick2 = src.pending_tick_id()
+    assert tick2 is not None and tick2 != tick1
+
+    def tick2_action(df):
+        CheckpointedRunner(
+            spark,
+            CheckpointConfig(base_path=f"{out}/{tick2}", n_buckets=4,
+                             buckets_per_wave=4),
+        ).run(_routed(spark, df))
+
+    r2 = src.process_new(tick2_action)
+    assert r2["n_rows"] == half2.count()
+
+    # --- global conservation: union of tick sinks == all input turns -------
+    sinks = spark.read.parquet(f"{out}/{tick1}/sinks").unionByName(
+        spark.read.parquet(f"{out}/{tick2}/sinks")
+    )
+    assert sinks.count() == base.count()
+    # and no row landed twice
+    assert (
+        sinks.groupBy("conv_id", "turn_idx").count().filter("count > 1").count()
+        == 0
+    )
+    # nothing further pending
+    assert src.pending_tick_id() is None
