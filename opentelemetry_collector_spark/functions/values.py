@@ -58,6 +58,60 @@ def _json_scalar(col: Column) -> Column:
     )
 
 
+def _es6_number_str(f: float) -> str:
+    """ES6 Number::toString for one float64 — the reference's double
+    canonicalization (pdata/pcommon/value.go:397-426: shortest round-trip
+    decimal, integer-valued doubles without '.0', exponent form only for
+    abs >= 1e21 or < 1e-6, bare exponent digits)."""
+    import math
+    from decimal import Decimal
+
+    if math.isnan(f):
+        return "NaN"
+    if math.isinf(f):
+        return "Infinity" if f > 0 else "-Infinity"
+    if f == 0:
+        return "0"
+    neg = f < 0
+    a = abs(f)
+    # Python repr is the shortest round-trip form; rebase it to ES6's
+    # exponent thresholds ([1e-6, 1e21) stays positional)
+    if 1e-6 <= a < 1e21:
+        s = format(Decimal(repr(a)), "f")
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+    else:
+        mant, _, exp = repr(a).partition("e")
+        if not exp:  # repr stayed positional outside ES6's window
+            mant, _, exp = format(Decimal(repr(a)).normalize(), "e").partition("e")
+        if "." in mant:
+            mant = mant.rstrip("0").rstrip(".")
+        e = int(exp)
+        s = f"{mant}e{'+' if e >= 0 else '-'}{abs(e)}"
+    return ("-" + s) if neg else s
+
+
+def es6_double_string(col: Column) -> Column:
+    """Vectorized (Arrow) ES6 double->string canonicalization. Only needed
+    when asserting STRING equality on double-typed attribute values against
+    the reference's AsString output; numeric comparisons never need it."""
+    import pandas
+    from pyspark.sql.functions import pandas_udf
+
+    def _fmt(s: "pandas.Series") -> "pandas.Series":
+        # Arrow hands SQL NULL to pandas as NaN; real NaN never reaches this
+        # UDF (handled natively below), so isna here means NULL
+        return s.map(lambda v: None if pandas.isna(v) else _es6_number_str(v))
+
+    _fmt.__annotations__ = {"s": pandas.Series, "return": pandas.Series}
+    fmt = pandas_udf(_fmt, "string")
+    return (
+        F.when(F.isnan(col), F.lit("NaN"))
+        .when(col.isNull(), F.lit(None).cast("string"))
+        .otherwise(fmt(col))
+    )
+
+
 def deterministic_trace_id(conv_id: Column, turn_idx: Column) -> Column:
     """32-hex deterministic trace id (pdata/pcommon/traceid.go analog):
     md5(conv_id:turn_idx). Hex-string form per SURVEY §1.6 mapping.
