@@ -32,7 +32,11 @@ HEADLINE = [
     "route",
     "count_conservation",
     "tool_spans",
+    "tail_sampling",
+    "metrics_histogram",
+    "transform_pipeline",
     "dedup_exact",
+    "dedup_minhash_pairs",
     "ann_cosine_topk",
     "doc_quality",
 ]

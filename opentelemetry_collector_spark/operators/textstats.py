@@ -163,6 +163,104 @@ FROM (
 """
 
 
+# --- deterministic sampling / splitting (training-data mixing) --------------
+#
+# Both use an md5-derived integer: identical text in both engines
+# (Spark conv(hex,16,10) == DuckDB cast('0x'||hex AS bigint)), so sampling
+# is a pure function of doc_id — reproducible across runs, engines, and
+# cluster sizes (no rand(), no partition dependence). At 10^12 rows this is
+# a narrow projection + filter: no shuffle, trivially parallel.
+
+SPLIT_FRACTIONS = (("train", 90), ("val", 5), ("test", 5))  # percent
+# per-language keep rate (per-mille) — the data-mixing knob: downsample the
+# dominant language, keep the tail intact
+SAMPLE_RATES_PERMILLE = {"en": 500}
+SAMPLE_DEFAULT_PERMILLE = 1000
+
+
+def _hash_bucket(id_col: Column, modulus: int, salt: str) -> Column:
+    return (
+        F.conv(F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(salt))), 1, 8), 16, 10)
+        .cast("bigint") % modulus
+    )
+
+
+def _hash_bucket_sql(id_expr: str, modulus: int, salt: str) -> str:
+    return (
+        f"cast(('0x' || substr(md5(cast({id_expr} AS string) || '{salt}'), 1, 8)) "
+        f"AS bigint) % {modulus}"
+    )
+
+
+def doc_split(spark, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed doc_id
+    ({SPLIT_FRACTIONS}): stable under re-runs and data growth (a doc never
+    changes split when other docs are added)."""
+    bucket = _hash_bucket(F.col("doc_id"), 100, ":split")
+    edges = []
+    lo = 0
+    for name, pct in SPLIT_FRACTIONS:
+        edges.append((name, lo, lo + pct))
+        lo += pct
+    expr = F.when(bucket < edges[0][2], F.lit(edges[0][0]))
+    for name, lo_, hi in edges[1:-1]:
+        expr = expr.when(bucket < hi, F.lit(name))
+    expr = expr.otherwise(F.lit(edges[-1][0]))
+    return _docs(spark, sf_dir).select(
+        "doc_id", "lang", bucket.cast("int").alias("split_bucket"),
+        expr.alias("split"),
+    )
+
+
+def _split_case_sql() -> str:
+    parts, lo = [], 0
+    for name, pct in SPLIT_FRACTIONS[:-1]:
+        lo += pct
+        parts.append(f"WHEN b < {lo} THEN '{name}'")
+    return "CASE " + " ".join(parts) + f" ELSE '{SPLIT_FRACTIONS[-1][0]}' END"
+
+
+DOC_SPLIT_ORACLE = f"""
+SELECT doc_id, lang, cast(b AS int) AS split_bucket, {_split_case_sql()} AS split
+FROM (
+    SELECT doc_id, lang, {_hash_bucket_sql('doc_id', 100, ':split')} AS b
+    FROM documents
+) q
+"""
+
+
+def corpus_sample(spark, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: per-language keep rates applied via
+    hashed doc_id (the corpus-mixing step of a training pipeline)."""
+    bucket = _hash_bucket(F.col("doc_id"), 1000, ":sample")
+    rate = F.lit(SAMPLE_DEFAULT_PERMILLE)
+    for lang, permille in SAMPLE_RATES_PERMILLE.items():
+        rate = F.when(F.col("lang") == lang, F.lit(permille)).otherwise(rate)
+    return (
+        _docs(spark, sf_dir)
+        .filter(bucket < rate)
+        .select("doc_id", "lang", "source")
+    )
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {pm}"
+        for lang, pm in SAMPLE_RATES_PERMILLE.items()
+    )
+    return f"CASE {whens} ELSE {SAMPLE_DEFAULT_PERMILLE} END"
+
+
+CORPUS_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, source FROM (
+    SELECT doc_id, lang, source,
+        {_hash_bucket_sql('doc_id', 1000, ':sample')} AS b,
+        {_rate_case_sql()} AS rate
+    FROM documents
+) q WHERE b < rate
+"""
+
+
 def doc_fingerprint(spark, sf_dir: str) -> DataFrame:
     """Document fingerprints: whole-text md5 + a winnowing-style rolling-hash
     fingerprint (min md5 over {FP_SHINGLE}-char shingles of the first

@@ -388,6 +388,8 @@ DOCS_QUERIES: dict[str, QueryFn] = {
     "ann_cosine_topk_pandas": _sim.cosine_topk_pandas,
     "media_features": _mm.media_features,
     "corpus_curation": _ts.corpus_curation,
+    "doc_split": _ts.doc_split,
+    "corpus_sample": _ts.corpus_sample,
 }
 
 DOCS_ORACLES: dict[str, str] = {
@@ -406,6 +408,8 @@ DOCS_ORACLES: dict[str, str] = {
     "ann_ivf_topk": _sim.ANN_IVF_ORACLE,
     "media_features": _mm.MEDIA_FEATURES_ORACLE,
     "corpus_curation": _ts.CORPUS_CURATION_ORACLE,
+    "doc_split": _ts.DOC_SPLIT_ORACLE,
+    "corpus_sample": _ts.CORPUS_SAMPLE_ORACLE,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {

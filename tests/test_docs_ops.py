@@ -86,3 +86,39 @@ def test_ivf_recall_vs_brute_force(spark):
     tot = sum(len(v) for v in exact.values())
     assert tot > 0
     assert hit / tot >= 0.5, f"IVF recall {hit}/{tot} below floor"
+
+
+def test_doc_split_is_stable_and_partitions(spark):
+    """Every doc gets exactly one split; assignment is a pure function of
+    doc_id (stable under re-runs and corpus growth); fractions land near
+    90/5/5."""
+    split = DOCS_QUERIES["doc_split"](spark, SF_CORRECT)
+    n = split.count()
+    assert split.select("doc_id").distinct().count() == n
+    by = {r.split: r.cnt for r in
+          split.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(by) == {"train", "val", "test"}
+    assert 0.8 < by["train"] / n < 0.97
+    # growth-stability: recomputing on a subset preserves each doc's split
+    again = DOCS_QUERIES["doc_split"](spark, SF_CORRECT).filter(
+        F.col("doc_id") % 3 == 0
+    )
+    joined = split.alias("a").join(again.alias("b"), "doc_id").filter(
+        F.col("a.split") != F.col("b.split")
+    )
+    assert joined.count() == 0
+
+
+def test_corpus_sample_downsamples_only_target_lang(spark):
+    """The mixing knob halves 'en' and keeps every other language whole."""
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    sample = DOCS_QUERIES["corpus_sample"](spark, SF_CORRECT)
+    full = {r.lang: r.cnt for r in
+            docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    kept = {r.lang: r.cnt for r in
+            sample.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    for lang, cnt in full.items():
+        if lang == "en":
+            assert 0.3 < kept[lang] / cnt < 0.7  # ~0.5 keep rate
+        else:
+            assert kept[lang] == cnt  # tail untouched
