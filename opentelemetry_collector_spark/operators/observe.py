@@ -99,6 +99,73 @@ def from_otlp_json(serialized: DataFrame) -> DataFrame:
     )
 
 
+# --- nested OTLP/JSON document (the wire hierarchy, plog/json.go:29-42) -----
+
+_DOC_SCHEMA = (
+    "struct<resource:struct<conv_id:string>, scope:struct<name:string>, "
+    "logRecords:array<struct<turn_idx:int, role:string, "
+    "time_unix_micros:long, severity_number:int, severity_text:string, "
+    "trace_id:string, span_id:string, attributes_json:string, body:string>>>"
+)
+
+SCOPE_NAME = "otelcol-spark/transcripts"
+
+
+def to_otlp_document_json(parsed: DataFrame) -> DataFrame:
+    """Full OTLP/JSON hierarchy: one document per conversation =
+    Resource{conv_id} -> Scope -> LogRecord[] in turn order — the actual
+    resourceLogs/scopeLogs/logRecords nesting of the wire format
+    (pdata/plog/logs.go:24,60-62), not the flat per-record envelope.
+
+    Scale note: groupBy(conv_id) + sort_array is one bucket-aligned shuffle;
+    record order inside the array is made explicit by sorting on turn_idx
+    (slice order is implicit in the reference)."""
+    rec = F.struct(
+        F.col("turn_idx"),
+        F.col("role"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("time_unix_micros"),
+        F.col("severity_number"),
+        F.col("severity_text"),
+        F.col("trace_id"),
+        F.col("span_id"),
+        F.col("attributes_json"),
+        F.col("body"),
+    )
+    return (
+        parsed.groupBy("conv_id")
+        .agg(F.sort_array(F.collect_list(rec)).alias("logRecords"))
+        .select(
+            "conv_id",
+            F.to_json(
+                F.struct(
+                    F.struct(F.col("conv_id")).alias("resource"),
+                    F.struct(F.lit(SCOPE_NAME).alias("name")).alias("scope"),
+                    F.col("logRecords"),
+                )
+            ).alias("otlp_document_json"),
+        )
+    )
+
+
+def from_otlp_document_json(serialized: DataFrame) -> DataFrame:
+    """Explode the nested document back to one row per LogRecord (the
+    receiver-side unmarshal, otlpreceiver encoder.go:30-133)."""
+    doc = serialized.select(
+        F.from_json("otlp_document_json", _DOC_SCHEMA).alias("d")
+    )
+    rec = doc.select(
+        F.col("d.resource.conv_id").alias("conv_id"),
+        F.explode("d.logRecords").alias("r"),
+    )
+    return rec.select(
+        "conv_id", "r.turn_idx", "r.role",
+        F.timestamp_micros(F.col("r.time_unix_micros"))
+        .cast("timestamp_ntz").alias("ts"),
+        "r.severity_number", "r.severity_text", "r.trace_id", "r.span_id",
+        "r.attributes_json", "r.body",
+    )
+
+
 # --- trace-signal codec (ptrace.JSONMarshaler analog, pdata/ptrace/json.go) --
 
 SPAN_JSON_SCHEMA = (

@@ -67,6 +67,7 @@ def write_sinks(
     base_path: str,
     max_records_per_file: int = 8192,
     extra_partition_cols: list[str] | None = None,
+    compression: str | None = None,
 ) -> None:
     """Single-pass fan-out write: one scan, partitioned by sink key.
 
@@ -76,11 +77,20 @@ def write_sinks(
 
     extra_partition_cols are prepended to the layout (the checkpoint runner
     passes ["part_bucket"] so waves can dynamic-overwrite their own buckets).
+
+    compression selects the parquet codec (gzip/snappy/zstd/lz4/none) — the
+    configcompression transport-tuning analog
+    (config/configcompression/compressionType.go:22-41) applied to the
+    storage boundary.
     """
-    (
+    writer = (
         routed.withColumn("sink", F.coalesce("sink_id", F.lit("dead_letter")))
         .write.option("maxRecordsPerFile", max_records_per_file)
-        .partitionBy(*(extra_partition_cols or []), "sink")
+    )
+    if compression:
+        writer = writer.option("compression", compression)
+    (
+        writer.partitionBy(*(extra_partition_cols or []), "sink")
         .mode("overwrite")
         .parquet(base_path)
     )

@@ -73,7 +73,8 @@ def _builtin_exporters() -> dict[str, Callable]:
 
     def export_sinks(spark, df, cfg):
         write_sinks(df, cfg["path"],
-                    cfg.get("max_records_per_file", 8192))
+                    cfg.get("max_records_per_file", 8192),
+                    compression=cfg.get("compression"))
 
     def export_counts(spark, df, cfg):
         counts = sink_counts(routed_ok(df), cfg.get("bucket_seconds", 300))

@@ -211,3 +211,31 @@ def test_red_metrics_error_rate_bounds(spark):
     )
     assert bad.count() == 0
     assert red.agg(F.sum("n_calls")).collect()[0][0] == _span_count(spark)
+
+
+def test_otlp_document_round_trip(spark):
+    """Nested resource->scope->logRecords document: explode recovers every
+    record with its fields, and records inside each document are in turn
+    order (slice-order parity)."""
+    import json
+
+    from opentelemetry_collector_spark.operators.observe import (
+        from_otlp_document_json,
+        to_otlp_document_json,
+    )
+
+    parsed = _parsed(spark, SF_SMOKE)
+    docs = to_otlp_document_json(parsed)
+    assert docs.count() == parsed.select("conv_id").distinct().count()
+
+    back = from_otlp_document_json(docs)
+    cols = ["conv_id", "turn_idx", "role", "ts", "severity_number",
+            "severity_text", "trace_id", "span_id", "attributes_json", "body"]
+    a, b = parsed.select(cols), back.select(cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    one = docs.limit(1).collect()[0]
+    payload = json.loads(one.otlp_document_json)
+    assert payload["resource"]["conv_id"] == one.conv_id
+    idxs = [r["turn_idx"] for r in payload["logRecords"]]
+    assert idxs == sorted(idxs)

@@ -214,3 +214,23 @@ def test_jsonl_malformed_lines_dead_letter(spark, tmp_path):
     assert df.count() == 2
     assert df.filter("conv_id IS NULL").count() == 1  # the dead-letter row
     assert df.filter("conv_id = 'c1'").count() == 1
+
+
+def test_sink_write_compression_codec(spark, tmp_path):
+    """configcompression analog: the sink write honors the parquet codec
+    (zstd files on disk, content identical)."""
+    from opentelemetry_collector_spark.operators.enrich import enrich
+    from opentelemetry_collector_spark.operators.parse import parse_turns
+    from opentelemetry_collector_spark.operators.route import route, write_sinks
+    from opentelemetry_collector_spark.sources.transcripts import (
+        events_to_transcripts,
+    )
+    from tests.conftest import SF_SMOKE
+
+    routed = route(enrich(parse_turns(
+        events_to_transcripts(spark, SF_SMOKE)), spark))
+    out = str(tmp_path / "zstd_sinks")
+    write_sinks(routed, out, compression="zstd")
+    files = list((tmp_path / "zstd_sinks").rglob("*.parquet"))
+    assert files and all(".zstd." in f.name for f in files)
+    assert spark.read.parquet(out).count() == routed.count()
