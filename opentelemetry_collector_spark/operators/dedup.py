@@ -259,8 +259,13 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
     )
-    votes = tokens.crossJoin(
-        spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
+    # fan each token out to the 32 bit positions with a lateral explode —
+    # a generator inside the same stage, not a join (a crossJoin against a
+    # 32-row range compiles to BroadcastNestedLoopJoin; harmless at any
+    # scale but an explode keeps the stage narrow and the plan join-free)
+    votes = tokens.withColumn(
+        "bit",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))),
     ).select(
         "doc_id",
         "bit",
