@@ -39,9 +39,12 @@ SIMHASH_BITS = 32
 SIMHASH_MAX_HAMMING = 2  # tight radius: the corpus shares one vocab, so
 # simhashes cluster — a loose radius degenerates to all-pairs
 
+# evaluated over a pre-split `words` column: inlining split(text) inside the
+# lambda would re-split the text at EVERY shingle position (O(words^2) per
+# document — measured 6s for 5k docs vs ~1s hoisted)
 _SHINGLES_EXPR = (
-    "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - "
-    f"{NGRAM - 1}, 1)), i -> concat_ws(' ', slice(split(text, ' '), i, {NGRAM}))))"
+    "array_distinct(transform(sequence(1, greatest(size(words) - "
+    f"{NGRAM - 1}, 1)), i -> concat_ws(' ', slice(words, i, {NGRAM}))))"
 )
 
 # DuckDB list slicing is 1-based inclusive: words[i:i+2] is 3 elements.
@@ -57,8 +60,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select(
-        "doc_id", F.expr(_SHINGLES_EXPR).alias("shingles")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.split("text", " ").alias("words"))
+        .select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
     )
 
 
