@@ -40,21 +40,28 @@ def key_histogram(
     ``min_share`` of rows. One partial-agg pass; the driver only ever sees
     keys above the threshold (bounded by 1/min_share keys, capped again at
     ``max_keys``)."""
-    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
-    totals = counts.agg(
-        F.sum("n").alias("total"), F.max("n").alias("biggest")
-    ).collect()[0]
-    total = totals["total"] or 0
-    if total == 0:
-        return 0, {}
-    threshold = max(1, int(total * min_share))
-    heavy = (
-        counts.filter(F.col("n") >= threshold)
-        .orderBy(F.desc("n"))
-        .limit(max_keys)
-        .collect()
-    )
-    return total, {r[key]: r["n"] for r in heavy}
+    # persist the per-key counts: the total and the heavy-hitter filter are
+    # two actions over the same aggregate — without the persist each one
+    # re-scans the full input (two passes at 10^12 rows instead of one scan
+    # + two passes over the tiny aggregate)
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n")).persist()
+    try:
+        totals = counts.agg(
+            F.sum("n").alias("total"), F.max("n").alias("biggest")
+        ).collect()[0]
+        total = totals["total"] or 0
+        if total == 0:
+            return 0, {}
+        threshold = max(1, int(total * min_share))
+        heavy = (
+            counts.filter(F.col("n") >= threshold)
+            .orderBy(F.desc("n"))
+            .limit(max_keys)
+            .collect()
+        )
+        return total, {r[key]: r["n"] for r in heavy}
+    finally:
+        counts.unpersist()
 
 
 def plan_salts(

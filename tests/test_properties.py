@@ -155,6 +155,30 @@ def test_transform_mutations_preserve_rows_and_canonical_json(spark):
         assert obj["aa"] == "first" and obj["zz"] == 9 and obj["mm"] == 42
 
 
+@given(
+    st.integers(1, 10**9),
+    st.dictionaries(ident, st.integers(1, 10**8), max_size=8),
+    st.integers(1, 256),
+)
+@settings(max_examples=100, deadline=None)
+def test_plan_salts_invariants(total, heavy, partitions):
+    """Salt factors: only above-target keys get one; every factor is in
+    (1, overprovision*partitions]; larger keys never get smaller factors."""
+    from opentelemetry_collector_spark.operators.skew import plan_salts
+
+    salts = plan_salts(total, heavy, partitions)
+    target = max(1, total // partitions)
+    for k, f in salts.items():
+        assert heavy[k] > target
+        assert 1 < f <= 4 * partitions
+    for k, n in heavy.items():
+        if n <= target:
+            assert k not in salts
+    ranked = sorted(salts, key=lambda k: heavy[k])
+    for a, b in zip(ranked, ranked[1:]):
+        assert salts[a] <= salts[b]
+
+
 def test_attributes_json_is_valid_sorted_json(spark):
     """Every attributes_json produced by the parse stage parses as JSON with
     keys in sorted order (canonical Map serialization)."""
