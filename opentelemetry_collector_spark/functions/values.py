@@ -50,10 +50,17 @@ def attributes_json(pairs: dict[str, Column]) -> Column:
     return F.concat(F.lit("{"), F.concat_ws(", ", *frags), F.lit("}"))
 
 
+# A value serializes bare iff it is a CANONICAL JSON number (no leading
+# zeros — '0123' bare would be invalid JSON). Single source for every
+# attributes serializer (parse stage here, transform rewrites, codecs).
+JSON_NUMBER_RE = r"^-?(0|[1-9][0-9]*)(\.[0-9]+)?$"
+
+
 def _json_scalar(col: Column) -> Column:
-    # numeric stays bare if it round-trips as digits, else quoted string
+    # numeric stays bare if it round-trips as a canonical JSON number,
+    # else quoted string
     s = col.cast("string")
-    return F.when(s.rlike(r"^-?[0-9]+(\.[0-9]+)?$"), s).otherwise(
+    return F.when(s.rlike(JSON_NUMBER_RE), s).otherwise(
         F.concat(F.lit('"'), s, F.lit('"'))
     )
 

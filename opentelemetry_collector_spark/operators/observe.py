@@ -244,19 +244,12 @@ def to_otlp_metric_json(
     """Serialize a data-point frame to NumberDataPoint JSON envelopes
     (pdata/pmetric/generated_numberdatapoint.go): one Sum/Gauge point per
     row, with the listed attr columns folded into sorted-key attributes."""
-    attrs = F.concat(
-        F.lit("{"),
-        F.concat_ws(
-            ", ",
-            *[
-                F.concat(
-                    F.lit(f'"{c}": "'), F.col(c).cast("string"), F.lit('"')
-                )
-                for c in sorted(attr_cols)
-            ],
-        ),
-        F.lit("}"),
-    )
+    from opentelemetry_collector_spark.functions.values import attributes_json
+
+    # shared canonical serializer: sorted keys, null-omission, canonical
+    # JSON numbers bare, strings quoted — identical to every other
+    # attributes_json producer in the engine
+    attrs = attributes_json({c: F.col(c) for c in attr_cols})
     return points.select(
         F.to_json(
             F.struct(

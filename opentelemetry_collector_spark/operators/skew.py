@@ -94,15 +94,34 @@ def with_salt(
     df: DataFrame, key: str, salt_map: dict[str, int], order_col: str
 ) -> DataFrame:
     """Add SALT_COL: crc32(order_col) % factor for heavy keys, 0 for cold
-    ones. Deterministic (replay-safe) — no rand()."""
-    if not salt_map:
-        return df.withColumn(SALT_COL, F.lit(0))
-    pairs: list[Column] = []
+    ones. Deterministic (replay-safe) — no rand().
+
+    A NULL key can itself be a heavy hitter (e.g. dead-letter rows with no
+    conv_id); map literals cannot hold a null key, so its factor is applied
+    through a dedicated isNull branch instead of crashing with
+    NULL_MAP_KEY."""
+    null_factor = None
+    non_null = {}
     for k, factor in salt_map.items():
-        pairs.extend([F.lit(k), F.lit(int(factor))])
-    factor = F.coalesce(
-        F.element_at(F.create_map(*pairs), F.col(key)), F.lit(1)
-    )
+        if k is None:
+            null_factor = int(factor)
+        else:
+            non_null[k] = int(factor)
+    if not non_null and null_factor is None:
+        return df.withColumn(SALT_COL, F.lit(0))
+    if non_null:
+        pairs: list[Column] = []
+        for k, factor in non_null.items():
+            pairs.extend([F.lit(k), F.lit(factor)])
+        factor = F.coalesce(
+            F.element_at(F.create_map(*pairs), F.col(key)), F.lit(1)
+        )
+    else:
+        factor = F.lit(1)
+    if null_factor is not None:
+        factor = F.when(F.col(key).isNull(), F.lit(null_factor)).otherwise(
+            factor
+        )
     return df.withColumn(
         SALT_COL,
         (F.crc32(F.col(order_col).cast("string")) % factor).cast("int"),

@@ -51,11 +51,20 @@ def _attrs_map() -> Column:
 
 
 def _serialize(map_col_name: str) -> Column:
-    """named map column -> canonical sorted-key JSON, digits unquoted
-    (parse-stage convention, functions/values.attributes_json)."""
+    """named map column -> canonical sorted-key JSON, canonical JSON numbers
+    unquoted (the SAME rule as the parse stage's serializer,
+    functions/values.JSON_NUMBER_RE — a divergent rule here would make one
+    attribute statement silently change the canonical form of values it
+    never touched)."""
+    from opentelemetry_collector_spark.functions.values import JSON_NUMBER_RE
+
+    # Spark SQL string literals consume backslashes ('\.' becomes '.', a
+    # wildcard that silently accepts '0123') — double them for the embedded
+    # literal
+    sql_re = JSON_NUMBER_RE.replace("\\", "\\\\")
     entry = (
         "x -> concat('\"', x.key, '\": ', "
-        "CASE WHEN x.value RLIKE '^[0-9]+$' THEN x.value "
+        f"CASE WHEN x.value RLIKE '{sql_re}' THEN x.value "
         "ELSE concat('\"', x.value, '\"') END)"
     )
     parts = F.expr(

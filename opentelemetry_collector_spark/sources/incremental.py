@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import time
 import uuid
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -62,6 +63,14 @@ def list_data_files(spark: SparkSession, path: str) -> dict[str, int]:
     return out
 
 
+@dataclass(frozen=True)
+class PendingTick:
+    """Immutable snapshot of one tick's input: id + {file: size}."""
+
+    tick_id: str
+    files: dict[str, int]
+
+
 class IncrementalSource:
     """One-directory incremental reader with a processed-files ledger."""
 
@@ -94,37 +103,48 @@ class IncrementalSource:
         ).withColumn("committed_at", F.current_timestamp())
         df.coalesce(1).write.mode("append").parquet(self.ledger_path)
 
-    def pending_tick_id(self) -> str | None:
-        """Deterministic id of the CURRENT pending tick: a hash of the sorted
-        new-file list. A tick that crashes mid-action re-derives the SAME id
-        on retry (same pending files), so tick-scoped state — e.g. a
-        checkpoint ledger under ``{base}/{tick_id}`` — resumes instead of
-        restarting (layered exactly-once: file-level ledger across ticks,
-        bucket-level ledger within one). None when nothing is pending."""
+    def pending(self) -> "PendingTick | None":
+        """Snapshot of the CURRENT pending tick: the new-file set plus a
+        deterministic id (hash of the sorted file list). Processing the
+        SNAPSHOT -- not a re-listing -- pins the tick to exactly these
+        files, so a crash-and-retry over the same snapshot re-derives the
+        same id even if further files landed meanwhile (layered
+        exactly-once: tick-scoped state like a checkpoint ledger under
+        ``{base}/{tick_id}`` resumes instead of restarting, and late
+        arrivals wait for the next tick). None when nothing is pending."""
         import hashlib
 
         new = self.new_files()
         if not new:
             return None
         h = hashlib.sha256("\n".join(sorted(new)).encode()).hexdigest()[:16]
-        return f"tick-{h}"
+        return PendingTick(tick_id=f"tick-{h}", files=new)
 
-    def process_new(self, action, run_id: str | None = None) -> dict:
-        """One tick: read files not yet committed, run ``action(df) -> None``
-        over them, then commit the file list. ``action`` must be idempotent
-        (re-run on crash-before-commit). Returns tick metrics."""
+    def process_new(
+        self,
+        action,
+        run_id: str | None = None,
+        pending: "PendingTick | None" = None,
+    ) -> dict:
+        """One tick: read the pending snapshot's files (taken now if not
+        given), run ``action(df) -> None`` over them, then commit the file
+        list. ``action`` must be idempotent (re-run on crash-before-commit);
+        pass the SAME ``pending`` snapshot on a retry so tick-scoped state
+        keyed by its tick_id lines up."""
         run_id = run_id or uuid.uuid4().hex[:12]
         t0 = time.perf_counter()
-        new = self.new_files()
-        if not new:
+        if pending is None:
+            pending = self.pending()
+        if pending is None or not pending.files:
             return {"run_id": run_id, "n_files": 0, "n_rows": 0, "wall_ms": 0}
-        df = self.spark.read.parquet(*sorted(new))
+        df = self.spark.read.parquet(*sorted(pending.files))
         n_rows = df.count()
         action(df)
-        self._commit(new, run_id, n_rows)
+        self._commit(pending.files, run_id, n_rows)
         return {
             "run_id": run_id,
-            "n_files": len(new),
+            "tick_id": pending.tick_id,
+            "n_files": len(pending.files),
             "n_rows": n_rows,
             "wall_ms": int((time.perf_counter() - t0) * 1000),
         }

@@ -13,30 +13,41 @@ surface.
 
 from __future__ import annotations
 
+from collections import deque
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQueryListener
 
+# rolling window for the batch-size distribution; cumulative totals are
+# exact forever, only the per-batch detail is bounded (a continuous query
+# triggering every few seconds would otherwise grow one dict per batch for
+# the lifetime of the process)
+RECENT_BATCHES = 1024
+
 
 @dataclass
 class StreamCounters:
     """Accumulated per-query counters (thread-safe enough for the listener
-    thread + one reader: appends are atomic, readers snapshot)."""
+    thread + one reader: int updates and deque appends are atomic under the
+    GIL; readers snapshot)."""
 
-    batches: list[dict] = field(default_factory=list)
+    total_rows: int = 0
+    n_batches: int = 0
+    recent: deque = field(default_factory=lambda: deque(maxlen=RECENT_BATCHES))
 
     @property
     def receiver_accepted_log_records(self) -> int:
-        return sum(b["num_input_rows"] for b in self.batches)
+        return self.total_rows
 
     @property
     def batch_send_sizes(self) -> list[int]:
-        """batch_send_size histogram analog (batchprocessor/metrics.go)."""
-        return [b["num_input_rows"] for b in self.batches]
+        """batch_send_size histogram analog (batchprocessor/metrics.go) —
+        the most recent RECENT_BATCHES batches."""
+        return [b["num_input_rows"] for b in self.recent]
 
     def batch_count(self) -> int:
-        return len(self.batches)
+        return self.n_batches
 
 
 class ObsListener(StreamingQueryListener):
@@ -52,7 +63,9 @@ class ObsListener(StreamingQueryListener):
         p = event.progress
         name = p.name or p.id
         c = self.by_query.setdefault(str(name), StreamCounters())
-        c.batches.append(
+        c.total_rows += p.numInputRows
+        c.n_batches += 1
+        c.recent.append(
             {
                 "batch_id": p.batchId,
                 "num_input_rows": p.numInputRows,

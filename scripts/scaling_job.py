@@ -40,15 +40,25 @@ def main(argv: list[str]) -> int:
 
     builder = SparkSession.builder
     if master:
-        cores = master.split("[")[1].rstrip("]")
         builder = (
             builder.master(master)
-            .config("spark.sql.shuffle.partitions", cores)
             .config("spark.ui.enabled", "false")
             .config("spark.sql.session.timeZone", "UTC")
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.driver.memory", "8g")
         )
+        # total cores from the master string: local[N] -> N;
+        # local-cluster[execs,cores,mem] -> execs*cores; local[*] -> leave
+        # the shuffle-partition default alone
+        inner = master[master.index("[") + 1 : master.rindex("]")] if "[" in master else ""
+        shuffle = None
+        if master.startswith("local-cluster"):
+            execs, per_exec = (int(x) for x in inner.split(",")[:2])
+            shuffle = execs * per_exec
+        elif inner.isdigit():
+            shuffle = int(inner)
+        if shuffle:
+            builder = builder.config("spark.sql.shuffle.partitions", str(shuffle))
     spark = builder.getOrCreate()
     # on local-cluster masters executors register asynchronously; measuring
     # before they all arrive understates the level's core count

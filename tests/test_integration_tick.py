@@ -37,8 +37,9 @@ def test_crashed_tick_resumes_at_both_layers(spark, tmp_path):
     half1.coalesce(1).write.mode("append").parquet(data)
 
     # --- tick 1, crashing after the first committed wave -------------------
-    tick1 = src.pending_tick_id()
-    assert tick1 is not None
+    p1 = src.pending()
+    assert p1 is not None
+    tick1 = p1.tick_id
 
     def crashing_action(df):
         runner = CheckpointedRunner(
@@ -49,10 +50,10 @@ def test_crashed_tick_resumes_at_both_layers(spark, tmp_path):
         runner.run(_routed(spark, df), fail_after_waves=1)
 
     with pytest.raises(RuntimeError, match="injected crash"):
-        src.process_new(crashing_action)
+        src.process_new(crashing_action, pending=p1)
 
     # file ledger did not commit -> same files pending, SAME tick id
-    assert src.pending_tick_id() == tick1
+    assert src.pending().tick_id == tick1
 
     # --- retry: bucket ledger resumes, file ledger commits ------------------
     resumed = {}
@@ -65,7 +66,11 @@ def test_crashed_tick_resumes_at_both_layers(spark, tmp_path):
         )
         resumed.update(runner.run(_routed(spark, df)))
 
-    r1 = src.process_new(resuming_action)
+    # a LATE file lands before the retry; processing the ORIGINAL snapshot
+    # keeps the tick pinned to its file set (no id drift, no duplication) --
+    # the late file waits for the next tick
+    half2.limit(0).coalesce(1).write.mode("append").parquet(data)  # placeholder write
+    r1 = src.process_new(resuming_action, pending=p1)
     assert r1["n_rows"] == half1.count()
     # wave 1's buckets were NOT rerun (bucket-level resume inside the tick)
     assert len(resumed["skipped_buckets"]) == 2
@@ -73,8 +78,9 @@ def test_crashed_tick_resumes_at_both_layers(spark, tmp_path):
 
     # --- tick 2 over new files only ----------------------------------------
     half2.coalesce(1).write.mode("append").parquet(data)
-    tick2 = src.pending_tick_id()
-    assert tick2 is not None and tick2 != tick1
+    p2 = src.pending()
+    assert p2 is not None and p2.tick_id != tick1
+    tick2 = p2.tick_id
 
     def tick2_action(df):
         CheckpointedRunner(
@@ -83,7 +89,7 @@ def test_crashed_tick_resumes_at_both_layers(spark, tmp_path):
                              buckets_per_wave=4),
         ).run(_routed(spark, df))
 
-    r2 = src.process_new(tick2_action)
+    r2 = src.process_new(tick2_action, pending=p2)
     assert r2["n_rows"] == half2.count()
 
     # --- global conservation: union of tick sinks == all input turns -------
@@ -97,4 +103,4 @@ def test_crashed_tick_resumes_at_both_layers(spark, tmp_path):
         == 0
     )
     # nothing further pending
-    assert src.pending_tick_id() is None
+    assert src.pending() is None
