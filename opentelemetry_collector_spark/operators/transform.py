@@ -24,9 +24,10 @@ Statement forms (list order = execution order, like OTTL statement lists):
 the OTTL analog), evaluated JVM-side via F.expr. Attribute statements rewrite
 the canonical sorted-key ``attributes_json`` column (pcommon.Map upsert
 semantics, pdata/pcommon/map.go:109-127): upsert keeps key order sorted,
-delete removes the key. Values that are pure digits serialize unquoted
-(matching the parse stage's typed-number convention), everything else is
-quoted.
+delete removes the key. Values that are canonical JSON numbers
+(functions/values.JSON_NUMBER_RE — integers, negatives, decimals, no
+leading zeros) serialize unquoted, everything else is quoted — the same
+rule as the parse stage's serializer.
 
 Scale note: every op is a narrow projection/filter — no shuffle, no UDF. The
 attributes rebuild uses map_entries/array_sort/transform higher-order
@@ -51,24 +52,19 @@ def _attrs_map() -> Column:
 
 
 def _serialize(map_col_name: str) -> Column:
-    """named map column -> canonical sorted-key JSON, canonical JSON numbers
-    unquoted (the SAME rule as the parse stage's serializer,
-    functions/values.JSON_NUMBER_RE — a divergent rule here would make one
-    attribute statement silently change the canonical form of values it
-    never touched)."""
-    from opentelemetry_collector_spark.functions.values import JSON_NUMBER_RE
+    """named map column -> canonical sorted-key JSON via the SAME scalar
+    rule as the parse stage (functions/values._json_scalar) — sharing the
+    Column-side implementation (not an embedded SQL regex literal, whose
+    backslash handling flips with spark.sql.parser.escapedStringLiterals)
+    guarantees one attribute statement can never change the canonical form
+    of values it didn't touch."""
+    from opentelemetry_collector_spark.functions.values import _json_scalar
 
-    # Spark SQL string literals consume backslashes ('\.' becomes '.', a
-    # wildcard that silently accepts '0123') — double them for the embedded
-    # literal
-    sql_re = JSON_NUMBER_RE.replace("\\", "\\\\")
-    entry = (
-        "x -> concat('\"', x.key, '\": ', "
-        f"CASE WHEN x.value RLIKE '{sql_re}' THEN x.value "
-        "ELSE concat('\"', x.value, '\"') END)"
-    )
-    parts = F.expr(
-        f"transform(array_sort(map_entries({map_col_name})), {entry})"
+    parts = F.transform(
+        F.array_sort(F.map_entries(F.col(map_col_name))),
+        lambda x: F.concat(
+            F.lit('"'), x.key, F.lit('": '), _json_scalar(x.value)
+        ),
     )
     return F.concat(F.lit("{"), F.array_join(parts, ", "), F.lit("}"))
 

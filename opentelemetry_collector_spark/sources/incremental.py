@@ -136,7 +136,13 @@ class IncrementalSource:
         if pending is None:
             pending = self.pending()
         if pending is None or not pending.files:
-            return {"run_id": run_id, "n_files": 0, "n_rows": 0, "wall_ms": 0}
+            return {
+                "run_id": run_id,
+                "tick_id": None,
+                "n_files": 0,
+                "n_rows": 0,
+                "wall_ms": 0,
+            }
         df = self.spark.read.parquet(*sorted(pending.files))
         n_rows = df.count()
         action(df)

@@ -43,8 +43,15 @@ class StreamCounters:
     @property
     def batch_send_sizes(self) -> list[int]:
         """batch_send_size histogram analog (batchprocessor/metrics.go) —
-        the most recent RECENT_BATCHES batches."""
+        the most recent RECENT_BATCHES batches. Check ``window_complete``
+        before equating sum(batch_send_sizes) with the cumulative total."""
         return [b["num_input_rows"] for b in self.recent]
+
+    @property
+    def window_complete(self) -> bool:
+        """True while the rolling window still holds EVERY batch (i.e.
+        sum(batch_send_sizes) == receiver_accepted_log_records)."""
+        return self.n_batches <= RECENT_BATCHES
 
     def batch_count(self) -> int:
         return self.n_batches

@@ -50,13 +50,16 @@ def main(argv: list[str]) -> int:
         # total cores from the master string: local[N] -> N;
         # local-cluster[execs,cores,mem] -> execs*cores; local[*] -> leave
         # the shuffle-partition default alone
-        inner = master[master.index("[") + 1 : master.rindex("]")] if "[" in master else ""
         shuffle = None
-        if master.startswith("local-cluster"):
-            execs, per_exec = (int(x) for x in inner.split(",")[:2])
-            shuffle = execs * per_exec
-        elif inner.isdigit():
-            shuffle = int(inner)
+        try:
+            inner = master[master.index("[") + 1 : master.rindex("]")]
+            if master.startswith("local-cluster["):
+                execs, per_exec = (int(x) for x in inner.split(",")[:2])
+                shuffle = execs * per_exec
+            elif inner.isdigit():
+                shuffle = int(inner)
+        except ValueError:
+            shuffle = None  # malformed master: leave the default, like local[*]
         if shuffle:
             builder = builder.config("spark.sql.shuffle.partitions", str(shuffle))
     spark = builder.getOrCreate()

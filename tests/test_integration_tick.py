@@ -66,18 +66,19 @@ def test_crashed_tick_resumes_at_both_layers(spark, tmp_path):
         )
         resumed.update(runner.run(_routed(spark, df)))
 
-    # a LATE file lands before the retry; processing the ORIGINAL snapshot
-    # keeps the tick pinned to its file set (no id drift, no duplication) --
-    # the late file waits for the next tick
-    half2.limit(0).coalesce(1).write.mode("append").parquet(data)  # placeholder write
+    # a LATE file (with real rows) lands before the retry; processing the
+    # ORIGINAL snapshot keeps the tick pinned to its file set -- if
+    # process_new re-listed instead, r1 would include half2's rows and the
+    # assertion below would catch the leak
+    half2.coalesce(1).write.mode("append").parquet(data)
     r1 = src.process_new(resuming_action, pending=p1)
     assert r1["n_rows"] == half1.count()
+    assert r1["tick_id"] == tick1
     # wave 1's buckets were NOT rerun (bucket-level resume inside the tick)
     assert len(resumed["skipped_buckets"]) == 2
     assert len(resumed["processed_buckets"]) == 2
 
-    # --- tick 2 over new files only ----------------------------------------
-    half2.coalesce(1).write.mode("append").parquet(data)
+    # --- tick 2 picks up the late file ------------------------------------
     p2 = src.pending()
     assert p2 is not None and p2.tick_id != tick1
     tick2 = p2.tick_id
