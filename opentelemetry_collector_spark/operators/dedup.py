@@ -296,7 +296,7 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIMHASH_SQL = f"""
-    SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+    SELECT doc_id, cast(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
     FROM (
         SELECT doc_id, bit, sum(vote) AS v
         FROM (

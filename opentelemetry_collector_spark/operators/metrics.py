@@ -234,8 +234,8 @@ SELECT tool, last_ts_epoch, last_value FROM (
 SUM_CUMULATIVE_ORACLE_BODY = """
 SELECT conv_id, parsed_tool AS tool, turn_idx,
     dur_ms AS delta_value,
-    sum(dur_ms) OVER (PARTITION BY conv_id, parsed_tool ORDER BY turn_idx
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative_value
+    cast(sum(dur_ms) OVER (PARTITION BY conv_id, parsed_tool ORDER BY turn_idx
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_value
 FROM parsed WHERE trace_id IS NOT NULL
 """
 
@@ -260,7 +260,7 @@ SELECT
     cast(floor(epoch(ts)/{bucket_seconds})*{bucket_seconds} AS bigint) AS bucket_start_epoch,
     parsed_tool AS tool,
     count(*) AS n_points,
-    sum(dur_ms) AS sum_value,
+    cast(sum(dur_ms) AS BIGINT) AS sum_value,
     min(dur_ms) AS min_value,
     max(dur_ms) AS max_value,
     {', '.join(bucket_cols)}
@@ -282,7 +282,7 @@ SELECT tool, bucket_idx, count(*) AS n_points FROM (
 SUMMARY_ORACLE_BODY = """
 SELECT parsed_tool AS tool,
     count(*) AS n_points,
-    sum(dur_ms) AS sum_value,
+    cast(sum(dur_ms) AS BIGINT) AS sum_value,
     quantile_cont(dur_ms, 0.5) AS p50,
     quantile_cont(dur_ms, 0.9) AS p90,
     quantile_cont(dur_ms, 0.99) AS p99
@@ -319,7 +319,7 @@ SELECT
     count(*) AS n_calls,
     count(*) FILTER (WHERE status = 'ERROR') AS n_errors,
     round(cast(count(*) FILTER (WHERE status = 'ERROR') AS double) / count(*), 6) AS error_rate,
-    sum(dur_ms) AS total_dur_ms,
+    cast(sum(dur_ms) AS BIGINT) AS total_dur_ms,
     max(dur_ms) AS max_dur_ms
 FROM parsed WHERE trace_id IS NOT NULL
 GROUP BY 1, 2

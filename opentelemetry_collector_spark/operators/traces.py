@@ -88,7 +88,7 @@ SELECT conv_id,
     count(*) AS n_turns,
     count(*) FILTER (WHERE trace_id IS NOT NULL) AS n_spans,
     count(*) FILTER (WHERE status = 'ERROR') AS n_errors,
-    sum(dur_ms) AS total_dur_ms,
+    cast(sum(dur_ms) AS BIGINT) AS total_dur_ms,
     max(dur_ms) AS max_dur_ms,
     cast(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS bigint) AS wall_s
 FROM parsed

@@ -468,7 +468,7 @@ FROM (
 parsed AS ({parse_oracle_sql('transcripts')})
 SELECT parsed_tool AS tool,
     count(*) AS n_spans,
-    sum(dur_ms) AS total_dur_ms,
+    cast(sum(dur_ms) AS BIGINT) AS total_dur_ms,
     max(dur_ms) AS max_dur_ms,
     round(avg(dur_ms), 4) AS avg_dur_ms
 FROM parsed WHERE trace_id IS NOT NULL

@@ -58,3 +58,18 @@ def assert_df_equal(spark_df, duck_df, sort_cols=None):
     s = s.sort_values(sort_cols).reset_index(drop=True)
     d = d.sort_values(sort_cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(s, d, check_dtype=False)
+    # The driver's value-hash is dtype-sensitive: DuckDB HUGEINT sums surface as
+    # float64 (3.0) while Spark yields int64 (3) — frame_equal(check_dtype=False)
+    # hides that, the driver's hash does not. Require matching dtype *kinds*
+    # (int vs float vs object ...), allowing width differences (int32 vs int64).
+    for c in cols:
+        sk, dk = s[c].dtype.kind, d[c].dtype.kind
+        if {sk, dk} <= {"i", "u"} or sk == dk:
+            continue
+        # empty object columns from DuckDB for typed-but-empty results are fine
+        if s[c].empty:
+            continue
+        raise AssertionError(
+            f"dtype kind mismatch on '{c}': spark={s[c].dtype} oracle={d[c].dtype}"
+            " (driver value-hash would differ)"
+        )
