@@ -35,9 +35,12 @@ JACCARD_THRESHOLD = 0.6
 MAX_DOC_FREQ = 500  # df-cap: drop shingles occurring in more docs than this
 MINHASH_K = 16  # signature length
 MINHASH_BANDS = 4  # bands x rows = 4 x 4
-SIMHASH_BITS = 32
-SIMHASH_MAX_HAMMING = 2  # tight radius: the corpus shares one vocab, so
-# simhashes cluster — a loose radius degenerates to all-pairs
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 16  # 4 x 16 = 64; pigeonhole: Hamming <= 3 diffs spread
+# over 4 disjoint bands leave >= 1 band identical, so band equality finds
+# every pair within the radius (recall = 1.0; property-tested)
+SIMHASH_MAX_HAMMING = 3
 
 # evaluated over a pre-split `words` column: inlining split(text) inside the
 # lambda would re-split the text at EVERY shingle position (O(words^2) per
@@ -55,13 +58,23 @@ _SHINGLES_SQL = (
 )
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _docs(spark: SparkSession, sf_dir: str, compute_dense: bool = False) -> DataFrame:
+    """``compute_dense=True`` re-spreads the scan across all cores: the
+    shingle/hash stages cost far more CPU per byte than the scan, so a
+    small file count (one file at test SFs; coarse splits at 100 TB) must
+    not cap their parallelism. Hash-partitioning on doc_id is a narrow,
+    one-pass shuffle of the raw docs — cheap relative to the per-doc
+    compute it unlocks (measured 12.5s -> <2s for the MinHash signature
+    stage at sf0.1 on local[32])."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if compute_dense:
+        df = df.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return df
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, compute_dense=True)
         .select("doc_id", F.split("text", " ").alias("words"))
         .select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
     )
@@ -164,15 +177,48 @@ WHERE round(co / (n_a + n_b - co), 6) >= {JACCARD_THRESHOLD}
 
 # --- MinHash + LSH ----------------------------------------------------------
 
+# One md5 per shingle supplies all MINHASH_K permutations: the digest's two
+# 32-bit hex lanes (chars 1-8, 9-16) are mixed per permutation j as
+# (h0*A_j + h1*B_j + j) mod 2^32 — a universal-style hash family. The
+# multipliers stay < 2^30 so each product < 2^62 and the sum < 2^63:
+# identical exact math on Spark's LongType and DuckDB's overflow-checked
+# BIGINT. This replaces the previous 16-md5s-per-shingle signature that
+# dominated the sf0.1 bench (16.7s of 44.2s).
+_MINHASH_A = [((2654435761 * (2 * j + 1)) % (1 << 30)) | 1 for j in range(MINHASH_K)]
+_MINHASH_B = [((2654435769 * (2 * j + 3)) % (1 << 30)) | 1 for j in range(MINHASH_K)]
+
+_PERM_A = "array(" + ", ".join(f"{a}L" for a in _MINHASH_A) + ")"
+_PERM_B = "array(" + ", ".join(f"{b}L" for b in _MINHASH_B) + ")"
+# lanes are hoisted into their own column so the md5+conv per shingle runs
+# ONCE, not once per permutation (16x recompute inside the per-j lambda
+# measured 33s vs 6s at sf0.1)
+_LANES_EXPR = (
+    "transform(transform(shingles, s -> md5(s)), m -> struct("
+    "  cast(conv(substr(m, 1, 8), 16, 10) AS bigint) AS h0,"
+    "  cast(conv(substr(m, 9, 8), 16, 10) AS bigint) AS h1))"
+)
 _SIG_EXPR = (
-    f"transform(sequence(0, {MINHASH_K - 1}), "
-    "j -> array_min(transform(shingles, "
-    "s -> md5(concat(cast(j AS string), ':', s)))))"
+    "transform("
+    f"  sequence(0, {MINHASH_K - 1}),"
+    "  j -> array_min(transform(lanes,"
+    f"    l -> (l.h0 * element_at({_PERM_A}, j + 1)"
+    f"          + l.h1 * element_at({_PERM_B}, j + 1)"
+    "          + j) & 4294967295)))"
+)
+_PERM_A_SQL = "[" + ", ".join(f"{a}::BIGINT" for a in _MINHASH_A) + "]"
+_PERM_B_SQL = "[" + ", ".join(f"{b}::BIGINT" for b in _MINHASH_B) + "]"
+_LANES_SQL = (
+    "list_transform(list_transform(shingles, s -> md5(s)), m -> {"
+    "  'h0': ('0x' || substr(m, 1, 8))::BIGINT,"
+    "  'h1': ('0x' || substr(m, 9, 8))::BIGINT})"
 )
 _SIG_SQL = (
-    f"list_transform(range(0, {MINHASH_K}), "
-    "j -> list_min(list_transform(shingles, "
-    "s -> md5(cast(j AS string) || ':' || s))))"
+    "list_transform("
+    f"  range(0, {MINHASH_K}),"
+    "  j -> list_min(list_transform(lanes,"
+    f"    l -> (l.h0 * ({_PERM_A_SQL})[j + 1]"
+    f"          + l.h1 * ({_PERM_B_SQL})[j + 1]"
+    "          + j) & 4294967295)))"
 )
 _ROWS_PER_BAND = MINHASH_K // MINHASH_BANDS
 
@@ -187,14 +233,17 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (small) candidate set.
     """
     sh = _shingled(spark, sf_dir)
-    sig = sh.withColumn("sig", F.expr(_SIG_EXPR))
+    sig = sh.withColumn("lanes", F.expr(_LANES_EXPR)).withColumn(
+        "sig", F.expr(_SIG_EXPR)
+    )
     bands = sig.select(
         "doc_id",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {MINHASH_BANDS - 1}), b -> "
-                f"struct(b AS band, md5(concat_ws('|', "
-                f"slice(sig, b * {_ROWS_PER_BAND} + 1, {_ROWS_PER_BAND}))) AS key))"
+                f"struct(b AS band, md5(concat_ws('|', transform("
+                f"slice(sig, b * {_ROWS_PER_BAND} + 1, {_ROWS_PER_BAND}), "
+                f"x -> cast(x AS string)))) AS key))"
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
@@ -229,12 +278,14 @@ DEDUP_MINHASH_ORACLE = f"""
 WITH sh AS (
     SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
 ),
-sig AS (SELECT doc_id, shingles, {_SIG_SQL} AS sig FROM sh),
+lanes AS (SELECT doc_id, shingles, {_LANES_SQL} AS lanes FROM sh),
+sig AS (SELECT doc_id, shingles, {_SIG_SQL} AS sig FROM lanes),
 bands AS (
     SELECT doc_id, b.band,
-        md5(array_to_string(sig[b.band * {_ROWS_PER_BAND} + 1 :
-                                b.band * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}],
-                            '|')) AS key
+        md5(array_to_string(list_transform(
+                sig[b.band * {_ROWS_PER_BAND} + 1 :
+                    b.band * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}],
+                x -> cast(x AS VARCHAR)), '|')) AS key
     FROM sig, (SELECT unnest(range(0, {MINHASH_BANDS})) AS band) b
 ),
 cand AS (
@@ -258,31 +309,43 @@ WHERE round(len(list_intersect(sa.shingles, sb.shingles)) /
 
 
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """{SIMHASH_BITS}-bit SimHash: each distinct word votes +/-1 per bit via
-    md5 parity (first hex char < '8' => +1); bit set iff vote sum > 0."""
-    tokens = _docs(spark, sf_dir).select(
+    """{SIMHASH_BITS}-bit SimHash (Charikar): each distinct word votes +/-1
+    per bit; bit set iff the vote sum is > 0.
+
+    One md5 per token supplies all 64 vote bits: the 32-hex digest is split
+    into two 32-bit lanes (hex chars 1-8 and 9-16) and vote bit j is lane
+    bit j — so the per-token cost is a single hash plus integer shifts,
+    not 64 hashes. The lanes stage is narrow (no shuffle); the only
+    shuffles are the two hash aggregations on (doc_id, bit) and doc_id,
+    both with map-side partial aggregation.
+    """
+    tokens = _docs(spark, sf_dir, compute_dense=True).select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
     )
-    # fan each token out to the 32 bit positions with a lateral explode —
+    lanes = tokens.select(
+        "doc_id",
+        F.expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) AS bigint)").alias("h0"),
+        F.expr("cast(conv(substr(md5(tok), 9, 8), 16, 10) AS bigint)").alias("h1"),
+    )
+    # fan each token out to the 64 bit positions with a lateral explode —
     # a generator inside the same stage, not a join (a crossJoin against a
-    # 32-row range compiles to BroadcastNestedLoopJoin; harmless at any
+    # 64-row range compiles to BroadcastNestedLoopJoin; harmless at any
     # scale but an explode keeps the stage narrow and the plan join-free)
-    votes = tokens.withColumn(
+    votes = lanes.withColumn(
         "bit",
         F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))),
     ).select(
         "doc_id",
         "bit",
-        F.when(
-            F.substring(
-                F.md5(F.concat_ws(":", "tok", F.col("bit").cast("string"))), 1, 1
-            ).isin(*"01234567"),
-            1,
-        )
-        .otherwise(-1)
-        .alias("vote"),
+        F.expr(
+            "CASE WHEN bit < 32 THEN (shiftright(h0, bit) & 1) * 2 - 1 "
+            "ELSE (shiftright(h1, bit - 32) & 1) * 2 - 1 END"
+        ).alias("vote"),
     )
+    # shiftleft(1L, 63) wraps to Long.MIN_VALUE (Java shift), which is the
+    # correct two's-complement weight for the sign bit; the oracle spells
+    # that weight out because DuckDB raises on the overflowing shift.
     return (
         votes.groupBy("doc_id", "bit")
         .agg(F.sum("vote").alias("v"))
@@ -296,17 +359,26 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIMHASH_SQL = f"""
-    SELECT doc_id, cast(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+    SELECT doc_id, cast(sum(CASE WHEN v > 0 THEN
+            CASE WHEN bit = 63 THEN -9223372036854775808
+                 ELSE (1::BIGINT << bit) END
+        ELSE 0 END) AS BIGINT) AS simhash
     FROM (
         SELECT doc_id, bit, sum(vote) AS v
         FROM (
             SELECT doc_id, bit,
-                CASE WHEN substr(md5(tok || ':' || cast(bit AS string)), 1, 1)
-                     IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS vote
+                CASE WHEN bit < 32 THEN ((h0 >> bit) & 1) * 2 - 1
+                     ELSE ((h1 >> (bit - 32)) & 1) * 2 - 1 END AS vote
             FROM (
-                SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-                FROM documents
-            ) t, (SELECT unnest(range(0, {SIMHASH_BITS})) AS bit) b
+                SELECT doc_id,
+                    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h0,
+                    ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h1
+                FROM (
+                    SELECT doc_id,
+                        unnest(list_distinct(string_split(text, ' '))) AS tok
+                    FROM documents
+                ) t
+            ) lanes, (SELECT unnest(range(0, {SIMHASH_BITS})) AS bit) b
         ) q GROUP BY doc_id, bit
     ) s GROUP BY doc_id
 """
@@ -324,10 +396,22 @@ DEDUP_SIMHASH_ORACLE = f"SELECT doc_id, simhash FROM ({_SIMHASH_SQL}) q"
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= {SIMHASH_MAX_HAMMING}.
 
-    Candidate generation: byte-band equality (a pair within Hamming 6 of a
-    32-bit hash must agree on at least one of 4 bytes when <= 3 bytes differ;
-    the 4-band scheme is the standard pigeonhole split for h < bands).
-    Verify with bit_count(xor).
+    Candidate generation: {SIMHASH_BANDS} bands of {SIMHASH_BAND_BITS} bits
+    each — with <= 3 differing bits over 4 disjoint 16-bit bands, at least
+    one band is bit-identical (pigeonhole), so a band-key equality join has
+    recall 1.0 within the radius (property-tested). Verify with
+    bit_count(xor).
+
+    Bucket-cardinality math (why 16-bit bands, and what to change at 10^9):
+    each band key has 2^16 = 65,536 values, so uniform simhashes give
+    expected bucket size n / 2^16 and expected candidate pairs
+    ~ bands * n^2 / 2^17 — a 2^16x reduction vs the 8-bit-band scheme's
+    1,024 global buckets (which was an effective cross join past ~10^5
+    docs). At n = 10^6 this is ~3 candidate pairs per doc; past ~10^8 docs
+    the band width must grow with log2(n) (Manku et al.'s permute-and-sort
+    tables generalize this: sort on a d-bit prefix with d chosen so
+    n / 2^d stays O(1)); SIMHASH_BAND_BITS is the knob and the pigeonhole
+    guarantee holds for any equal split with bands > max_hamming.
     """
     sh = _simhash_df(spark, sf_dir)
     bands = sh.select(
@@ -335,8 +419,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "simhash",
         F.explode(
             F.expr(
-                "transform(sequence(0, 3), b -> struct(b AS band, "
-                "cast(shiftright(simhash, b * 8) & 255 AS int) AS key))"
+                f"transform(sequence(0, {SIMHASH_BANDS - 1}), b -> "
+                "struct(b AS band, cast(shiftright(simhash, "
+                f"b * {SIMHASH_BAND_BITS}) & {2 ** SIMHASH_BAND_BITS - 1} "
+                "AS int) AS key))"
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.key")
@@ -361,8 +447,9 @@ DEDUP_SIMHASH_PAIRS_ORACLE = f"""
 WITH sh AS ({_SIMHASH_SQL}),
 bands AS (
     SELECT doc_id, simhash, b.band,
-        cast((simhash >> (b.band * 8)) & 255 AS int) AS key
-    FROM sh, (SELECT unnest(range(0, 4)) AS band) b
+        cast((simhash >> (b.band * {SIMHASH_BAND_BITS}))
+             & {2 ** SIMHASH_BAND_BITS - 1} AS int) AS key
+    FROM sh, (SELECT unnest(range(0, {SIMHASH_BANDS})) AS band) b
 ),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -64,6 +64,33 @@ def test_lsh_topk_is_subset_of_exact_ranking(spark):
             assert abs(exact[(r.query_id, r.data_id)] - r.cos) < 1e-9
 
 
+def test_simhash_band_recall_is_total_within_radius(spark):
+    """Pigeonhole property: 4x16-bit band equality must find EVERY pair
+    with Hamming(simhash) <= SIMHASH_MAX_HAMMING — recall 1.0 by
+    construction (<= 3 differing bits cannot touch all 4 disjoint bands).
+    Brute-force all-pairs Hamming on the fixture is the ground truth."""
+    from itertools import combinations
+
+    from opentelemetry_collector_spark.operators import dedup
+
+    hashes = {
+        r.doc_id: r.simhash
+        for r in DOCS_QUERIES["dedup_simhash"](spark, SF_CORRECT).collect()
+    }
+    truth = {
+        (a, b)
+        for a, b in combinations(sorted(hashes), 2)
+        if bin((hashes[a] ^ hashes[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+        <= dedup.SIMHASH_MAX_HAMMING
+    }
+    banded = {
+        (r.doc_a, r.doc_b)
+        for r in DOCS_QUERIES["dedup_simhash_pairs"](spark, SF_CORRECT).collect()
+    }
+    assert truth, "fixture must contain pairs within the Hamming radius"
+    assert banded == truth
+
+
 def test_simhash_is_deterministic(spark):
     a = DOCS_QUERIES["dedup_simhash"](spark, SF_CORRECT).collect()
     b = DOCS_QUERIES["dedup_simhash"](spark, SF_CORRECT).collect()
