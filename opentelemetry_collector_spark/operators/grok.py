@@ -49,6 +49,50 @@ GROK_SCHEMA = (
 
 _FIELDS = ["severity_text", "tool", "trace_id", "span_id", "dur_ms", "status"]
 
+# DuckDB oracle for the library: the ordered CASE expresses exactly the
+# first-matching-pattern-wins precedence the kernel implements; each field
+# extracts only from the claiming pattern (unnamed group indexes mirror the
+# named groups above). Plain string (no f-string) so the {32}/{16} regex
+# quantifiers survive; the caller prepends a `transcripts` CTE.
+_P1 = (
+    "^\\[([A-Z]+[0-9]?)\\] calling tool=([a-z_]+)"
+    " trace_id=([0-9a-f]{32}) span_id=([0-9a-f]{16})"
+    " dur_ms=([0-9]+)"
+)
+_P2 = "^\\[([A-Z]+[0-9]?)\\] tool=([a-z_]+) status=(OK|ERROR)"
+_P3 = "^\\[([A-Z]+[0-9]?)\\] "
+
+GROK_ORACLE_BODY = """
+SELECT conv_id, turn_idx, pattern,
+    CASE pattern
+        WHEN 'tool_call' THEN regexp_extract(text, '{p1}', 1)
+        WHEN 'tool_result' THEN regexp_extract(text, '{p2}', 1)
+        WHEN 'bare_severity' THEN regexp_extract(text, '{p3}', 1)
+    END AS severity_text,
+    CASE pattern
+        WHEN 'tool_call' THEN regexp_extract(text, '{p1}', 2)
+        WHEN 'tool_result' THEN regexp_extract(text, '{p2}', 2)
+    END AS tool,
+    CASE pattern WHEN 'tool_call' THEN regexp_extract(text, '{p1}', 3) END
+        AS trace_id,
+    CASE pattern WHEN 'tool_call' THEN regexp_extract(text, '{p1}', 4) END
+        AS span_id,
+    CASE pattern
+        WHEN 'tool_call' THEN cast(regexp_extract(text, '{p1}', 5) AS BIGINT)
+    END AS dur_ms,
+    CASE pattern WHEN 'tool_result' THEN regexp_extract(text, '{p2}', 3) END
+        AS status
+FROM (
+    SELECT conv_id, turn_idx, text,
+        CASE
+            WHEN regexp_matches(text, '{p1}') THEN 'tool_call'
+            WHEN regexp_matches(text, '{p2}') THEN 'tool_result'
+            WHEN regexp_matches(text, '{p3}') THEN 'bare_severity'
+        END AS pattern
+    FROM transcripts
+) m
+""".format(p1=_P1, p2=_P2, p3=_P3)
+
 
 def grok_parse(transcripts: DataFrame) -> DataFrame:
     """Apply the grok library over Arrow batches; one output row per input

@@ -133,38 +133,7 @@ SELECT query_id, data_id, cos, rk FROM (
 """
 
 
-# --- embedding-cosine near-dup ---------------------------------------------
-
-
-def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with cosine >= {NEARDUP_COS}. Same-label blocking keeps
-    the candidate join linear-ish (label plays the role of a coarse IVF cell:
-    at 100 TB the blocker is an LSH bucket or a kmeans cell, same plan
-    shape — equality join on the block key, verify inside the block)."""
-    a = _emb(spark, sf_dir, "doc_a", "va").withColumnRenamed("label", "block")
-    b = _emb(spark, sf_dir, "doc_b", "vb").withColumnRenamed("label", "block")
-    return (
-        a.join(b, "block")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.round(_cos("va", "vb"), 6).alias("cos"))
-        .filter(F.col("cos") >= NEARDUP_COS)
-    )
-
-
-DEDUP_EMBEDDING_ORACLE = f"""
-WITH e AS (
-    SELECT vec_id, label,
-        list_transform(embedding, x -> cast(x AS double)) AS v
-    FROM embeddings
-)
-SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-    round({_cos_sql('a.v', 'b.v')}, 6) AS cos
-FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round({_cos_sql('a.v', 'b.v')}, 6) >= {NEARDUP_COS}
-"""
-
-
-# --- LSH-bucketed ANN (the scale path) --------------------------------------
+# --- LSH planes (shared by ANN + embedding dedup) ---------------------------
 
 
 def _planes() -> list[list[float]]:
@@ -199,6 +168,66 @@ def _planes_sql() -> str:
     for coeffs in _planes():
         rows.append("[" + ", ".join(f"{c:.1f}" for c in coeffs) + "]")
     return "[" + ", ".join(rows) + "]"
+
+
+# --- embedding-cosine near-dup ---------------------------------------------
+
+
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with cosine >= {NEARDUP_COS}, candidates blocked by
+    the random-hyperplane LSH bucket (same ``_bucket`` the ANN path uses).
+
+    Plan shape: bucket assignment is a narrow per-row projection; the
+    candidate join is an EQUALITY join on bucket id — hash-partitioned
+    shuffle, O(sum of bucket^2) verify work instead of the previous
+    all-pairs-within-label block whose B^2 blowup did not survive scale.
+    Expected bucket size is n / 2^{N_PLANES}, so per-bucket verify stays
+    bounded as long as N_PLANES grows with log2(n) — the same knob (and
+    math) as the simhash bands. Recall per pair is (1 - theta/pi)^{N_PLANES}
+    for angle theta; raise it with multi-probe (flip one plane bit per
+    probe) when the deployment needs closer-to-exhaustive recall — the
+    oracle applies the identical bucketing, so parity is exact by
+    construction."""
+    a = (
+        _emb(spark, sf_dir, "doc_a", "va")
+        .withColumn("block", _bucket("va"))
+        .select("doc_a", "va", "block")
+    )
+    b = (
+        _emb(spark, sf_dir, "doc_b", "vb")
+        .withColumn("block", _bucket("vb"))
+        .select("doc_b", "vb", "block")
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(_cos("va", "vb"), 6).alias("cos"))
+        .filter(F.col("cos") >= NEARDUP_COS)
+    )
+
+
+DEDUP_EMBEDDING_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+    FROM embeddings
+),
+bucketed AS (
+    SELECT vec_id, v,
+        cast(list_aggregate(list_transform(range(1, {N_PLANES} + 1), h ->
+            CASE WHEN list_aggregate(list_transform(range(1, {DIM} + 1),
+                i -> v[i] * ({_planes_sql()})[h][i]), 'sum') > 0
+            THEN (1 << (h - 1)) ELSE 0 END), 'sum') AS int) AS block
+    FROM e
+)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+    round({_cos_sql('a.v', 'b.v')}, 6) AS cos
+FROM bucketed a JOIN bucketed b USING (block)
+WHERE a.vec_id < b.vec_id
+  AND round({_cos_sql('a.v', 'b.v')}, 6) >= {NEARDUP_COS}
+"""
+
+
+# --- LSH-bucketed ANN (the scale path) --------------------------------------
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

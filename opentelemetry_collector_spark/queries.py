@@ -30,6 +30,7 @@ from opentelemetry_collector_spark.operators.asof import (
     asof_oracle_sql,
     q_asof_enrich,
 )
+from opentelemetry_collector_spark.operators import grok as _grok
 from opentelemetry_collector_spark.operators.grok import grok_parse as _grok_parse
 from opentelemetry_collector_spark.operators import metrics as _met
 from opentelemetry_collector_spark.operators import traces as _tr
@@ -348,9 +349,9 @@ PIPELINE_QUERIES: dict[str, QueryFn] = {
     "span_stats": q_span_stats,
     "sink_counts_rollup": q_sink_counts_rollup,
     "asof_enrich": q_asof_enrich,
-    # grok pattern-library parse (Arrow mapInPandas) — rows-only check; its
-    # agreement with the oracle-checked native parse is pytest-gated
-    # (tests/test_grok.py)
+    # grok pattern-library parse (Arrow mapInPandas); oracle = ordered
+    # regexp CASE precedence (GROK_ORACLE_BODY); native-parse agreement is
+    # additionally pytest-gated (tests/test_grok.py)
     "grok_parse": lambda spark, sf_dir: _grok_parse(
         events_to_transcripts(spark, sf_dir)
     ),
@@ -505,4 +506,12 @@ SELECT conv_hash, turn_idx, role, severity_number, attributes_json FROM (
     "histogram_exemplars": f"{_PARSED_CTE}\n{_met.exemplars_oracle_body()}",
     "trace_rollup": f"{_PARSED_CTE}\n{_tr.TRACE_ROLLUP_ORACLE_BODY}",
     "tail_sampling": f"{_PARSED_CTE}\n{_tr.tail_sampling_oracle_body()}",
+    # plain concatenation (not f-string): the grok regexes carry {32}/{16}
+    # quantifiers that f-string interpolation would eat
+    "grok_parse": (
+        "WITH transcripts AS ("
+        + TRANSCRIPTS_FROM_EVENTS_SQL
+        + ")\n"
+        + _grok.GROK_ORACLE_BODY
+    ),
 }

@@ -9,7 +9,7 @@ from opentelemetry_collector_spark.queries import PIPELINE_ORACLES, PIPELINE_QUE
 from tests.conftest import SF_CORRECT, assert_df_equal
 
 
-ROWS_ONLY = {"grok_parse"}  # pytest-gated vs native parse instead
+ROWS_ONLY: set[str] = set()
 
 
 @pytest.mark.parametrize("name", sorted(PIPELINE_QUERIES))
