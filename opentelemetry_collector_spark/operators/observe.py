@@ -169,9 +169,14 @@ def from_otlp_document_json(serialized: DataFrame) -> DataFrame:
 # --- trace-signal codec (ptrace.JSONMarshaler analog, pdata/ptrace/json.go) --
 
 SPAN_JSON_SCHEMA = (
-    "struct<trace_id:string, span_id:string, parent_span_id:string, "
-    "name:string, kind:int, start_unix_micros:long, end_unix_micros:long, "
-    "status_code:int, conv_id:string, turn_idx:int, attributes_json:string>"
+    "struct<trace_id:string, span_id:string, trace_state:string, "
+    "parent_span_id:string, name:string, kind:int, flags:int, "
+    "start_unix_micros:long, end_unix_micros:long, "
+    "status_code:int, conv_id:string, turn_idx:int, attributes_json:string, "
+    "events:array<struct<name:string, time_unix_micros:long, "
+    "attributes_json:string>>, "
+    "links:array<struct<trace_id:string, span_id:string, "
+    "attributes_json:string>>>"
 )
 
 # SpanKind enum (pdata/ptrace/span_kind.go): tool calls are CLIENT spans
@@ -182,28 +187,123 @@ _STATUS_CODE = (
 )
 
 
+def build_spans(parsed: DataFrame) -> DataFrame:
+    """Materialize full Span rows from parsed tool-call turns — every
+    generated_span.go:58-149 surface:
+
+    * identity + timing + kind + status as before;
+    * TraceState (pdata/pcommon/trace_state.go): opaque W3C key=value
+      passthrough — synthesized deterministically as ``otelcol=<trace_id
+      prefix>`` since transcripts carry no upstream vendor state;
+    * flags: W3C sampled bit set on every materialized span
+      (pdata/ptrace generated SetFlags; mask semantics in
+      functions/flags.py);
+    * Events (generated_span.go:97-105): call_started at span start,
+      call_ended at end, plus an ``error`` event carrying the status when
+      the call failed — the retry/rate-limit sub-event analog;
+    * Links (generated_span.go:107-115): one link to the previous span in
+      the same conversation (lag window over the conv_id bucket key — the
+      only shuffle, aligned with the table layout).
+    """
+    from pyspark.sql.window import Window
+
+    start = F.unix_micros(F.col("ts").cast("timestamp"))
+    end = start + F.col("dur_ms") * 1000
+    w_all = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # A tool-call span's outcome lives on the FOLLOWING tool-result turn
+    # (the assistant's "calling tool=" line has no status) — effective span
+    # status = own status, else the next turn's when that turn is the tool
+    # result. Both windows share the conv_id/turn_idx sort: one shuffle.
+    with_result = parsed.withColumn(
+        "next_status", F.lead("status").over(w_all)
+    ).withColumn("next_role", F.lead("role").over(w_all))
+    spans = (
+        with_result.filter(F.col("trace_id").isNotNull())
+        .withColumn(
+            "status",
+            F.coalesce(
+                F.col("status"),
+                F.when(F.col("next_role") == "tool", F.col("next_status")),
+            ),
+        )
+        .withColumn("start_unix_micros", start)
+        .withColumn("end_unix_micros", end)
+        .withColumn("prev_trace_id", F.lag("trace_id").over(w))
+        .withColumn("prev_span_id", F.lag("span_id").over(w))
+    )
+    event = lambda name, ts_col: F.struct(  # noqa: E731
+        F.lit(name).alias("name"),
+        F.col(ts_col).alias("time_unix_micros"),
+        F.lit("{}").alias("attributes_json"),
+    )
+    error_event = F.struct(
+        F.lit("error").alias("name"),
+        F.col("end_unix_micros").alias("time_unix_micros"),
+        F.lit('{"status": "ERROR"}').alias("attributes_json"),
+    )
+    events = F.when(
+        F.col("status") == "ERROR",
+        F.array(
+            event("call_started", "start_unix_micros"),
+            event("call_ended", "end_unix_micros"),
+            error_event,
+        ),
+    ).otherwise(
+        F.array(
+            event("call_started", "start_unix_micros"),
+            event("call_ended", "end_unix_micros"),
+        )
+    )
+    links = F.when(
+        F.col("prev_trace_id").isNotNull(),
+        F.array(
+            F.struct(
+                F.col("prev_trace_id").alias("trace_id"),
+                F.col("prev_span_id").alias("span_id"),
+                F.lit('{"link.type": "prev_span"}').alias("attributes_json"),
+            )
+        ),
+    ).otherwise(
+        F.expr(
+            "CAST(array() AS array<struct<trace_id:string, span_id:string,"
+            " attributes_json:string>>)"
+        )
+    )
+    from opentelemetry_collector_spark.functions.flags import FLAG_SAMPLED
+
+    return spans.select(
+        F.col("trace_id"),
+        F.col("span_id"),
+        F.concat(F.lit("otelcol="), F.substring("trace_id", 1, 8)).alias(
+            "trace_state"
+        ),
+        F.lit("").alias("parent_span_id"),  # root span per turn
+        F.col("parsed_tool").alias("name"),
+        F.lit(SPAN_KIND_CLIENT).alias("kind"),
+        F.lit(FLAG_SAMPLED).alias("flags"),
+        "start_unix_micros",
+        "end_unix_micros",
+        F.expr(_STATUS_CODE).alias("status_code"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.col("attributes_json"),
+        events.alias("events"),
+        links.alias("links"),
+    )
+
+
 def to_otlp_span_json(parsed: DataFrame) -> DataFrame:
     """Serialize parsed tool-call spans to the OTLP/JSON Span envelope
-    (generated_span.go:58-149 fields: identity, name, kind, start/end,
-    status). Start = the turn timestamp; end = start + dur_ms."""
-    start = F.unix_micros(F.col("ts").cast("timestamp"))
-    return parsed.filter(F.col("trace_id").isNotNull()).select(
+    (generated_span.go:58-149: identity, trace_state, name, kind, flags,
+    start/end, status, events, links). Start = the turn timestamp; end =
+    start + dur_ms."""
+    spans = build_spans(parsed)
+    return spans.select(
         "conv_id",
         "turn_idx",
         F.to_json(
-            F.struct(
-                F.col("trace_id"),
-                F.col("span_id"),
-                F.lit("").alias("parent_span_id"),  # root span per turn
-                F.col("parsed_tool").alias("name"),
-                F.lit(SPAN_KIND_CLIENT).alias("kind"),
-                start.alias("start_unix_micros"),
-                (start + F.col("dur_ms") * 1000).alias("end_unix_micros"),
-                F.expr(_STATUS_CODE).alias("status_code"),
-                F.col("conv_id"),
-                F.col("turn_idx"),
-                F.col("attributes_json"),
-            )
+            F.struct(*[F.col(f) for f in spans.columns])
         ).alias("otlp_span_json"),
     )
 
@@ -215,14 +315,14 @@ def from_otlp_span_json(serialized: DataFrame) -> DataFrame:
         F.from_json("otlp_span_json", SPAN_JSON_SCHEMA).alias("s")
     ).select(
         "s.conv_id", "s.turn_idx",
-        "s.trace_id", "s.span_id", "s.parent_span_id",
+        "s.trace_id", "s.span_id", "s.trace_state", "s.parent_span_id",
         F.col("s.name").alias("parsed_tool"),
-        "s.kind",
+        "s.kind", "s.flags",
         F.timestamp_micros(F.col("s.start_unix_micros"))
         .cast("timestamp_ntz").alias("ts"),
         ((F.col("s.end_unix_micros") - F.col("s.start_unix_micros")) / 1000)
         .cast("long").alias("dur_ms"),
-        "s.status_code", "s.attributes_json",
+        "s.status_code", "s.attributes_json", "s.events", "s.links",
     )
 
 

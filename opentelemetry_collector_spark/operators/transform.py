@@ -17,8 +17,14 @@ Statement forms (list order = execution order, like OTTL statement lists):
   {"op": "hash",   "field": F, "where": SQL?}                # sha256 mask
   {"op": "set_attribute",    "key": K, "expr": SQL, "where": SQL?}
   {"op": "delete_attribute", "key": K, "where": SQL?}
+  {"op": "set_flag",   "field": F, "mask": int, "where": SQL?}  # flags |= m
+  {"op": "clear_flag", "field": F, "mask": int, "where": SQL?}  # flags &= ~m
   {"op": "drop", "where": SQL}                               # filter out
   {"op": "keep", "where": SQL}                               # filter in
+
+Flag statements wrap functions/flags.py (LogRecordFlags bit ops,
+pdata/plog/log_record_flags.go): set_flag ORs the mask in, clear_flag ANDs
+it out, both guarded like every other statement.
 
 `expr`/`where` are Spark-SQL expressions (the engine's expression language —
 the OTTL analog), evaluated JVM-side via F.expr. Attribute statements rewrite
@@ -98,6 +104,10 @@ def compile_statements(
             missing = {"key", "expr"} - st.keys()
         elif op == "delete_attribute":
             missing = {"key"} - st.keys()
+        elif op in ("set_flag", "clear_flag"):
+            missing = {"field", "mask"} - st.keys()
+            if not missing and not isinstance(st["mask"], int):
+                raise ValueError(f"statement {i} ({op}): mask must be int")
         elif op in ("drop", "keep"):
             missing = {"where"} - st.keys()
         else:
@@ -138,6 +148,21 @@ def compile_statements(
                     _attrs_map(), lambda k, _v: k != F.lit(st["key"])
                 )
                 df = _apply_attr(df, new, where)
+            elif op in ("set_flag", "clear_flag"):
+                from opentelemetry_collector_spark.functions.flags import (
+                    with_flag,
+                    without_flag,
+                )
+
+                fn = with_flag if op == "set_flag" else without_flag
+                df = df.withColumn(
+                    st["field"],
+                    _guard(
+                        fn(F.col(st["field"]), st["mask"]),
+                        F.col(st["field"]),
+                        where,
+                    ),
+                )
             elif op == "drop":
                 df = df.filter(~F.coalesce(F.expr(where), F.lit(False)))
             elif op == "keep":

@@ -296,6 +296,15 @@ TRANSFORM_DEMO_STATEMENTS = [
     # field mutation with a condition
     {"op": "set", "field": "role", "expr": "upper(role)",
      "where": "severity_number >= 17"},
+    # LogRecordFlags bit ops (log_record_flags.go): mark sampled spans,
+    # flag high severity, then clear the severity bit on the happy path
+    {"op": "set", "field": "flags", "expr": "cast(0 AS int)"},
+    {"op": "set_flag", "field": "flags", "mask": 0x01,
+     "where": "trace_id IS NOT NULL"},
+    {"op": "set_flag", "field": "flags", "mask": 0x02,
+     "where": "severity_number >= 17"},
+    {"op": "clear_flag", "field": "flags", "mask": 0x02,
+     "where": "status = 'OK'"},
     # filter processor: drop system turns
     {"op": "drop", "where": "role = 'system'"},
 ]
@@ -316,11 +325,54 @@ def q_transform_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "turn_idx",
         "role",
         "severity_number",
+        "flags",
         "attributes_json",
     )
 
 
 # --- trace-signal queries (ptrace analog; operators/traces.py) --------------
+
+def q_span_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span Events exploded to one row each (generated_span.go:97-105):
+    call_started / call_ended per tool span plus an error event on failed
+    calls, with TraceState carried through."""
+    from opentelemetry_collector_spark.operators.observe import build_spans
+
+    spans = build_spans(_parsed(spark, sf_dir))
+    return spans.select(
+        "conv_id",
+        "turn_idx",
+        "trace_id",
+        "span_id",
+        "trace_state",
+        F.explode("events").alias("e"),
+    ).select(
+        "conv_id", "turn_idx", "trace_id", "span_id", "trace_state",
+        F.col("e.name").alias("event_name"),
+        F.col("e.time_unix_micros").alias("event_time_unix_micros"),
+        F.col("e.attributes_json").alias("event_attributes_json"),
+    )
+
+
+def q_span_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span Links exploded (generated_span.go:107-115): each span links to
+    the previous span of its conversation."""
+    from opentelemetry_collector_spark.operators.observe import build_spans
+
+    spans = build_spans(_parsed(spark, sf_dir))
+    return spans.select(
+        "conv_id",
+        "turn_idx",
+        "trace_id",
+        "span_id",
+        F.explode("links").alias("l"),
+    ).select(
+        "conv_id", "turn_idx", "trace_id", "span_id",
+        F.col("l.trace_id").alias("linked_trace_id"),
+        F.col("l.span_id").alias("linked_span_id"),
+        F.col("l.attributes_json").alias("link_attributes_json"),
+    )
+
 
 def q_trace_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tr.trace_rollup(_parsed(spark, sf_dir))
@@ -356,6 +408,8 @@ PIPELINE_QUERIES: dict[str, QueryFn] = {
         events_to_transcripts(spark, sf_dir)
     ),
     "transform_pipeline": q_transform_pipeline,
+    "span_events": q_span_events,
+    "span_links": q_span_links,
     "metrics_gauge_last": q_metrics_gauge_last,
     "metrics_sum_cumulative": q_metrics_sum_cumulative,
     "metrics_histogram": q_metrics_histogram,
@@ -484,10 +538,14 @@ GROUP BY ROLLUP (sink_role, sink_tool)""",
     # transform statements re-expressed declaratively: hash, env upsert,
     # conditional status delete, conditional role upper-case, system drop
     "transform_pipeline": f"""{_PARSED_CTE}
-SELECT conv_hash, turn_idx, role, severity_number, attributes_json FROM (
+SELECT conv_hash, turn_idx, role, severity_number, flags, attributes_json FROM (
     SELECT sha256(conv_id) AS conv_hash, turn_idx,
         CASE WHEN severity_number >= 17 THEN upper(role) ELSE role END AS role,
         severity_number,
+        cast((CASE WHEN trace_id IS NOT NULL THEN 1 ELSE 0 END)
+             | (CASE WHEN severity_number >= 17
+                     AND NOT coalesce(status = 'OK', FALSE)
+                THEN 2 ELSE 0 END) AS int) AS flags,
         '{{' || concat_ws(', ',
             CASE WHEN dur_ms IS NOT NULL THEN '"dur_ms": ' || cast(dur_ms AS string) END,
             '"env": "prod"',
@@ -497,6 +555,44 @@ SELECT conv_hash, turn_idx, role, severity_number, attributes_json FROM (
         ) || '}}' AS attributes_json
     FROM parsed
 ) q WHERE role <> 'system'""",
+    "span_events": f"""{_PARSED_CTE},
+leadp AS (
+    SELECT *, lead(status) OVER w AS next_status,
+        lead(role) OVER w AS next_role
+    FROM parsed
+    WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+spans AS (
+    SELECT conv_id, turn_idx, trace_id, span_id,
+        'otelcol=' || substr(trace_id, 1, 8) AS trace_state,
+        epoch_us(ts) AS start_us, epoch_us(ts) + dur_ms * 1000 AS end_us,
+        coalesce(status,
+                 CASE WHEN next_role = 'tool' THEN next_status END) AS status
+    FROM leadp WHERE trace_id IS NOT NULL
+)
+SELECT conv_id, turn_idx, trace_id, span_id, trace_state,
+    'call_started' AS event_name, start_us AS event_time_unix_micros,
+    '{{}}' AS event_attributes_json
+FROM spans
+UNION ALL
+SELECT conv_id, turn_idx, trace_id, span_id, trace_state,
+    'call_ended', end_us, '{{}}'
+FROM spans
+UNION ALL
+SELECT conv_id, turn_idx, trace_id, span_id, trace_state,
+    'error', end_us, '{{"status": "ERROR"}}'
+FROM spans WHERE status = 'ERROR'""",
+    "span_links": f"""{_PARSED_CTE},
+spans AS (
+    SELECT conv_id, turn_idx, trace_id, span_id,
+        lag(trace_id) OVER w AS linked_trace_id,
+        lag(span_id) OVER w AS linked_span_id
+    FROM parsed WHERE trace_id IS NOT NULL
+    WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, turn_idx, trace_id, span_id, linked_trace_id,
+    linked_span_id, '{{"link.type": "prev_span"}}' AS link_attributes_json
+FROM spans WHERE linked_trace_id IS NOT NULL""",
     "metrics_gauge_last": f"{_PARSED_CTE}\n{_met.GAUGE_LAST_ORACLE_BODY}",
     "metrics_sum_cumulative": f"{_PARSED_CTE}\n{_met.SUM_CUMULATIVE_ORACLE_BODY}",
     "metrics_histogram": f"{_PARSED_CTE}\n{_met.histogram_oracle_body()}",

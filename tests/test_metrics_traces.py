@@ -185,6 +185,56 @@ def test_span_json_round_trip(spark):
     ).count() == 0
 
 
+def test_span_events_links_tracestate_round_trip(spark):
+    """Events/Links/TraceState (generated_span.go:97-149,
+    pdata/pcommon/trace_state.go) survive the JSON codec; event and link
+    contents follow the build_spans contract."""
+    from opentelemetry_collector_spark.operators.observe import (
+        build_spans,
+        from_otlp_span_json,
+        to_otlp_span_json,
+    )
+
+    parsed = _parsed(spark, SF_SMOKE)
+    spans = build_spans(parsed)
+    back = from_otlp_span_json(to_otlp_span_json(parsed))
+
+    # trace_state is the deterministic W3C key=value passthrough
+    assert spans.filter(
+        F.col("trace_state") != F.concat(
+            F.lit("otelcol="), F.substring("trace_id", 1, 8)
+        )
+    ).count() == 0
+    # sampled flag set on every materialized span
+    from opentelemetry_collector_spark.functions.flags import (
+        FLAG_SAMPLED,
+        has_flag,
+    )
+
+    assert back.filter(~has_flag("flags", FLAG_SAMPLED)).count() == 0
+    # events: 2 on OK spans, 3 (incl. 'error') on ERROR spans
+    n_err = spans.filter(F.col("status_code") == 2).count()
+    assert n_err > 0, "fixture must contain failed tool calls"
+    assert back.filter(F.size("events") == 3).count() == n_err
+    assert back.filter(F.size("events") == 2).count() == back.count() - n_err
+    ev_names = back.select(F.explode("events.name").alias("n"))
+    assert {r.n for r in ev_names.distinct().collect()} == {
+        "call_started", "call_ended", "error"
+    }
+    # links: every non-first span of a conversation links to its predecessor
+    n_convs_with_spans = (
+        spans.select("conv_id").distinct().count()
+    )
+    assert back.filter(F.size("links") == 1).count() == (
+        back.count() - n_convs_with_spans
+    )
+    # round-trip equality of the nested arrays themselves
+    a = spans.select("conv_id", "turn_idx", "trace_state", "events", "links")
+    b = back.select("conv_id", "turn_idx", "trace_state", "events", "links")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
 def test_metric_json_round_trip(spark):
     from opentelemetry_collector_spark.operators.observe import (
         from_otlp_metric_json,

@@ -20,11 +20,52 @@ from tests.conftest import SF_SMOKE
         [{"op": "set_attribute", "key": "k"}],        # missing expr
         [{"op": "delete_attribute"}],                 # missing key
         [{"op": "drop"}],                             # missing where
+        [{"op": "set_flag", "field": "flags"}],       # missing mask
+        [{"op": "clear_flag", "mask": 1}],            # missing field
+        [{"op": "set_flag", "field": "flags", "mask": "1"}],  # mask not int
     ],
 )
 def test_invalid_statements_rejected(bad):
     with pytest.raises(ValueError):
         compile_statements(bad)
+
+
+def test_flag_ops_set_clear_test(spark):
+    """LogRecordFlags bit semantics (log_record_flags.go): set ORs the mask,
+    clear ANDs it out, other bits survive both; has_flag tests a mask."""
+    from opentelemetry_collector_spark.functions.flags import (
+        FLAG_SAMPLED,
+        has_flag,
+        trace_flags,
+    )
+
+    df = spark.createDataFrame(
+        [(0,), (1,), (2,), (3,), (0x81,)], "flags int"
+    )
+    out = compile_statements(
+        [
+            {"op": "set_flag", "field": "flags", "mask": 0x04},
+            {"op": "clear_flag", "field": "flags", "mask": 0x01},
+        ]
+    )(df)
+    got = sorted(r.flags for r in out.collect())
+    # [0,1,2,3,0x81] |= 0x04 -> [4,5,6,7,0x85]; &= ~0x01 -> [4,4,6,6,0x84]
+    assert got == sorted([4, 4, 6, 6, 0x84]), got
+    flagged = df.select(
+        has_flag("flags", FLAG_SAMPLED).alias("sampled"),
+        trace_flags("flags").alias("tf"),
+    ).collect()
+    assert [r.sampled for r in flagged] == [False, True, False, True, True]
+    assert [r.tf for r in flagged] == [0, 1, 2, 3, 0x81]
+
+
+def test_flag_ops_guarded(spark):
+    """where-guards gate flag mutation per row like every other statement."""
+    df = spark.createDataFrame([(1, 0), (2, 0)], "id int, flags int")
+    out = compile_statements(
+        [{"op": "set_flag", "field": "flags", "mask": 8, "where": "id = 2"}]
+    )(df)
+    assert {r.id: r.flags for r in out.collect()} == {1: 0, 2: 8}
 
 
 def test_statement_order_matters(spark):
