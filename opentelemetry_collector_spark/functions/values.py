@@ -58,10 +58,20 @@ JSON_NUMBER_RE = r"^-?(0|[1-9][0-9]*)(\.[0-9]+)?$"
 
 def _json_scalar(col: Column) -> Column:
     # numeric stays bare if it round-trips as a canonical JSON number,
-    # else quoted string
+    # else JSON-escaped quoted string (backslash first — escaping it later
+    # would double the escapes the other rules introduced)
     s = col.cast("string")
+    e = s
+    for raw, esc in (
+        ("\\", "\\\\"),
+        ('"', '\\"'),
+        ("\n", "\\n"),
+        ("\r", "\\r"),
+        ("\t", "\\t"),
+    ):
+        e = F.replace(e, F.lit(raw), F.lit(esc))
     return F.when(s.rlike(JSON_NUMBER_RE), s).otherwise(
-        F.concat(F.lit('"'), s, F.lit('"'))
+        F.concat(F.lit('"'), e, F.lit('"'))
     )
 
 

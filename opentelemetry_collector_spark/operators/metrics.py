@@ -117,20 +117,68 @@ def histogram_explicit(
     ).agg(*aggs)
 
 
-def exp_histogram(parsed: DataFrame) -> DataFrame:
-    """Base-2 scale-0 ExponentialHistogram buckets per tool.
+def _exp_index_exprs(scale: int, v: str = "abs(dur_ms)") -> str:
+    """Shared Spark/DuckDB SQL for the OTel exponential bucket index of a
+    positive integer magnitude at ``scale``.
 
-    Bucket index for v>0 is floor(log2(v)), computed exactly via the binary
-    representation (length(bin(v))-1) to avoid any float-rounding divergence
-    between engines; v=0 maps to the zero bucket (index -1), mirroring the
-    reference's dedicated ZeroCount field.
+    The spec mapping (generated_exponentialhistogramdatapoint.go; base =
+    2^(2^-scale), buckets LOWER-exclusive/UPPER-inclusive) is
+    index = ceil(base_log(v)) - 1, so an exact power base^k belongs to
+    bucket k-1.
+
+    * scale <= 0 is computed EXACTLY in integer arithmetic: the scale-0
+      ceil-log2 is length(bin(v-1))-1 for v>1 (-1 for v=1) and coarser
+      scales floor-divide by 2^-scale via arithmetic shift.
+    * scale > 0 uses the documented float path: ceil(2^scale * log2(v))-1,
+      with exact powers of two (v & (v-1) = 0) routed through integer
+      math — boundary values are the only rationals of the base grid, so
+      the float path never decides a boundary; both engines evaluate the
+      identical expression (parity property-tested over a value sweep).
     """
-    idx = F.when(
-        F.col("dur_ms") > 0, (F.length(F.bin(F.col("dur_ms"))) - 1).cast("int")
-    ).otherwise(F.lit(-1))
+    if scale <= 0:
+        idx0 = f"CASE WHEN {v} = 1 THEN -1 ELSE length(bin({v} - 1)) - 1 END"
+        if scale == 0:
+            return f"cast({idx0} AS int)"
+        # index >> -scale must floor toward -inf; DuckDB's >> is a LOGICAL
+        # shift, so the one possible negative input (idx0 = -1, i.e. v = 1)
+        # is routed explicitly — for idx0 >= 0 logical and arithmetic shifts
+        # agree across both engines
+        return (
+            f"cast(CASE WHEN ({idx0}) = -1 THEN -1 "
+            f"ELSE ({idx0}) >> {-scale} END AS int)"
+        )
+    m = 1 << scale
+    return (
+        f"cast(CASE WHEN ({v} & ({v} - 1)) = 0 "
+        f"THEN (length(bin({v})) - 1) * {m} - 1 "
+        f"ELSE ceil({m} * log2({v})) - 1 END AS int)"
+    )
+
+
+def exp_histogram(parsed: DataFrame, scale: int = 0) -> DataFrame:
+    """ExponentialHistogram buckets per tool at an arbitrary ``scale``
+    (pdata/pmetric/generated_exponentialhistogramdatapoint.go: Scale,
+    Positive/Negative bucket ranges, ZeroCount).
+
+    Output: (tool, sign, bucket_idx, n_points) — sign 'pos'/'neg' selects
+    the Positive/Negative bucket list (index over \\|v\\|), 'zero' carries the
+    ZeroCount (bucket_idx NULL). Boundary convention is the reference's
+    lower-exclusive/upper-inclusive mapping: v = base^k lands in bucket
+    k-1; see _exp_index_exprs for the exact-vs-float split by scale.
+    """
+    idx = F.expr(_exp_index_exprs(scale))
+    sign = (
+        F.when(F.col("dur_ms") > 0, F.lit("pos"))
+        .when(F.col("dur_ms") < 0, F.lit("neg"))
+        .otherwise(F.lit("zero"))
+    )
     return (
         _spans(parsed)
-        .groupBy(F.col("parsed_tool").alias("tool"), idx.alias("bucket_idx"))
+        .groupBy(
+            F.col("parsed_tool").alias("tool"),
+            sign.alias("sign"),
+            F.when(F.col("dur_ms") != 0, idx).alias("bucket_idx"),
+        )
         .agg(F.count(F.lit(1)).alias("n_points"))
     )
 
@@ -163,25 +211,36 @@ def span_red_metrics(
     )
 
 
-def summary_quantiles(parsed: DataFrame) -> DataFrame:
+def summary_quantiles(parsed: DataFrame, approx: bool | None = None) -> DataFrame:
     """Summary data points (pdata/pmetric/generated_summarydatapoint.go):
-    count, sum, and exact quantile values per series (tool).
+    count, sum, and quantile values per series (tool).
 
-    Spark's ``percentile`` (exact, linear interpolation) computes the same
-    value as DuckDB's ``quantile_cont`` — both interpolate (1-g)*a + g*b over
-    the sorted values with IEEE doubles, so parity is exact, not approximate.
-    At 10^12 rows a per-series exact percentile requires a sort of each
-    series' values; series cardinality here is tiny (|tools|), so each group
-    fits one reducer — for high-cardinality series swap in percentile_approx
-    (t-digest) and drop the oracle to rows-only.
+    Exact path (default): Spark's ``percentile`` computes the same linear
+    interpolation as DuckDB's ``quantile_cont`` — (1-g)*a + g*b over the
+    sorted values with IEEE doubles, so oracle parity is exact. The cost is
+    a per-series sort: fine while series cardinality is tiny (|tools|), a
+    single-reducer scale-killer for high-cardinality series.
+
+    Approx path (``engine.approxQuantiles`` feature gate, or approx=True):
+    ``percentile_approx`` — a mergeable sketch whose partial aggregates
+    combine map-side, so no series ever needs a full sort; accuracy is
+    bounded by the sketch size (10000 -> ~0.01% rank error). This is the
+    10^12-row path; its oracle check is rows-only (the sketch is not
+    bit-reproducible in DuckDB), with closeness to the exact path asserted
+    in pytest instead.
     """
+    if approx is None:
+        from opentelemetry_collector_spark.plans.featuregate import GLOBAL
+
+        approx = GLOBAL.is_enabled("engine.approxQuantiles")
+    pct = "percentile_approx(dur_ms, {q}, 10000)" if approx else "percentile(dur_ms, {q})"
     spans = _spans(parsed)
     return spans.groupBy(F.col("parsed_tool").alias("tool")).agg(
         F.count(F.lit(1)).alias("n_points"),
         F.sum("dur_ms").alias("sum_value"),
-        F.expr("percentile(dur_ms, 0.5)").alias("p50"),
-        F.expr("percentile(dur_ms, 0.9)").alias("p90"),
-        F.expr("percentile(dur_ms, 0.99)").alias("p99"),
+        F.expr(pct.format(q=0.5)).cast("double").alias("p50"),
+        F.expr(pct.format(q=0.9)).cast("double").alias("p90"),
+        F.expr(pct.format(q=0.99)).cast("double").alias("p99"),
     )
 
 
@@ -269,14 +328,22 @@ GROUP BY 1, 2
 """
 
 
-EXP_HISTOGRAM_ORACLE_BODY = """
-SELECT tool, bucket_idx, count(*) AS n_points FROM (
+def exp_histogram_oracle_body(scale: int = 0) -> str:
+    """DuckDB twin of exp_histogram at ``scale`` — same index expression
+    (dialect-shared), same sign/zero routing."""
+    idx = _exp_index_exprs(scale)
+    return f"""
+SELECT tool, sign, bucket_idx, count(*) AS n_points FROM (
     SELECT parsed_tool AS tool,
-        CASE WHEN dur_ms > 0 THEN cast(length(bin(dur_ms)) - 1 AS int)
-             ELSE -1 END AS bucket_idx
+        CASE WHEN dur_ms > 0 THEN 'pos'
+             WHEN dur_ms < 0 THEN 'neg' ELSE 'zero' END AS sign,
+        CASE WHEN dur_ms <> 0 THEN {idx} END AS bucket_idx
     FROM parsed WHERE trace_id IS NOT NULL
-) q GROUP BY 1, 2
+) q GROUP BY 1, 2, 3
 """
+
+
+EXP_HISTOGRAM_ORACLE_BODY = exp_histogram_oracle_body(0)
 
 
 SUMMARY_ORACLE_BODY = """

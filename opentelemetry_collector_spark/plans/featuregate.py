@@ -55,11 +55,12 @@ class Registry:
         g = self._gates.get(gate_id)
         if g is None:
             raise ValueError(f"no such feature gate {gate_id!r}")
-        default, overridable = _STAGE_RULES[g.stage]
-        if not overridable and enabled != default:
+        _default, overridable = _STAGE_RULES[g.stage]
+        # gate.go rejects ANY Set() on stable/deprecated gates, including a
+        # no-op matching the default — same here
+        if not overridable:
             raise ValueError(
-                f"gate {gate_id!r} is {g.stage}; it cannot be "
-                f"{'disabled' if default else 'enabled'}"
+                f"gate {gate_id!r} is {g.stage}; its state cannot be set"
             )
         self._overrides[gate_id] = enabled
 
@@ -102,4 +103,9 @@ GATE_GROK_PARSE = GLOBAL.register(
 GATE_CANONICAL_ATTRS = GLOBAL.register(
     "engine.canonicalAttributes", STAGE_STABLE,
     "sorted-key canonical attributes JSON (pcommon.Map parity)",
+)
+GATE_APPROX_QUANTILES = GLOBAL.register(
+    "engine.approxQuantiles", STAGE_ALPHA,
+    "t-digest percentile_approx for Summary quantiles instead of the exact "
+    "per-series sort (operators/metrics.py summary_quantiles)",
 )

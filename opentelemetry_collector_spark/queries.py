@@ -274,12 +274,29 @@ def q_metrics_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _met.exp_histogram(_parsed(spark, sf_dir))
 
 
+def q_metrics_exp_histogram_neg1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarser grid (scale -1, base 4) — exact integer mapping path."""
+    return _met.exp_histogram(_parsed(spark, sf_dir), scale=-1)
+
+
+def q_metrics_exp_histogram_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finer grid (scale 2, base 2^(1/4)) — the documented float path."""
+    return _met.exp_histogram(_parsed(spark, sf_dir), scale=2)
+
+
 def q_span_red_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _met.span_red_metrics(_parsed(spark, sf_dir))
 
 
 def q_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _met.summary_quantiles(_parsed(spark, sf_dir))
+
+
+def q_metrics_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest path (engine.approxQuantiles) — rows-only oracle: the
+    sketch is not bit-reproducible in DuckDB; closeness to the exact path
+    is pytest-gated (tests/test_metrics_traces.py)."""
+    return _met.summary_quantiles(_parsed(spark, sf_dir), approx=True)
 
 
 def q_histogram_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,8 +431,11 @@ PIPELINE_QUERIES: dict[str, QueryFn] = {
     "metrics_sum_cumulative": q_metrics_sum_cumulative,
     "metrics_histogram": q_metrics_histogram,
     "metrics_exp_histogram": q_metrics_exp_histogram,
+    "metrics_exp_histogram_neg1": q_metrics_exp_histogram_neg1,
+    "metrics_exp_histogram_s2": q_metrics_exp_histogram_s2,
     "span_red_metrics": q_span_red_metrics,
     "metrics_summary": q_metrics_summary,
+    "metrics_summary_approx": q_metrics_summary_approx,
     "histogram_exemplars": q_histogram_exemplars,
     "trace_rollup": q_trace_rollup,
     "tail_sampling": q_tail_sampling,
@@ -597,6 +617,8 @@ FROM spans WHERE linked_trace_id IS NOT NULL""",
     "metrics_sum_cumulative": f"{_PARSED_CTE}\n{_met.SUM_CUMULATIVE_ORACLE_BODY}",
     "metrics_histogram": f"{_PARSED_CTE}\n{_met.histogram_oracle_body()}",
     "metrics_exp_histogram": f"{_PARSED_CTE}\n{_met.EXP_HISTOGRAM_ORACLE_BODY}",
+    "metrics_exp_histogram_neg1": f"{_PARSED_CTE}\n{_met.exp_histogram_oracle_body(-1)}",
+    "metrics_exp_histogram_s2": f"{_PARSED_CTE}\n{_met.exp_histogram_oracle_body(2)}",
     "span_red_metrics": f"{_PARSED_CTE}\n{_met.span_red_oracle_body()}",
     "metrics_summary": f"{_PARSED_CTE}\n{_met.SUMMARY_ORACLE_BODY}",
     "histogram_exemplars": f"{_PARSED_CTE}\n{_met.exemplars_oracle_body()}",

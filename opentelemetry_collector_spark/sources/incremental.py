@@ -80,16 +80,18 @@ class IncrementalSource:
         self.ledger_path = ledger_path
 
     def processed_files(self) -> set[str]:
-        try:
-            ledger = self.spark.read.schema(LEDGER_SCHEMA).parquet(
-                self.ledger_path
-            )
-            return {r.file_path for r in ledger.select("file_path").distinct().collect()}
-        except Exception as e:
-            msg = str(e)
-            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
-                return set()
-            raise  # a transient FS error must not look like "nothing processed"
+        # explicit existence probe via the Hadoop FileSystem API (same
+        # channel list_data_files uses) — sniffing exception text was
+        # brittle across Spark versions/locales, and a missing ledger
+        # (fresh bootstrap) must be distinguishable from a transient FS
+        # error, which must NOT look like "nothing processed"
+        if not list_data_files(self.spark, self.ledger_path):
+            return set()
+        ledger = self.spark.read.schema(LEDGER_SCHEMA).parquet(self.ledger_path)
+        return {
+            r.file_path
+            for r in ledger.select("file_path").distinct().collect()
+        }
 
     def new_files(self) -> dict[str, int]:
         files = list_data_files(self.spark, self.data_path)

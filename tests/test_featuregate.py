@@ -41,7 +41,10 @@ def test_overrides_and_immutability():
         r.set("s.stable", False)  # stable cannot be disabled (gate.go)
     with pytest.raises(ValueError):
         r.set("d.dep", True)  # deprecated cannot be enabled
-    r.set("s.stable", True)  # no-op override is allowed
+    with pytest.raises(ValueError):
+        r.set("s.stable", True)  # gate.go: even a no-op Set is rejected
+    with pytest.raises(ValueError):
+        r.set("d.dep", False)  # same for deprecated
 
 
 def test_unknown_and_duplicate_rejected():

@@ -56,23 +56,66 @@ def test_histogram_buckets_partition_points(spark):
 
 
 def test_exp_histogram_bucket_bounds_and_total(spark):
-    """Scale-0 base-2 buckets: every v in bucket i satisfies
-    2^i <= v < 2^(i+1); totals conserve the span count."""
-    eh = q_metrics_exp_histogram(spark, SF_SMOKE)
-    total = eh.agg(F.sum("n_points")).collect()[0][0]
-    assert total == _span_count(spark)
-    parsed = _parsed(spark, SF_SMOKE).filter(F.col("trace_id").isNotNull())
-    idx = F.when(
-        F.col("dur_ms") > 0, (F.length(F.bin(F.col("dur_ms"))) - 1).cast("int")
-    ).otherwise(F.lit(-1))
-    bad = parsed.withColumn("i", idx).filter(
-        (F.col("i") >= 0)
-        & (
-            (F.col("dur_ms") < F.pow(F.lit(2.0), F.col("i")))
-            | (F.col("dur_ms") >= F.pow(F.lit(2.0), F.col("i") + 1))
-        )
+    """OTel boundary convention (lower-exclusive/upper-inclusive): every
+    positive v in bucket i satisfies base^i < v <= base^(i+1), at scale 0
+    (base 2) and scale -1 (base 4); totals conserve the span count."""
+    from opentelemetry_collector_spark.operators.metrics import (
+        _exp_index_exprs,
+        exp_histogram,
     )
-    assert bad.count() == 0
+
+    parsed = _parsed(spark, SF_SMOKE)
+    for scale, base in ((0, 2.0), (-1, 4.0)):
+        eh = exp_histogram(parsed, scale=scale)
+        total = eh.agg(F.sum("n_points")).collect()[0][0]
+        assert total == _span_count(spark)
+        spans = parsed.filter(F.col("trace_id").isNotNull())
+        bad = spans.withColumn(
+            "i", F.expr(_exp_index_exprs(scale, "dur_ms"))
+        ).filter(
+            (F.col("dur_ms") > 0)
+            & (
+                (F.col("dur_ms") <= F.pow(F.lit(base), F.col("i")))
+                | (F.col("dur_ms") > F.pow(F.lit(base), F.col("i") + 1))
+            )
+        )
+        assert bad.count() == 0
+    # exact powers of the base land in the LOWER bucket (k -> index k-1):
+    # the boundary case the previous floor convention got wrong
+    df = spark.createDataFrame([(1,), (2,), (4,), (1024,)], "dur_ms bigint")
+    got = {
+        r.dur_ms: r.i
+        for r in df.withColumn(
+            "i", F.expr(_exp_index_exprs(0, "dur_ms"))
+        ).collect()
+    }
+    assert got == {1: -1, 2: 0, 4: 1, 1024: 9}
+
+
+def test_exp_histogram_float_path_parity_sweep(spark, duck):
+    """Scale>0 float path: Spark and DuckDB must agree on the bucket index
+    for every magnitude 1..20000 at scales 1 and 2 (the cross-engine ulp
+    risk the docstring documents — this sweep is the evidence it holds on
+    the integer domain)."""
+    from opentelemetry_collector_spark.operators.metrics import (
+        _exp_index_exprs,
+    )
+
+    con = duck("/root/testdata/sf0.001")
+    for scale in (1, 2):
+        expr = _exp_index_exprs(scale, "v")
+        s_rows = spark.sql(
+            f"SELECT v, {expr} AS i FROM "
+            "(SELECT explode(sequence(1, 20000)) AS v)"
+        ).collect()
+        d_rows = con.sql(
+            f"SELECT v, {expr} AS i FROM "
+            "(SELECT unnest(range(1, 20001)) AS v)"
+        ).fetchall()
+        s = {r.v: r.i for r in s_rows}
+        d = dict(d_rows)
+        diff = {v for v in s if s[v] != d[v]}
+        assert not diff, (scale, sorted(diff)[:10])
 
 
 def test_tail_sampling_trace_affinity(spark):
@@ -289,3 +332,53 @@ def test_otlp_document_round_trip(spark):
     assert payload["resource"]["conv_id"] == one.conv_id
     idxs = [r["turn_idx"] for r in payload["logRecords"]]
     assert idxs == sorted(idxs)
+
+
+def test_summary_approx_close_to_exact(spark):
+    """engine.approxQuantiles path: percentile_approx must land within a
+    tight rank-error bound of the exact per-series sort (sketch size 10000
+    over a few thousand points -> near-exact), and count/sum identical."""
+    from opentelemetry_collector_spark.operators.metrics import (
+        summary_quantiles,
+    )
+
+    parsed = _parsed(spark, SF_SMOKE)
+    exact = {r.tool: r for r in summary_quantiles(parsed, approx=False).collect()}
+    approx = {r.tool: r for r in summary_quantiles(parsed, approx=True).collect()}
+    assert exact.keys() == approx.keys() and exact
+    # ground-truth order statistics per series: the approx value must be an
+    # actual data point adjacent to the interpolated quantile position
+    # (percentile_approx returns a member value; exact interpolates between
+    # the two neighbors, so the sketch answer must be one of them)
+    vals = {}
+    for r in (
+        parsed.filter(F.col("trace_id").isNotNull())
+        .select("parsed_tool", "dur_ms")
+        .collect()
+    ):
+        vals.setdefault(r.parsed_tool, []).append(r.dur_ms)
+    for tool, e in exact.items():
+        a = approx[tool]
+        assert a.n_points == e.n_points and a.sum_value == e.sum_value
+        xs = sorted(vals[tool])
+        for q, p in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            pos = q * (len(xs) - 1)
+            neighbors = {xs[int(pos)], xs[min(int(pos) + 1, len(xs) - 1)]}
+            assert getattr(a, p) in neighbors, (tool, p, getattr(a, p), neighbors)
+
+
+def test_approx_gate_drives_summary_path(spark):
+    """The feature gate flips the implementation; stable/deprecated gates
+    reject Set entirely (gate.go semantics)."""
+    import pytest as _pytest
+
+    from opentelemetry_collector_spark.plans.featuregate import Registry
+
+    r = Registry()
+    r.register("engine.approxQuantiles", "alpha")
+    assert not r.is_enabled("engine.approxQuantiles")
+    r.set("engine.approxQuantiles", True)
+    assert r.is_enabled("engine.approxQuantiles")
+    r.register("engine.stableThing", "stable")
+    with _pytest.raises(ValueError):
+        r.set("engine.stableThing", True)  # even a no-op override is rejected

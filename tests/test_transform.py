@@ -59,6 +59,30 @@ def test_flag_ops_set_clear_test(spark):
     assert [r.tf for r in flagged] == [0, 1, 2, 3, 0x81]
 
 
+def test_set_attribute_json_escapes_special_chars(spark):
+    """A value with quotes/backslashes/newlines must serialize to VALID
+    canonical JSON and round-trip through from_json (the set_attribute
+    surface accepts arbitrary exprs, so the serializer cannot assume clean
+    values)."""
+    df = spark.createDataFrame([(1, "{}")], "id int, attributes_json string")
+    out = compile_statements(
+        [
+            {"op": "set_attribute", "key": "note",
+             "expr": r"'he said \"hi\" \\ back' || chr(10) || 'line2'"},
+        ]
+    )(df)
+    row = out.collect()[0]
+    import json
+
+    parsed = json.loads(row.attributes_json)
+    assert parsed == {"note": 'he said "hi" \\ back\nline2'}
+    # Spark-side from_json round-trip (the invariant the codecs rely on)
+    back = out.select(
+        F.from_json("attributes_json", "map<string,string>").alias("m")
+    ).collect()[0].m
+    assert back == {"note": 'he said "hi" \\ back\nline2'}
+
+
 def test_flag_ops_guarded(spark):
     """where-guards gate flag mutation per row like every other statement."""
     df = spark.createDataFrame([(1, 0), (2, 0)], "id int, flags int")
