@@ -1,0 +1,349 @@
+"""OTLP protobuf codec operators — protobuf send/receive analog.
+
+The reference negotiates protobuf as the primary OTLP wire format
+(receiver/otlpreceiver/encoder.go:30-36; marshalers at pdata/plog/pb.go:24-40).
+This module round-trips the engine's parsed-turn LogRecord shape through
+real OTLP protobuf bytes (wire layout in functions/protowire.py) in two
+shapes:
+
+* flat: one ``LogRecord`` message per row (the per-record envelope, the
+  protobuf twin of observe.to_otlp_json);
+* document: one ``ExportLogsServiceRequest`` per conversation —
+  Resource{conv_id} -> ScopeLogs -> LogRecord[] in turn order, the actual
+  resourceLogs nesting (pdata/plog/logs.go:24,60-62), protobuf twin of
+  observe.to_otlp_document_json.
+
+Engine columns ride in the reserved ``otelcol.`` attribute namespace
+(conv_id/turn_idx/role/tool/parsed_tool/dur_ms/status); user attributes
+(attributes_json) become real typed KeyValue pairs and are re-canonicalized
+on decode with byte-identical rules to functions.values.attributes_json.
+
+Scale notes: both directions are ``mapInPandas`` (Arrow-batched, one pass,
+no shuffle); the document encoder's only shuffle is the groupBy(conv_id)
+that the wire hierarchy itself requires, aligned with the table bucket key.
+Byte assembly is per-record by nature (same loop shape as the reference's
+generated Marshal), but stays inside the Arrow batch.
+
+Native fast path: Spark 3.4+ ships ``from_protobuf``/``to_protobuf`` in the
+``spark-protobuf`` artifact. The jar is not in this sandbox (gated the same
+way sources/catalog.py gates Iceberg) — ``native_protobuf_available()``
+probes for it; when a deployment ships the jar plus the OTLP descriptor
+set, the swap is mechanical and this codec is the conformance oracle
+(byte-identical proto3 output is asserted by the golden-vector tests).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.functions.protowire import (
+    decode_log_record,
+    decode_logs_request,
+    encode_log_record,
+    encode_logs_request,
+)
+from opentelemetry_collector_spark.functions.values import (
+    JSON_NUMBER_RE,
+    _es6_number_str,
+)
+
+#: reserved attribute namespace for engine columns on the wire
+ENGINE_PREFIX = "otelcol."
+SCOPE_NAME = "otelcol-spark/transcripts"
+
+_NUM_RE = re.compile(JSON_NUMBER_RE)
+_ESCAPES = (
+    ("\\", "\\\\"),
+    ('"', '\\"'),
+    ("\n", "\\n"),
+    ("\r", "\\r"),
+    ("\t", "\\t"),
+)
+
+DECODED_SCHEMA = (
+    "conv_id string, turn_idx int, role string, tool string, "
+    "ts timestamp_ntz, severity_text string, severity_number int, "
+    "parsed_tool string, trace_id string, span_id string, dur_ms long, "
+    "status string, attributes_json string, body string"
+)
+
+_OUT_COLS = [f.split()[0] for f in DECODED_SCHEMA.split(", ")]
+
+
+def _scalar_text(v: Any) -> str:
+    """One attribute value -> canonical JSON fragment. Mirrors
+    functions.values._json_scalar exactly: render to string (ES6 form for
+    doubles), bare iff it is a canonical JSON number, else escaped+quoted
+    (bools stringify to 'true'/'false' and thus quote, matching the Column
+    path's cast-to-string behavior)."""
+    if isinstance(v, bool):
+        s = "true" if v else "false"
+    elif isinstance(v, float):
+        s = _es6_number_str(v)
+    else:
+        s = str(v)
+    if _NUM_RE.match(s):
+        return s
+    for raw, esc in _ESCAPES:
+        s = s.replace(raw, esc)
+    return f'"{s}"'
+
+
+def canonical_attrs_json(attrs: dict[str, Any]) -> str:
+    """Sorted-key canonical JSON — the Python twin of
+    functions.values.attributes_json (null-valued keys omitted)."""
+    return (
+        "{"
+        + ", ".join(
+            f'"{k}": {_scalar_text(v)}'
+            for k, v in sorted(attrs.items())
+            if v is not None
+        )
+        + "}"
+    )
+
+
+def _none_if_na(v: Any) -> Any:
+    import pandas as pd
+
+    return None if v is None or (not isinstance(v, (str, bytes)) and pd.isna(v)) else v
+
+
+def _row_to_record(row: dict[str, Any]) -> dict[str, Any]:
+    """One wire-input row (plain dict) -> protowire LogRecord dict."""
+    user = json.loads(row["attributes_json"] or "{}")
+    engine = {
+        "conv_id": row["conv_id"],
+        "turn_idx": row["turn_idx"],
+        "role": row["role"],
+        "tool": row["tool"],
+        "parsed_tool": row["parsed_tool"],
+        "dur_ms": row["dur_ms"],
+        "status": row["status"],
+    }
+    attrs = dict(user)
+    for k, v in engine.items():
+        if v is not None:
+            attrs[ENGINE_PREFIX + k] = v
+    micros = row["time_unix_micros"]
+    return {
+        "time_unix_nano": 0 if micros is None else int(micros) * 1000,
+        "severity_number": row["severity_number"] or 0,
+        "severity_text": row["severity_text"] or "",
+        "body": row["body"],
+        "attributes": {k: attrs[k] for k in sorted(attrs)},
+        "trace_id": bytes.fromhex(row["trace_id"]) if row["trace_id"] else b"",
+        "span_id": bytes.fromhex(row["span_id"]) if row["span_id"] else b"",
+    }
+
+
+def _record_to_row(rec: dict[str, Any]) -> dict[str, Any]:
+    """protowire LogRecord dict -> decoded output row. proto3 defaults
+    (0 / empty) map back to SQL NULL where the engine schema uses NULL:
+    time 0 is unset, empty trace/span ids are invalid ids. severity is
+    three-valued in the parse layer (severity.py:severity_case_sql): no
+    marker -> 0 (SeverityNumberUnspecified, severity_number.go:23), unknown
+    token -> NULL (dead-letter signal). proto3 conflates NULL with 0 on the
+    wire, but severity_text disambiguates: a non-empty text whose number is
+    0 can only be an unmapped token (the encoder always writes the number
+    for mapped tokens), so decode restores NULL there and 0 otherwise."""
+    attrs = rec["attributes"]
+    engine = {
+        k[len(ENGINE_PREFIX):]: v
+        for k, v in attrs.items()
+        if k.startswith(ENGINE_PREFIX)
+    }
+    user = {k: v for k, v in attrs.items() if not k.startswith(ENGINE_PREFIX)}
+    t = rec["time_unix_nano"]
+    dur = engine.get("dur_ms")
+    return {
+        "conv_id": engine.get("conv_id"),
+        "turn_idx": engine.get("turn_idx"),
+        "role": engine.get("role"),
+        "tool": engine.get("tool"),
+        "time_unix_micros": None if t == 0 else t // 1000,
+        "severity_text": rec["severity_text"] or None,
+        "severity_number": (
+            rec["severity_number"]
+            if rec["severity_number"]
+            else (None if rec["severity_text"] else 0)
+        ),
+        "parsed_tool": engine.get("parsed_tool"),
+        "trace_id": rec["trace_id"].hex() if rec["trace_id"] else None,
+        "span_id": rec["span_id"].hex() if rec["span_id"] else None,
+        "dur_ms": None if dur is None else int(dur),
+        "status": engine.get("status"),
+        "attributes_json": canonical_attrs_json(user),
+        "body": rec["body"],
+    }
+
+
+_WIRE_INPUT_FIELDS = (
+    "conv_id", "turn_idx", "role", "tool", "time_unix_micros",
+    "severity_text", "severity_number", "parsed_tool", "trace_id",
+    "span_id", "dur_ms", "status", "attributes_json", "body",
+)
+
+
+def _wire_input(parsed: DataFrame) -> DataFrame:
+    """Project parsed turns to the codec input (ts -> integer micros on the
+    JVM side so pandas never touches timezone logic)."""
+    return parsed.select(
+        "conv_id", "turn_idx", "role", "tool",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("time_unix_micros"),
+        "severity_text", "severity_number", "parsed_tool", "trace_id",
+        "span_id", "dur_ms", "status", "attributes_json", "body",
+    )
+
+
+def _clean_row(row: dict[str, Any]) -> dict[str, Any]:
+    """NA -> None and pandas float-widened ints -> int (varints need ints)."""
+    clean = {k: _none_if_na(v) for k, v in row.items()}
+    for k in ("turn_idx", "severity_number", "dur_ms", "time_unix_micros"):
+        if clean.get(k) is not None:
+            clean[k] = int(clean[k])
+    return clean
+
+
+def _clean_rows(pdf) -> Iterator[dict[str, Any]]:
+    for row in pdf.to_dict("records"):
+        yield _clean_row(row)
+
+
+def _rows_to_pdf(rows: list[dict[str, Any]]):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {c: [r[c] for r in rows] for c in _OUT_COLS if c != "ts"}
+        | {
+            "ts": pd.to_datetime(
+                pd.Series([r["time_unix_micros"] for r in rows], dtype="Int64"),
+                unit="us",
+            )
+        }
+    )
+    for int_col, dtype in (("turn_idx", "Int32"), ("severity_number", "Int32"),
+                           ("dur_ms", "Int64")):
+        pdf[int_col] = pdf[int_col].astype(dtype)
+    return pdf[_OUT_COLS]
+
+
+def to_otlp_protobuf(parsed: DataFrame) -> DataFrame:
+    """Serialize parsed turns to one OTLP LogRecord protobuf message per row
+    (plog ProtoMarshaler analog) -> [conv_id, turn_idx, otlp_protobuf]."""
+
+    def encode(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = list(_clean_rows(pdf))
+            yield pd.DataFrame(
+                {
+                    "conv_id": [r["conv_id"] for r in rows],
+                    "turn_idx": pd.Series(
+                        [r["turn_idx"] for r in rows], dtype="Int32"
+                    ),
+                    "otlp_protobuf": [
+                        encode_log_record(_row_to_record(r)) for r in rows
+                    ],
+                }
+            )
+
+    return _wire_input(parsed).mapInPandas(
+        encode, "conv_id string, turn_idx int, otlp_protobuf binary"
+    )
+
+
+def from_otlp_protobuf(serialized: DataFrame) -> DataFrame:
+    """Parse LogRecord protobuf bytes back to parsed-turn columns (plog
+    ProtoUnmarshaler analog); strict — malformed bytes raise, mirroring the
+    reference unmarshal error that makes the receiver reject the request
+    (dead-lettering belongs to the source layer, sources/jsonl.py)."""
+
+    def decode(batches) -> Iterator:
+        for pdf in batches:
+            rows = [
+                _record_to_row(decode_log_record(bytes(b)))
+                for b in pdf["otlp_protobuf"]
+            ]
+            yield _rows_to_pdf(rows)
+
+    return serialized.select("otlp_protobuf").mapInPandas(
+        decode, DECODED_SCHEMA
+    )
+
+
+def to_otlp_request_protobuf(parsed: DataFrame) -> DataFrame:
+    """One ExportLogsServiceRequest per conversation: Resource{conv_id} ->
+    Scope -> LogRecord[] sorted by turn_idx. The groupBy(conv_id) shuffle is
+    inherent to the wire hierarchy and aligns with the table bucket key."""
+    rec = F.struct(*[F.col(c) for c in _WIRE_INPUT_FIELDS if c != "conv_id"])
+    grouped = (
+        _wire_input(parsed)
+        .groupBy("conv_id")
+        # struct sorts lexicographically by field order; turn_idx leads
+        .agg(F.sort_array(F.collect_list(rec)).alias("records"))
+    )
+
+    def encode(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out_conv, out_bytes = [], []
+            for conv_id, recs in zip(pdf["conv_id"], pdf["records"]):
+                rows = [
+                    _clean_row(dict(r) | {"conv_id": conv_id}) for r in recs
+                ]
+                out_conv.append(conv_id)
+                out_bytes.append(
+                    encode_logs_request(
+                        {"conv_id": conv_id},
+                        SCOPE_NAME,
+                        [_row_to_record(r) for r in rows],
+                    )
+                )
+            yield pd.DataFrame(
+                {"conv_id": out_conv, "otlp_request": out_bytes}
+            )
+
+    return grouped.mapInPandas(encode, "conv_id string, otlp_request binary")
+
+
+def from_otlp_request_protobuf(serialized: DataFrame) -> DataFrame:
+    """Explode ExportLogsServiceRequest blobs back to one row per LogRecord
+    (receiver-side unmarshal+flatten, otlpreceiver encoder.go:30-133).
+    Resource-level conv_id wins over the record's own attribute copy."""
+
+    def decode(batches) -> Iterator:
+        for pdf in batches:
+            rows: list[dict[str, Any]] = []
+            for blob in pdf["otlp_request"]:
+                for res_attrs, _scope, recs in decode_logs_request(bytes(blob)):
+                    for rec in recs:
+                        row = _record_to_row(rec)
+                        row["conv_id"] = res_attrs.get("conv_id", row["conv_id"])
+                        rows.append(row)
+            yield _rows_to_pdf(rows)
+
+    return serialized.select("otlp_request").mapInPandas(
+        decode, DECODED_SCHEMA
+    )
+
+
+def native_protobuf_available(spark) -> bool:
+    """True iff the spark-protobuf artifact is on the session classpath —
+    the gate for swapping this codec's mapInPandas path for the built-in
+    ``from_protobuf``/``to_protobuf`` columnar functions (same bytes)."""
+    try:
+        jvm = spark._jvm  # noqa: SLF001
+        jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.protobuf.ProtobufDataToCatalyst"
+        )
+        return True
+    except Exception:
+        return False

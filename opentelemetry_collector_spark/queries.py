@@ -391,6 +391,27 @@ def q_span_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse -> OTLP protobuf LogRecord bytes -> decode. Encode/decode is
+    an identity on the parsed-turn columns (tests/test_protobuf.py), so the
+    parse_turns oracle checks the full wire round-trip byte path."""
+    from opentelemetry_collector_spark.operators import protobuf as _pb
+
+    parsed = parse_turns(events_to_transcripts(spark, sf_dir)).select(*_PARSED_COLS)
+    return _pb.from_otlp_protobuf(_pb.to_otlp_protobuf(parsed)).select(*_PARSED_COLS)
+
+
+def q_protobuf_document_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse -> one ExportLogsServiceRequest per conversation (Resource ->
+    Scope -> LogRecord[] nesting) -> receiver-side unmarshal+flatten."""
+    from opentelemetry_collector_spark.operators import protobuf as _pb
+
+    parsed = parse_turns(events_to_transcripts(spark, sf_dir)).select(*_PARSED_COLS)
+    return _pb.from_otlp_request_protobuf(
+        _pb.to_otlp_request_protobuf(parsed)
+    ).select(*_PARSED_COLS)
+
+
 def q_trace_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tr.trace_rollup(_parsed(spark, sf_dir))
 
@@ -425,6 +446,8 @@ PIPELINE_QUERIES: dict[str, QueryFn] = {
         events_to_transcripts(spark, sf_dir)
     ),
     "transform_pipeline": q_transform_pipeline,
+    "protobuf_roundtrip": q_protobuf_roundtrip,
+    "protobuf_document_roundtrip": q_protobuf_document_roundtrip,
     "span_events": q_span_events,
     "span_links": q_span_links,
     "metrics_gauge_last": q_metrics_gauge_last,
@@ -490,6 +513,12 @@ DOCS_ORACLES: dict[str, str] = {
 PIPELINE_ORACLES: dict[str, str] = {
     "transcripts_source": TRANSCRIPTS_FROM_EVENTS_SQL,
     "parse_turns": f"""WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+SELECT {', '.join(_PARSED_COLS)} FROM ({parse_oracle_sql('transcripts')}) q""",
+    # wire round-trips are identities on the parsed columns, so the parse
+    # oracle doubles as the protobuf-codec oracle (any codec bug breaks hash)
+    "protobuf_roundtrip": f"""WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+SELECT {', '.join(_PARSED_COLS)} FROM ({parse_oracle_sql('transcripts')}) q""",
+    "protobuf_document_roundtrip": f"""WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
 SELECT {', '.join(_PARSED_COLS)} FROM ({parse_oracle_sql('transcripts')}) q""",
     "enrich": f"""{_ORACLE_BASE}
 SELECT {', '.join(_ENRICHED_COLS)} FROM enriched""",
