@@ -13,16 +13,70 @@ service/config.go:42-98). Re-expressed minimally:
 * validation mirrors service/config.go: >=1 pipeline, each pipeline needs
   >=1 receiver and >=1 exporter, no duplicate processor in a pipeline,
   component references must be defined.
+* provider URIs: ``file:``, ``env:``, ``yaml:``, ``http://``, ``https://``
+  scheme dispatch like the reference's provider registry
+  (confmap/provider/{fileprovider,envprovider,yamlprovider,httpprovider,
+  httpsprovider}); a scheme-less string is a file path (resolver.go's
+  default-scheme rule).
 """
 
 from __future__ import annotations
 
 import os
 import re
+import urllib.request
 from dataclasses import dataclass, field
 from typing import Any
 
 _REF = re.compile(r"\$\{(?:env:)?([A-Za-z_][A-Za-z0-9_]*)\}")
+
+#: URI scheme per confmap/resolver.go:229 (RFC 3986 scheme, >=2 chars so
+#: Windows-style one-letter drive prefixes never match)
+_SCHEME = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]+):")
+
+
+def _fetch_http(uri: str, timeout: float = 10.0) -> str:
+    """GET a config body over http/https (confmap/provider/httpprovider/
+    provider.go:45-63 — plain GET, non-2xx is an error). Split out so tests
+    and deployments can stub transport without a live endpoint."""
+    with urllib.request.urlopen(uri, timeout=timeout) as resp:  # noqa: S310
+        if not 200 <= resp.status < 300:
+            raise ValueError(f"config fetch {uri!r}: HTTP {resp.status}")
+        return resp.read().decode("utf-8")
+
+
+def load_uri(uri: str) -> dict:
+    """One provider URI -> config map (the provider registry dispatch,
+    confmap/resolver.go:122-141).
+
+    * ``file:path`` or plain path — YAML file (fileprovider);
+    * ``env:NAME`` — the variable's VALUE parsed as YAML (envprovider;
+      distinct from ``${env:NAME}`` scalar expansion);
+    * ``yaml:receivers::x: {}`` — inline YAML body (yamlprovider);
+    * ``http(s)://...`` — remote YAML (http/httpsprovider; TLS handled by
+      urllib; custom CA bundles are a deployment concern, gated like the
+      reference's httpsprovider config).
+    """
+    import yaml
+
+    m = _SCHEME.match(uri)
+    scheme = m.group(1).lower() if m else "file"
+    rest = uri[m.end():] if m else uri
+    if scheme == "file":
+        with open(rest) as f:
+            return yaml.safe_load(f) or {}
+    if scheme == "env":
+        if rest not in os.environ:
+            raise ValueError(f"config env provider: {rest!r} is not set")
+        return yaml.safe_load(os.environ[rest]) or {}
+    if scheme == "yaml":
+        data = yaml.safe_load(rest)
+        if not isinstance(data, dict):
+            raise ValueError(f"yaml: URI must parse to a map, got {type(data)}")
+        return data
+    if scheme in ("http", "https"):
+        return yaml.safe_load(_fetch_http(uri)) or {}
+    raise ValueError(f"unsupported config provider scheme {scheme!r}")
 
 
 def expand_vars(value: Any, env: dict[str, str] | None = None) -> Any:
@@ -69,16 +123,12 @@ class ServiceConfig:
     @classmethod
     def from_sources(cls, *sources: str | dict,
                      env: dict[str, str] | None = None) -> "ServiceConfig":
-        """Resolve: load YAML paths / dicts in order, merge, expand, build."""
-        import yaml
-
+        """Resolve: load provider URIs / dicts in order, merge, expand,
+        build. Strings go through the provider registry (load_uri); plain
+        paths keep working via the default file scheme."""
         merged: dict = {}
         for src in sources:
-            if isinstance(src, str):
-                with open(src) as f:
-                    data = yaml.safe_load(f) or {}
-            else:
-                data = src
+            data = load_uri(src) if isinstance(src, str) else src
             merged = deep_merge(merged, data)
         merged = expand_vars(merged, env)
         cfg = cls(

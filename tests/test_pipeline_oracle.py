@@ -9,7 +9,9 @@ from opentelemetry_collector_spark.queries import PIPELINE_ORACLES, PIPELINE_QUE
 from tests.conftest import SF_CORRECT, assert_df_equal
 
 
-ROWS_ONLY: set[str] = set()
+# approx-quantile output is contractually tolerance-checked, not
+# hash-equal (tests/test_metrics_traces.py covers it against the exact path)
+ROWS_ONLY: set[str] = {"metrics_summary_approx"}
 
 
 @pytest.mark.parametrize("name", sorted(PIPELINE_QUERIES))

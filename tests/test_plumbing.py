@@ -22,6 +22,7 @@ from opentelemetry_collector_spark.plans.config import (
     ServiceConfig,
     deep_merge,
     expand_vars,
+    load_uri,
 )
 from opentelemetry_collector_spark.plans.pipeline import Pipeline, PipelineConfig
 from opentelemetry_collector_spark.sources.transcripts import events_to_transcripts
@@ -98,6 +99,70 @@ def test_config_yaml_file_roundtrip(tmp_path):
 def test_expand_vars_nested():
     v = expand_vars({"a": ["${X}", {"b": "pre-${env:X}-post"}]}, env={"X": "v"})
     assert v == {"a": ["v", {"b": "pre-v-post"}]}
+
+
+# --- provider URIs (confmap/provider/*) -------------------------------------
+
+
+def test_config_file_scheme_uri(tmp_path):
+    import yaml
+
+    p = tmp_path / "c.yaml"
+    p.write_text(yaml.safe_dump(VALID_CFG))
+    cfg = ServiceConfig.from_sources(f"file:{p}", env={"SRC_PATH": "/y"})
+    assert cfg.receivers["transcripts"]["path"] == "/y"
+
+
+def test_config_env_provider_uri(monkeypatch):
+    import yaml
+
+    monkeypatch.setenv("OTEL_CFG_BODY", yaml.safe_dump(VALID_CFG))
+    cfg = ServiceConfig.from_sources("env:OTEL_CFG_BODY", env={"SRC_PATH": "/z"})
+    assert cfg.receivers["transcripts"]["path"] == "/z"
+
+
+def test_config_env_provider_unset_raises():
+    with pytest.raises(ValueError, match="is not set"):
+        load_uri("env:OTEL_CFG_BODY_DOES_NOT_EXIST")
+
+
+def test_config_yaml_provider_uri():
+    # yamlprovider: the URI body IS the YAML — used for CLI --set overrides
+    over = load_uri('yaml:{exporters: {sinks: {path: /tmp/override}}}')
+    cfg = ServiceConfig.from_sources(VALID_CFG, over, env={})
+    assert cfg.exporters["sinks"]["path"] == "/tmp/override"
+
+
+def test_config_http_provider_loopback(tmp_path):
+    """httpprovider round-trip against a real loopback server (no external
+    network); https differs only in the TLS handshake urllib owns."""
+    import http.server
+    import threading
+    import yaml
+
+    (tmp_path / "c.yaml").write_text(yaml.safe_dump(VALID_CFG))
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(  # noqa: E731
+        *a, directory=str(tmp_path), **kw
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        cfg = ServiceConfig.from_sources(
+            f"http://127.0.0.1:{port}/c.yaml", env={"SRC_PATH": "/h"}
+        )
+        assert cfg.receivers["transcripts"]["path"] == "/h"
+        with pytest.raises(Exception):
+            load_uri(f"http://127.0.0.1:{port}/missing.yaml")
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_config_unknown_scheme_raises():
+    with pytest.raises(ValueError, match="unsupported config provider"):
+        load_uri("ftp:whatever")
 
 
 # --- obsreport counters -----------------------------------------------------
