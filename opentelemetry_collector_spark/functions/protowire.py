@@ -8,10 +8,11 @@ from:
 
 * the protobuf wire encoding (varint base-128, little-endian fixed64/32,
   length-delimited submessages; tag = field_number << 3 | wire_type);
-* the OTLP field layout of ``opentelemetry/proto/logs/v1/logs.proto`` and
-  ``opentelemetry/proto/common/v1/common.proto`` (field numbers below match
-  the reference's generated pdata structs, e.g.
-  pdata/plog/generated_logrecord.go and pdata/pcommon/generated_value.go).
+* the OTLP field layout of ``opentelemetry/proto/{logs,trace,metrics}/v1``
+  and ``common/v1/common.proto`` (field numbers below match the reference's
+  generated pdata structs under pdata/internal/data/protogen/ — all three
+  signals: LogRecord, Span incl. events/links/status, and Metric with
+  gauge/sum/histogram/exponential_histogram/summary points + exemplars).
 
 Everything here is pure Python over ``bytes`` — no Spark imports — so the
 codec unit-tests run without a session and the Spark glue
@@ -148,6 +149,61 @@ def iter_fields(buf: bytes) -> Iterator[tuple[int, int, Any]]:
 
 def _to_i64(u: int) -> int:
     return u - (1 << 64) if u > _I64_MAX else u
+
+
+def _zigzag32(v: int) -> int:
+    """sint32 zigzag encode (negative scales/offsets stay 1-2 bytes)."""
+    return ((v << 1) ^ (v >> 31)) & 0xFFFFFFFF
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def _sint32_field(field: int, v: int) -> bytes:
+    return _tag(field, _VARINT) + encode_varint(_zigzag32(v))
+
+
+def _packed_fixed64(field: int, vals: list[int]) -> bytes:
+    if not vals:
+        return b""
+    return _len_field(field, b"".join(struct.pack("<Q", v & _U64) for v in vals))
+
+
+def _packed_double(field: int, vals: list[float]) -> bytes:
+    if not vals:
+        return b""
+    return _len_field(field, b"".join(struct.pack("<d", v) for v in vals))
+
+
+def _packed_varint(field: int, vals: list[int]) -> bytes:
+    if not vals:
+        return b""
+    return _len_field(field, b"".join(encode_varint(v) for v in vals))
+
+
+def _unpack_fixed64(buf: bytes) -> list[int]:
+    if len(buf) % 8:
+        raise ValueError("packed fixed64 length not a multiple of 8")
+    return [v[0] for v in struct.iter_unpack("<Q", buf)]
+
+
+def _unpack_double(buf: bytes) -> list[float]:
+    if len(buf) % 8:
+        raise ValueError("packed double length not a multiple of 8")
+    return [v[0] for v in struct.iter_unpack("<d", buf)]
+
+
+def _unpack_varint(buf: bytes) -> list[int]:
+    out, pos = [], 0
+    while pos < len(buf):
+        v, pos = decode_varint(buf, pos)
+        out.append(v)
+    return out
+
+
+def _as_double(u: int) -> float:
+    return struct.unpack("<d", struct.pack("<Q", u))[0]
 
 
 # --- AnyValue / KeyValue (common.proto) --------------------------------------
@@ -359,4 +415,611 @@ def decode_logs_request(
                 elif f3 == 2:
                     records.append(decode_log_record(v3))
             out.append((resource_attrs, scope_name, records))
+    return out
+
+
+# --- Span (trace.proto) -------------------------------------------------------
+# Field numbers (pdata/internal/data/protogen/trace/v1/trace.pb.go; this
+# collector version's Span ends at 15 status — it predates Span.flags=16,
+# so the wire codec matches the reference and the engine's flags column
+# rides in the otelcol. attribute namespace like other engine columns):
+#   1 trace_id (bytes[16])   2 span_id (bytes[8])   3 trace_state (string)
+#   4 parent_span_id (bytes) 5 name (string)        6 kind (varint enum)
+#   7 start_time_unix_nano   8 end_time_unix_nano   (both fixed64)
+#   9 attributes (rep KV)   10 dropped_attributes_count
+#  11 events (rep Event)    12 dropped_events_count
+#  13 links (rep Link)      14 dropped_links_count  15 status (Status)
+# Span.Event: 1 time_unix_nano (fixed64), 2 name, 3 attributes, 4 dropped
+# Span.Link:  1 trace_id, 2 span_id, 3 trace_state, 4 attributes, 5 dropped
+# Status:     2 message (string), 3 code (varint enum; field 1 deprecated)
+
+
+def encode_span_event(ev: dict[str, Any]) -> bytes:
+    out = bytearray()
+    if ev.get("time_unix_nano"):
+        out += _fixed64_field(1, ev["time_unix_nano"])
+    if ev.get("name"):
+        out += _str_field(2, ev["name"])
+    out += _attrs_block(3, ev.get("attributes") or {})
+    return bytes(out)
+
+
+def decode_span_event(buf: bytes) -> dict[str, Any]:
+    ev: dict[str, Any] = {"time_unix_nano": 0, "name": "", "attributes": {}}
+    for field, _w, v in iter_fields(buf):
+        if field == 1:
+            ev["time_unix_nano"] = v
+        elif field == 2:
+            ev["name"] = v.decode("utf-8")
+        elif field == 3:
+            k, val = decode_key_value(v)
+            ev["attributes"][k] = val
+    return ev
+
+
+def encode_span_link(ln: dict[str, Any]) -> bytes:
+    out = bytearray()
+    if ln.get("trace_id"):
+        out += _len_field(1, ln["trace_id"])
+    if ln.get("span_id"):
+        out += _len_field(2, ln["span_id"])
+    if ln.get("trace_state"):
+        out += _str_field(3, ln["trace_state"])
+    out += _attrs_block(4, ln.get("attributes") or {})
+    return bytes(out)
+
+
+def decode_span_link(buf: bytes) -> dict[str, Any]:
+    ln: dict[str, Any] = {
+        "trace_id": b"", "span_id": b"", "trace_state": "", "attributes": {},
+    }
+    for field, _w, v in iter_fields(buf):
+        if field == 1:
+            ln["trace_id"] = bytes(v)
+        elif field == 2:
+            ln["span_id"] = bytes(v)
+        elif field == 3:
+            ln["trace_state"] = v.decode("utf-8")
+        elif field == 4:
+            k, val = decode_key_value(v)
+            ln["attributes"][k] = val
+    return ln
+
+
+def encode_span(sp: dict[str, Any]) -> bytes:
+    out = bytearray()
+    if sp.get("trace_id"):
+        out += _len_field(1, sp["trace_id"])
+    if sp.get("span_id"):
+        out += _len_field(2, sp["span_id"])
+    if sp.get("trace_state"):
+        out += _str_field(3, sp["trace_state"])
+    if sp.get("parent_span_id"):
+        out += _len_field(4, sp["parent_span_id"])
+    if sp.get("name"):
+        out += _str_field(5, sp["name"])
+    if sp.get("kind"):
+        out += _int64_field(6, sp["kind"])
+    if sp.get("start_time_unix_nano"):
+        out += _fixed64_field(7, sp["start_time_unix_nano"])
+    if sp.get("end_time_unix_nano"):
+        out += _fixed64_field(8, sp["end_time_unix_nano"])
+    out += _attrs_block(9, sp.get("attributes") or {})
+    for ev in sp.get("events") or []:
+        out += _len_field(11, encode_span_event(ev))
+    for ln in sp.get("links") or []:
+        out += _len_field(13, encode_span_link(ln))
+    # Status presence mirrors pdata: encode when code or message is set
+    # (Unset code + empty message == absent Status submessage)
+    if sp.get("status_code") or sp.get("status_message"):
+        st = bytearray()
+        if sp.get("status_message"):
+            st += _str_field(2, sp["status_message"])
+        if sp.get("status_code"):
+            st += _int64_field(3, sp["status_code"])
+        out += _len_field(15, bytes(st))
+    return bytes(out)
+
+
+def decode_span(buf: bytes) -> dict[str, Any]:
+    sp: dict[str, Any] = {
+        "trace_id": b"", "span_id": b"", "trace_state": "",
+        "parent_span_id": b"", "name": "", "kind": 0,
+        "start_time_unix_nano": 0, "end_time_unix_nano": 0,
+        "attributes": {}, "events": [], "links": [],
+        "status_code": 0, "status_message": "",
+    }
+    for field, _w, v in iter_fields(buf):
+        if field == 1:
+            sp["trace_id"] = bytes(v)
+        elif field == 2:
+            sp["span_id"] = bytes(v)
+        elif field == 3:
+            sp["trace_state"] = v.decode("utf-8")
+        elif field == 4:
+            sp["parent_span_id"] = bytes(v)
+        elif field == 5:
+            sp["name"] = v.decode("utf-8")
+        elif field == 6:
+            sp["kind"] = _to_i64(v)
+        elif field == 7:
+            sp["start_time_unix_nano"] = v
+        elif field == 8:
+            sp["end_time_unix_nano"] = v
+        elif field == 9:
+            k, val = decode_key_value(v)
+            sp["attributes"][k] = val
+        elif field == 11:
+            sp["events"].append(decode_span_event(v))
+        elif field == 13:
+            sp["links"].append(decode_span_link(v))
+        elif field == 15:
+            for f2, _w2, v2 in iter_fields(v):
+                if f2 == 2:
+                    sp["status_message"] = v2.decode("utf-8")
+                elif f2 == 3:
+                    sp["status_code"] = _to_i64(v2)
+    return sp
+
+
+def encode_trace_request(
+    resource_attrs: dict[str, Any],
+    scope_name: str,
+    spans: list[dict[str, Any]],
+) -> bytes:
+    """ExportTraceServiceRequest: 1 rep ResourceSpans{1 Resource,
+    2 rep ScopeSpans{1 scope, 2 rep Span}} (collector/trace/v1)."""
+    resource = _attrs_block(1, resource_attrs)
+    scope = _str_field(1, scope_name) if scope_name else b""
+    scope_spans = _len_field(1, scope) + b"".join(
+        _len_field(2, encode_span(s)) for s in spans
+    )
+    resource_spans = _len_field(1, resource) + _len_field(2, scope_spans)
+    return _len_field(1, resource_spans)
+
+
+def decode_trace_request(
+    buf: bytes,
+) -> list[tuple[dict[str, Any], str, list[dict[str, Any]]]]:
+    out: list[tuple[dict[str, Any], str, list[dict[str, Any]]]] = []
+    for f1, _w1, rs in iter_fields(buf):
+        if f1 != 1:
+            continue
+        resource_attrs: dict[str, Any] = {}
+        for f2, _w2, v2 in iter_fields(rs):
+            if f2 == 1:
+                for f3, _w3, v3 in iter_fields(v2):
+                    if f3 == 1:
+                        k, val = decode_key_value(v3)
+                        resource_attrs[k] = val
+        for f2, _w2, v2 in iter_fields(rs):
+            if f2 != 2:
+                continue
+            scope_name = ""
+            spans: list[dict[str, Any]] = []
+            for f3, _w3, v3 in iter_fields(v2):
+                if f3 == 1:
+                    for f4, _w4, v4 in iter_fields(v3):
+                        if f4 == 1:
+                            scope_name = v4.decode("utf-8")
+                elif f3 == 2:
+                    spans.append(decode_span(v3))
+            out.append((resource_attrs, scope_name, spans))
+    return out
+
+
+# --- Metric (metrics.proto) ---------------------------------------------------
+# Metric: 1 name, 2 description, 3 unit; data oneof: 5 gauge, 7 sum,
+#   9 histogram, 10 exponential_histogram, 11 summary
+# Gauge{1 rep NumberDataPoint}; Sum{1 rep NDP, 2 temporality, 3 monotonic};
+# Histogram{1 rep HDP, 2 temporality}; ExpHistogram{1 rep EHDP, 2 temp};
+# Summary{1 rep SDP}
+# NumberDataPoint: 7 attrs, 2 start, 3 time (fixed64), 4 as_double,
+#   6 as_int (both fixed64 oneof), 5 exemplars, 8 flags
+# HistogramDataPoint: 9 attrs, 2 start, 3 time, 4 count (fixed64),
+#   5 sum (double oneof), 6 bucket_counts (packed fixed64),
+#   7 explicit_bounds (packed double), 8 exemplars, 10 flags, 11 min, 12 max
+# ExponentialHistogramDataPoint: 1 attrs, 2 start, 3 time, 4 count,
+#   5 sum, 6 scale (zigzag32), 7 zero_count (fixed64), 8 positive,
+#   9 negative (Buckets{1 offset zigzag32, 2 bucket_counts packed varint}),
+#   10 flags, 11 exemplars, 12 min, 13 max
+# SummaryDataPoint: 7 attrs, 2 start, 3 time, 4 count (fixed64),
+#   5 sum (double, NOT oneof), 6 rep ValueAtQuantile{1 quantile, 2 value}
+# Exemplar: 7 filtered_attributes, 2 time (fixed64), 3 as_double,
+#   6 as_int (oneof), 4 span_id, 5 trace_id
+
+AGG_TEMPORALITY_DELTA = 1
+AGG_TEMPORALITY_CUMULATIVE = 2
+
+_METRIC_DATA_FIELD = {
+    "gauge": 5, "sum": 7, "histogram": 9,
+    "exponential_histogram": 10, "summary": 11,
+}
+_METRIC_DATA_TYPE = {v: k for k, v in _METRIC_DATA_FIELD.items()}
+
+
+def _encode_point_common(dp: dict[str, Any], attrs_field: int) -> bytes:
+    out = bytearray()
+    out += _attrs_block(attrs_field, dp.get("attributes") or {})
+    if dp.get("start_time_unix_nano"):
+        out += _fixed64_field(2, dp["start_time_unix_nano"])
+    if dp.get("time_unix_nano"):
+        out += _fixed64_field(3, dp["time_unix_nano"])
+    return bytes(out)
+
+
+def encode_exemplar(ex: dict[str, Any]) -> bytes:
+    out = bytearray()
+    out += _attrs_block(7, ex.get("filtered_attributes") or {})
+    if ex.get("time_unix_nano"):
+        out += _fixed64_field(2, ex["time_unix_nano"])
+    if ex.get("as_int") is not None:
+        out += _tag(6, _FIXED64) + struct.pack("<q", ex["as_int"])
+    elif ex.get("as_double") is not None:
+        out += _double_field(3, ex["as_double"])
+    if ex.get("span_id"):
+        out += _len_field(4, ex["span_id"])
+    if ex.get("trace_id"):
+        out += _len_field(5, ex["trace_id"])
+    return bytes(out)
+
+
+def decode_exemplar(buf: bytes) -> dict[str, Any]:
+    ex: dict[str, Any] = {
+        "filtered_attributes": {}, "time_unix_nano": 0,
+        "as_double": None, "as_int": None, "span_id": b"", "trace_id": b"",
+    }
+    for field, _w, v in iter_fields(buf):
+        if field == 7:
+            k, val = decode_key_value(v)
+            ex["filtered_attributes"][k] = val
+        elif field == 2:
+            ex["time_unix_nano"] = v
+        elif field == 3:
+            ex["as_double"] = _as_double(v)
+        elif field == 6:
+            ex["as_int"] = struct.unpack("<q", struct.pack("<Q", v))[0]
+        elif field == 4:
+            ex["span_id"] = bytes(v)
+        elif field == 5:
+            ex["trace_id"] = bytes(v)
+    return ex
+
+
+def encode_number_point(dp: dict[str, Any]) -> bytes:
+    out = bytearray(_encode_point_common(dp, 7))
+    # oneof value: as_int wins when both set (pdata's ValueType switch)
+    if dp.get("as_int") is not None:
+        out += _tag(6, _FIXED64) + struct.pack("<q", dp["as_int"])
+    elif dp.get("as_double") is not None:
+        out += _double_field(4, dp["as_double"])
+    for ex in dp.get("exemplars") or []:
+        out += _len_field(5, encode_exemplar(ex))
+    if dp.get("flags"):
+        out += _int64_field(8, dp["flags"])
+    return bytes(out)
+
+
+def decode_number_point(buf: bytes) -> dict[str, Any]:
+    dp: dict[str, Any] = {
+        "attributes": {}, "start_time_unix_nano": 0, "time_unix_nano": 0,
+        "as_double": None, "as_int": None, "exemplars": [], "flags": 0,
+    }
+    for field, _w, v in iter_fields(buf):
+        if field == 7:
+            k, val = decode_key_value(v)
+            dp["attributes"][k] = val
+        elif field == 2:
+            dp["start_time_unix_nano"] = v
+        elif field == 3:
+            dp["time_unix_nano"] = v
+        elif field == 4:
+            dp["as_double"] = _as_double(v)
+        elif field == 6:
+            dp["as_int"] = struct.unpack("<q", struct.pack("<Q", v))[0]
+        elif field == 5:
+            dp["exemplars"].append(decode_exemplar(v))
+        elif field == 8:
+            dp["flags"] = v
+    return dp
+
+
+def encode_histogram_point(dp: dict[str, Any]) -> bytes:
+    out = bytearray(_encode_point_common(dp, 9))
+    if dp.get("count"):
+        out += _fixed64_field(4, dp["count"])
+    if dp.get("sum") is not None:
+        out += _double_field(5, dp["sum"])
+    out += _packed_fixed64(6, dp.get("bucket_counts") or [])
+    out += _packed_double(7, dp.get("explicit_bounds") or [])
+    for ex in dp.get("exemplars") or []:
+        out += _len_field(8, encode_exemplar(ex))
+    if dp.get("flags"):
+        out += _int64_field(10, dp["flags"])
+    if dp.get("min") is not None:
+        out += _double_field(11, dp["min"])
+    if dp.get("max") is not None:
+        out += _double_field(12, dp["max"])
+    return bytes(out)
+
+
+def decode_histogram_point(buf: bytes) -> dict[str, Any]:
+    dp: dict[str, Any] = {
+        "attributes": {}, "start_time_unix_nano": 0, "time_unix_nano": 0,
+        "count": 0, "sum": None, "bucket_counts": [], "explicit_bounds": [],
+        "exemplars": [], "flags": 0, "min": None, "max": None,
+    }
+    for field, wire, v in iter_fields(buf):
+        if field == 9:
+            k, val = decode_key_value(v)
+            dp["attributes"][k] = val
+        elif field == 2:
+            dp["start_time_unix_nano"] = v
+        elif field == 3:
+            dp["time_unix_nano"] = v
+        elif field == 4:
+            dp["count"] = v
+        elif field == 5:
+            dp["sum"] = _as_double(v)
+        elif field == 6:
+            dp["bucket_counts"] = (
+                _unpack_fixed64(v) if wire == _LEN
+                else dp["bucket_counts"] + [v]  # unpacked fallback
+            )
+        elif field == 7:
+            dp["explicit_bounds"] = (
+                _unpack_double(v) if wire == _LEN
+                else dp["explicit_bounds"] + [_as_double(v)]
+            )
+        elif field == 8:
+            dp["exemplars"].append(decode_exemplar(v))
+        elif field == 10:
+            dp["flags"] = v
+        elif field == 11:
+            dp["min"] = _as_double(v)
+        elif field == 12:
+            dp["max"] = _as_double(v)
+    return dp
+
+
+def _encode_exp_buckets(b: dict[str, Any]) -> bytes:
+    out = bytearray()
+    if b.get("offset"):
+        out += _sint32_field(1, b["offset"])
+    out += _packed_varint(2, b.get("bucket_counts") or [])
+    return bytes(out)
+
+
+def _decode_exp_buckets(buf: bytes) -> dict[str, Any]:
+    b: dict[str, Any] = {"offset": 0, "bucket_counts": []}
+    for field, wire, v in iter_fields(buf):
+        if field == 1:
+            b["offset"] = _unzigzag(v)
+        elif field == 2:
+            b["bucket_counts"] = (
+                _unpack_varint(v) if wire == _LEN
+                else b["bucket_counts"] + [v]
+            )
+    return b
+
+
+def encode_exp_histogram_point(dp: dict[str, Any]) -> bytes:
+    out = bytearray(_encode_point_common(dp, 1))
+    if dp.get("count"):
+        out += _fixed64_field(4, dp["count"])
+    if dp.get("sum") is not None:
+        out += _double_field(5, dp["sum"])
+    if dp.get("scale"):
+        out += _sint32_field(6, dp["scale"])
+    if dp.get("zero_count"):
+        out += _fixed64_field(7, dp["zero_count"])
+    if dp.get("positive"):
+        out += _len_field(8, _encode_exp_buckets(dp["positive"]))
+    if dp.get("negative"):
+        out += _len_field(9, _encode_exp_buckets(dp["negative"]))
+    if dp.get("flags"):
+        out += _int64_field(10, dp["flags"])
+    for ex in dp.get("exemplars") or []:
+        out += _len_field(11, encode_exemplar(ex))
+    if dp.get("min") is not None:
+        out += _double_field(12, dp["min"])
+    if dp.get("max") is not None:
+        out += _double_field(13, dp["max"])
+    return bytes(out)
+
+
+def decode_exp_histogram_point(buf: bytes) -> dict[str, Any]:
+    dp: dict[str, Any] = {
+        "attributes": {}, "start_time_unix_nano": 0, "time_unix_nano": 0,
+        "count": 0, "sum": None, "scale": 0, "zero_count": 0,
+        "positive": {"offset": 0, "bucket_counts": []},
+        "negative": {"offset": 0, "bucket_counts": []},
+        "exemplars": [], "flags": 0, "min": None, "max": None,
+    }
+    for field, _w, v in iter_fields(buf):
+        if field == 1:
+            k, val = decode_key_value(v)
+            dp["attributes"][k] = val
+        elif field == 2:
+            dp["start_time_unix_nano"] = v
+        elif field == 3:
+            dp["time_unix_nano"] = v
+        elif field == 4:
+            dp["count"] = v
+        elif field == 5:
+            dp["sum"] = _as_double(v)
+        elif field == 6:
+            dp["scale"] = _unzigzag(v)
+        elif field == 7:
+            dp["zero_count"] = v
+        elif field == 8:
+            dp["positive"] = _decode_exp_buckets(v)
+        elif field == 9:
+            dp["negative"] = _decode_exp_buckets(v)
+        elif field == 10:
+            dp["flags"] = v
+        elif field == 11:
+            dp["exemplars"].append(decode_exemplar(v))
+        elif field == 12:
+            dp["min"] = _as_double(v)
+        elif field == 13:
+            dp["max"] = _as_double(v)
+    return dp
+
+
+def encode_summary_point(dp: dict[str, Any]) -> bytes:
+    out = bytearray(_encode_point_common(dp, 7))
+    if dp.get("count"):
+        out += _fixed64_field(4, dp["count"])
+    if dp.get("sum"):  # plain double, proto3 default-omitted (not a oneof)
+        out += _double_field(5, dp["sum"])
+    for qv in dp.get("quantile_values") or []:
+        inner = bytearray()
+        if qv.get("quantile"):
+            inner += _double_field(1, qv["quantile"])
+        if qv.get("value"):
+            inner += _double_field(2, qv["value"])
+        out += _len_field(6, bytes(inner))
+    if dp.get("flags"):
+        out += _int64_field(8, dp["flags"])
+    return bytes(out)
+
+
+def decode_summary_point(buf: bytes) -> dict[str, Any]:
+    dp: dict[str, Any] = {
+        "attributes": {}, "start_time_unix_nano": 0, "time_unix_nano": 0,
+        "count": 0, "sum": 0.0, "quantile_values": [], "flags": 0,
+    }
+    for field, _w, v in iter_fields(buf):
+        if field == 7:
+            k, val = decode_key_value(v)
+            dp["attributes"][k] = val
+        elif field == 2:
+            dp["start_time_unix_nano"] = v
+        elif field == 3:
+            dp["time_unix_nano"] = v
+        elif field == 4:
+            dp["count"] = v
+        elif field == 5:
+            dp["sum"] = _as_double(v)
+        elif field == 6:
+            qv = {"quantile": 0.0, "value": 0.0}
+            for f2, _w2, v2 in iter_fields(v):
+                if f2 == 1:
+                    qv["quantile"] = _as_double(v2)
+                elif f2 == 2:
+                    qv["value"] = _as_double(v2)
+            dp["quantile_values"].append(qv)
+        elif field == 8:
+            dp["flags"] = v
+    return dp
+
+
+_POINT_CODEC = {
+    "gauge": (encode_number_point, decode_number_point),
+    "sum": (encode_number_point, decode_number_point),
+    "histogram": (encode_histogram_point, decode_histogram_point),
+    "exponential_histogram": (
+        encode_exp_histogram_point, decode_exp_histogram_point,
+    ),
+    "summary": (encode_summary_point, decode_summary_point),
+}
+
+
+def encode_metric(m: dict[str, Any]) -> bytes:
+    """m: name/description/unit, type (gauge|sum|histogram|
+    exponential_histogram|summary), data_points (list of point dicts),
+    aggregation_temporality (sum/histogram/exp), is_monotonic (sum)."""
+    mtype = m["type"]
+    enc, _ = _POINT_CODEC[mtype]
+    data = bytearray()
+    for dp in m.get("data_points") or []:
+        data += _len_field(1, enc(dp))
+    if mtype in ("sum", "histogram", "exponential_histogram") and m.get(
+        "aggregation_temporality"
+    ):
+        data += _int64_field(2, m["aggregation_temporality"])
+    if mtype == "sum" and m.get("is_monotonic"):
+        data += _int64_field(3, 1)
+    out = bytearray()
+    if m.get("name"):
+        out += _str_field(1, m["name"])
+    if m.get("description"):
+        out += _str_field(2, m["description"])
+    if m.get("unit"):
+        out += _str_field(3, m["unit"])
+    out += _len_field(_METRIC_DATA_FIELD[mtype], bytes(data))
+    return bytes(out)
+
+
+def decode_metric(buf: bytes) -> dict[str, Any]:
+    m: dict[str, Any] = {
+        "name": "", "description": "", "unit": "", "type": None,
+        "data_points": [], "aggregation_temporality": 0,
+        "is_monotonic": False,
+    }
+    for field, _w, v in iter_fields(buf):
+        if field == 1:
+            m["name"] = v.decode("utf-8")
+        elif field == 2:
+            m["description"] = v.decode("utf-8")
+        elif field == 3:
+            m["unit"] = v.decode("utf-8")
+        elif field in _METRIC_DATA_TYPE:
+            mtype = _METRIC_DATA_TYPE[field]
+            m["type"] = mtype
+            _, dec = _POINT_CODEC[mtype]
+            for f2, _w2, v2 in iter_fields(v):
+                if f2 == 1:
+                    m["data_points"].append(dec(v2))
+                elif f2 == 2:
+                    m["aggregation_temporality"] = _to_i64(v2)
+                elif f2 == 3:
+                    m["is_monotonic"] = bool(v2)
+    return m
+
+
+def encode_metrics_request(
+    resource_attrs: dict[str, Any],
+    scope_name: str,
+    metrics: list[dict[str, Any]],
+) -> bytes:
+    """ExportMetricsServiceRequest: 1 rep ResourceMetrics{1 Resource,
+    2 rep ScopeMetrics{1 scope, 2 rep Metric}} (collector/metrics/v1)."""
+    resource = _attrs_block(1, resource_attrs)
+    scope = _str_field(1, scope_name) if scope_name else b""
+    scope_metrics = _len_field(1, scope) + b"".join(
+        _len_field(2, encode_metric(mm)) for mm in metrics
+    )
+    resource_metrics = _len_field(1, resource) + _len_field(2, scope_metrics)
+    return _len_field(1, resource_metrics)
+
+
+def decode_metrics_request(
+    buf: bytes,
+) -> list[tuple[dict[str, Any], str, list[dict[str, Any]]]]:
+    out: list[tuple[dict[str, Any], str, list[dict[str, Any]]]] = []
+    for f1, _w1, rm in iter_fields(buf):
+        if f1 != 1:
+            continue
+        resource_attrs: dict[str, Any] = {}
+        for f2, _w2, v2 in iter_fields(rm):
+            if f2 == 1:
+                for f3, _w3, v3 in iter_fields(v2):
+                    if f3 == 1:
+                        k, val = decode_key_value(v3)
+                        resource_attrs[k] = val
+        for f2, _w2, v2 in iter_fields(rm):
+            if f2 != 2:
+                continue
+            scope_name = ""
+            metrics: list[dict[str, Any]] = []
+            for f3, _w3, v3 in iter_fields(v2):
+                if f3 == 1:
+                    for f4, _w4, v4 in iter_fields(v3):
+                        if f4 == 1:
+                            scope_name = v4.decode("utf-8")
+                elif f3 == 2:
+                    metrics.append(decode_metric(v3))
+            out.append((resource_attrs, scope_name, metrics))
     return out

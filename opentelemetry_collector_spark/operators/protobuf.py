@@ -11,7 +11,11 @@ shapes:
 * document: one ``ExportLogsServiceRequest`` per conversation —
   Resource{conv_id} -> ScopeLogs -> LogRecord[] in turn order, the actual
   resourceLogs nesting (pdata/plog/logs.go:24,60-62), protobuf twin of
-  observe.to_otlp_document_json.
+  observe.to_otlp_document_json;
+* trace signal: build_spans rows <-> ``ExportTraceServiceRequest`` (Span
+  incl. events/links/trace_state/status, ptrace pb.go marshal analog);
+* metrics signal: histogram_explicit points <-> OTLP ``Metric`` histogram
+  messages (pmetric pb.go marshal analog).
 
 Engine columns ride in the reserved ``otelcol.`` attribute namespace
 (conv_id/turn_idx/role/tool/parsed_tool/dur_ms/status); user attributes
@@ -347,3 +351,308 @@ def native_protobuf_available(spark) -> bool:
         return True
     except Exception:
         return False
+
+
+# --- trace signal (ptrace ProtoMarshaler analog) ------------------------------
+
+SPAN_DECODED_SCHEMA = (
+    "trace_id string, span_id string, trace_state string, "
+    "parent_span_id string, name string, kind int, flags int, "
+    "start_unix_micros long, end_unix_micros long, status_code int, "
+    "conv_id string, turn_idx int, attributes_json string, "
+    "events array<struct<name:string, time_unix_micros:long, "
+    "attributes_json:string>>, "
+    "links array<struct<trace_id:string, span_id:string, "
+    "attributes_json:string>>"
+)
+
+_SPAN_OUT_COLS = [
+    "trace_id", "span_id", "trace_state", "parent_span_id", "name", "kind",
+    "flags", "start_unix_micros", "end_unix_micros", "status_code",
+    "conv_id", "turn_idx", "attributes_json", "events", "links",
+]
+
+
+def _cell_list(v: Any) -> list:
+    """Arrow hands array<struct> cells to pandas as numpy arrays whose
+    truthiness is ambiguous — normalize to a plain list."""
+    return [] if v is None else list(v)
+
+
+def _span_row_to_wire(row: dict[str, Any]) -> dict[str, Any]:
+    """One build_spans row -> protowire Span dict. The engine's flags column
+    rides in the otelcol. attribute namespace: this collector version's Span
+    message ends at field 15 (trace.pb.go predates Span.flags=16)."""
+    attrs = dict(json.loads(row["attributes_json"] or "{}"))
+    for k in ("conv_id", "turn_idx", "flags"):
+        if row.get(k) is not None:
+            attrs[ENGINE_PREFIX + k] = int(row[k]) if k != "conv_id" else row[k]
+    return {
+        "trace_id": bytes.fromhex(row["trace_id"]) if row["trace_id"] else b"",
+        "span_id": bytes.fromhex(row["span_id"]) if row["span_id"] else b"",
+        "trace_state": row["trace_state"] or "",
+        "parent_span_id": (
+            bytes.fromhex(row["parent_span_id"]) if row["parent_span_id"] else b""
+        ),
+        "name": row["name"] or "",
+        "kind": int(row["kind"] or 0),
+        "start_time_unix_nano": int(row["start_unix_micros"] or 0) * 1000,
+        "end_time_unix_nano": int(row["end_unix_micros"] or 0) * 1000,
+        "attributes": {k: attrs[k] for k in sorted(attrs)},
+        "events": [
+            {
+                "time_unix_nano": int(ev["time_unix_micros"] or 0) * 1000,
+                "name": ev["name"] or "",
+                "attributes": dict(json.loads(ev["attributes_json"] or "{}")),
+            }
+            for ev in _cell_list(row.get("events"))
+        ],
+        "links": [
+            {
+                "trace_id": (
+                    bytes.fromhex(ln["trace_id"]) if ln["trace_id"] else b""
+                ),
+                "span_id": (
+                    bytes.fromhex(ln["span_id"]) if ln["span_id"] else b""
+                ),
+                "trace_state": "",
+                "attributes": dict(json.loads(ln["attributes_json"] or "{}")),
+            }
+            for ln in _cell_list(row.get("links"))
+        ],
+        "status_code": int(row["status_code"] or 0),
+        "status_message": "",
+    }
+
+
+def _wire_to_span_row(sp: dict[str, Any]) -> dict[str, Any]:
+    attrs = sp["attributes"]
+    engine = {
+        k[len(ENGINE_PREFIX):]: v
+        for k, v in attrs.items()
+        if k.startswith(ENGINE_PREFIX)
+    }
+    user = {k: v for k, v in attrs.items() if not k.startswith(ENGINE_PREFIX)}
+    return {
+        "trace_id": sp["trace_id"].hex() if sp["trace_id"] else None,
+        "span_id": sp["span_id"].hex() if sp["span_id"] else None,
+        "trace_state": sp["trace_state"],
+        "parent_span_id": sp["parent_span_id"].hex() if sp["parent_span_id"] else "",
+        "name": sp["name"],
+        "kind": sp["kind"],
+        "flags": None if engine.get("flags") is None else int(engine["flags"]),
+        "start_unix_micros": sp["start_time_unix_nano"] // 1000,
+        "end_unix_micros": sp["end_time_unix_nano"] // 1000,
+        "status_code": sp["status_code"],
+        "conv_id": engine.get("conv_id"),
+        "turn_idx": None if engine.get("turn_idx") is None else int(engine["turn_idx"]),
+        "attributes_json": canonical_attrs_json(user),
+        "events": [
+            {
+                "name": ev["name"],
+                "time_unix_micros": ev["time_unix_nano"] // 1000,
+                "attributes_json": canonical_attrs_json(ev["attributes"]),
+            }
+            for ev in sp["events"]
+        ],
+        "links": [
+            {
+                "trace_id": ln["trace_id"].hex() if ln["trace_id"] else None,
+                "span_id": ln["span_id"].hex() if ln["span_id"] else None,
+                "attributes_json": canonical_attrs_json(ln["attributes"]),
+            }
+            for ln in sp["links"]
+        ],
+    }
+
+
+def to_otlp_trace_protobuf(parsed: DataFrame) -> DataFrame:
+    """parse -> build_spans -> one ExportTraceServiceRequest per conversation
+    (Resource{conv_id} -> Scope -> Span[] in turn order; ptrace pb.go
+    marshal analog). groupBy(conv_id) is the wire hierarchy's own shuffle,
+    aligned with the table bucket key."""
+    from opentelemetry_collector_spark.operators.observe import build_spans
+    from opentelemetry_collector_spark.functions.protowire import (
+        encode_trace_request,
+    )
+
+    spans = build_spans(parsed)
+    rec = F.struct(
+        "turn_idx", *[F.col(c) for c in _SPAN_OUT_COLS if c != "turn_idx"]
+    )
+    grouped = spans.groupBy("conv_id").agg(
+        F.sort_array(F.collect_list(rec)).alias("spans")
+    )
+
+    def encode(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out_conv, out_bytes = [], []
+            for conv_id, rows in zip(pdf["conv_id"], pdf["spans"]):
+                out_conv.append(conv_id)
+                out_bytes.append(
+                    encode_trace_request(
+                        {"conv_id": conv_id},
+                        SCOPE_NAME,
+                        [_span_row_to_wire(dict(r)) for r in rows],
+                    )
+                )
+            yield pd.DataFrame(
+                {"conv_id": out_conv, "otlp_trace_request": out_bytes}
+            )
+
+    return grouped.mapInPandas(
+        encode, "conv_id string, otlp_trace_request binary"
+    )
+
+
+def from_otlp_trace_protobuf(serialized: DataFrame) -> DataFrame:
+    """Unmarshal ExportTraceServiceRequest blobs back to one row per Span
+    with the exact build_spans schema (receiver-side flatten)."""
+    from opentelemetry_collector_spark.functions.protowire import (
+        decode_trace_request,
+    )
+
+    def decode(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[dict[str, Any]] = []
+            for blob in pdf["otlp_trace_request"]:
+                for res_attrs, _scope, sps in decode_trace_request(bytes(blob)):
+                    for sp in sps:
+                        row = _wire_to_span_row(sp)
+                        row["conv_id"] = res_attrs.get("conv_id", row["conv_id"])
+                        rows.append(row)
+            pdf_out = pd.DataFrame(
+                {c: [r[c] for r in rows] for c in _SPAN_OUT_COLS}
+            )
+            for int_col, dtype in (("kind", "Int32"), ("flags", "Int32"),
+                                   ("turn_idx", "Int32"),
+                                   ("status_code", "Int32"),
+                                   ("start_unix_micros", "Int64"),
+                                   ("end_unix_micros", "Int64")):
+                pdf_out[int_col] = pdf_out[int_col].astype(dtype)
+            yield pdf_out
+
+    return serialized.select("otlp_trace_request").mapInPandas(
+        decode, SPAN_DECODED_SCHEMA
+    )
+
+
+# --- metrics signal (pmetric ProtoMarshaler analog) ---------------------------
+
+_HIST_DECODED_SCHEMA_TMPL = (
+    "bucket_start_epoch bigint, tool string, n_points bigint, "
+    "sum_value bigint, min_value bigint, max_value bigint, {buckets}"
+)
+
+
+def _hist_bucket_cols() -> list[str]:
+    from opentelemetry_collector_spark.operators.metrics import HISTOGRAM_BOUNDS
+
+    return [f"bucket_le_{b}" for b in HISTOGRAM_BOUNDS] + [
+        f"bucket_gt_{HISTOGRAM_BOUNDS[-1]}"
+    ]
+
+
+def to_otlp_metric_protobuf(parsed: DataFrame) -> DataFrame:
+    """histogram_explicit points -> one OTLP Metric protobuf message per row
+    (delta-temporality HistogramDataPoint; metrics.pb.go marshal analog).
+    Bucket counts map 1:1: explicit_bounds = HISTOGRAM_BOUNDS, counts =
+    per-bucket le_* columns + the gt_* overflow."""
+    from opentelemetry_collector_spark.operators.metrics import (
+        HISTOGRAM_BOUNDS,
+        histogram_explicit,
+    )
+    from opentelemetry_collector_spark.functions.protowire import (
+        AGG_TEMPORALITY_DELTA,
+        encode_metric,
+    )
+
+    hist = histogram_explicit(parsed)
+    bucket_cols = _hist_bucket_cols()
+
+    def encode(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = list(pdf.to_dict("records"))
+            blobs = []
+            for r in rows:
+                dp = {
+                    "attributes": {
+                        "tool": r["tool"],
+                        ENGINE_PREFIX + "bucket_start_epoch": int(
+                            r["bucket_start_epoch"]
+                        ),
+                    },
+                    "start_time_unix_nano": int(r["bucket_start_epoch"]) * 10**9,
+                    "time_unix_nano": int(r["bucket_start_epoch"]) * 10**9,
+                    "count": int(r["n_points"]),
+                    "sum": float(r["sum_value"]),
+                    "bucket_counts": [int(r[c]) for c in bucket_cols],
+                    "explicit_bounds": [float(b) for b in HISTOGRAM_BOUNDS],
+                    "exemplars": [],
+                    "flags": 0,
+                    "min": float(r["min_value"]),
+                    "max": float(r["max_value"]),
+                }
+                blobs.append(
+                    encode_metric(
+                        {
+                            "name": "otelcol.span.duration",
+                            "description": "",
+                            "unit": "ms",
+                            "type": "histogram",
+                            "aggregation_temporality": AGG_TEMPORALITY_DELTA,
+                            "data_points": [dp],
+                        }
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "tool": [r["tool"] for r in rows],
+                    "otlp_metric": blobs,
+                }
+            )
+
+    return hist.mapInPandas(encode, "tool string, otlp_metric binary")
+
+
+def from_otlp_metric_protobuf(serialized: DataFrame) -> DataFrame:
+    """Unmarshal Metric blobs back to histogram_explicit's exact columns."""
+    from opentelemetry_collector_spark.functions.protowire import decode_metric
+
+    bucket_cols = _hist_bucket_cols()
+    schema = _HIST_DECODED_SCHEMA_TMPL.format(
+        buckets=", ".join(f"{c} bigint" for c in bucket_cols)
+    )
+
+    def decode(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["otlp_metric"]:
+                m = decode_metric(bytes(blob))
+                if m["type"] != "histogram":
+                    raise ValueError(f"expected histogram metric, got {m['type']}")
+                for dp in m["data_points"]:
+                    row = {
+                        "bucket_start_epoch": int(
+                            dp["attributes"][ENGINE_PREFIX + "bucket_start_epoch"]
+                        ),
+                        "tool": dp["attributes"]["tool"],
+                        "n_points": dp["count"],
+                        "sum_value": int(dp["sum"]),
+                        "min_value": int(dp["min"]),
+                        "max_value": int(dp["max"]),
+                    }
+                    for c, v in zip(bucket_cols, dp["bucket_counts"]):
+                        row[c] = v
+                    rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return serialized.select("otlp_metric").mapInPandas(decode, schema)

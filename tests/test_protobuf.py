@@ -222,3 +222,301 @@ def test_document_protobuf_roundtrip_spark(spark, parsed):
 def test_native_protobuf_gate(spark):
     # gate probes the classpath without raising either way
     assert native_protobuf_available(spark) in (True, False)
+
+
+# --- Span wire codec (trace.proto) -------------------------------------------
+
+
+def _golden_span():
+    return {
+        "trace_id": bytes.fromhex("00112233445566778899aabbccddeeff"),
+        "span_id": bytes.fromhex("0011223344556677"),
+        "trace_state": "otelcol=00112233",
+        "parent_span_id": b"",
+        "name": "browser",
+        "kind": 3,  # CLIENT
+        "start_time_unix_nano": 1_000_000_000,
+        "end_time_unix_nano": 2_000_000_000,
+        "attributes": {"conv_id": "c-1", "turn_idx": 4},
+        "events": [
+            {"time_unix_nano": 1_000_000_000, "name": "call_started",
+             "attributes": {}},
+            {"time_unix_nano": 2_000_000_000, "name": "call_ended",
+             "attributes": {}},
+        ],
+        "links": [
+            {"trace_id": b"\x01" * 16, "span_id": b"\x02" * 8,
+             "trace_state": "", "attributes": {"link.type": "prev_span"}},
+        ],
+        "status_code": 2,
+        "status_message": "boom",
+    }
+
+
+def test_span_roundtrip():
+    from opentelemetry_collector_spark.functions.protowire import (
+        decode_span,
+        encode_span,
+    )
+
+    sp = _golden_span()
+    assert decode_span(encode_span(sp)) == sp
+
+
+def test_span_golden_prefix():
+    # identity fields occupy the exact reference field numbers/wire types
+    # (trace.pb.go: 1 trace_id LEN, 2 span_id LEN, 3 trace_state LEN)
+    from opentelemetry_collector_spark.functions.protowire import encode_span
+
+    enc = encode_span(_golden_span())
+    assert enc.startswith(
+        b"\x0a\x10" + bytes.fromhex("00112233445566778899aabbccddeeff")
+        + b"\x12\x08" + bytes.fromhex("0011223344556677")
+        + b"\x1a\x10otelcol=00112233"
+    )
+    # Status submessage: field 15 LEN -> {2: "boom", 3: code 2}
+    assert enc.endswith(b"\x7a\x08\x12\x04boom\x18\x02")
+
+
+def test_span_proto3_defaults():
+    from opentelemetry_collector_spark.functions.protowire import (
+        decode_span,
+        encode_span,
+    )
+
+    assert encode_span({"attributes": {}}) == b""
+    sp = decode_span(b"")
+    assert sp["kind"] == 0 and sp["events"] == [] and sp["status_code"] == 0
+
+
+def test_trace_request_roundtrip():
+    from opentelemetry_collector_spark.functions.protowire import (
+        decode_trace_request,
+        encode_trace_request,
+    )
+
+    spans = [_golden_span(), {"name": "n2", "kind": 1, "attributes": {}}]
+    blob = encode_trace_request({"conv_id": "c-1"}, "scope-t", spans)
+    [(res, scope, out)] = decode_trace_request(blob)
+    assert res == {"conv_id": "c-1"} and scope == "scope-t"
+    assert out[0]["links"][0]["attributes"] == {"link.type": "prev_span"}
+    assert out[1]["name"] == "n2"
+
+
+# --- Metric wire codec (metrics.proto) ---------------------------------------
+
+
+def _gauge_metric():
+    return {
+        "name": "queue_size", "description": "", "unit": "1",
+        "type": "gauge", "aggregation_temporality": 0, "is_monotonic": False,
+        "data_points": [
+            {"attributes": {"tool": "browser"}, "start_time_unix_nano": 0,
+             "time_unix_nano": 5_000, "as_double": None, "as_int": 7,
+             "exemplars": [], "flags": 0},
+        ],
+    }
+
+
+def test_metric_gauge_roundtrip():
+    from opentelemetry_collector_spark.functions.protowire import (
+        decode_metric,
+        encode_metric,
+    )
+
+    m = _gauge_metric()
+    assert decode_metric(encode_metric(m)) == m
+
+
+def test_metric_sum_temporality_monotonic():
+    from opentelemetry_collector_spark.functions.protowire import (
+        AGG_TEMPORALITY_CUMULATIVE,
+        decode_metric,
+        encode_metric,
+    )
+
+    m = {
+        "name": "turns_total", "description": "d", "unit": "1", "type": "sum",
+        "aggregation_temporality": AGG_TEMPORALITY_CUMULATIVE,
+        "is_monotonic": True,
+        "data_points": [
+            {"attributes": {}, "start_time_unix_nano": 1, "time_unix_nano": 2,
+             "as_double": 4.5, "as_int": None, "exemplars": [], "flags": 0},
+        ],
+    }
+    assert decode_metric(encode_metric(m)) == m
+
+
+def test_metric_histogram_roundtrip_with_exemplar():
+    from opentelemetry_collector_spark.functions.protowire import (
+        AGG_TEMPORALITY_DELTA,
+        decode_metric,
+        encode_metric,
+    )
+
+    m = {
+        "name": "dur_ms", "description": "", "unit": "ms",
+        "type": "histogram",
+        "aggregation_temporality": AGG_TEMPORALITY_DELTA,
+        "is_monotonic": False,
+        "data_points": [
+            {
+                "attributes": {"tool": "code"},
+                "start_time_unix_nano": 1, "time_unix_nano": 2,
+                "count": 6, "sum": 120.5,
+                "bucket_counts": [1, 2, 3], "explicit_bounds": [10.0, 100.0],
+                "exemplars": [
+                    {"filtered_attributes": {}, "time_unix_nano": 2,
+                     "as_double": 99.0, "as_int": None,
+                     "span_id": b"\x02" * 8, "trace_id": b"\x01" * 16},
+                ],
+                "flags": 0, "min": 1.0, "max": 99.0,
+            },
+        ],
+    }
+    assert decode_metric(encode_metric(m)) == m
+
+
+def test_metric_exp_histogram_negative_scale_offset():
+    from opentelemetry_collector_spark.functions.protowire import (
+        decode_metric,
+        encode_metric,
+    )
+
+    m = {
+        "name": "eh", "description": "", "unit": "",
+        "type": "exponential_histogram",
+        "aggregation_temporality": 2, "is_monotonic": False,
+        "data_points": [
+            {
+                "attributes": {}, "start_time_unix_nano": 0,
+                "time_unix_nano": 9, "count": 10, "sum": 55.0,
+                "scale": -1,  # zigzag32 path
+                "zero_count": 2,
+                "positive": {"offset": -3, "bucket_counts": [1, 0, 7]},
+                "negative": {"offset": 0, "bucket_counts": []},
+                "exemplars": [], "flags": 0, "min": None, "max": None,
+            },
+        ],
+    }
+    assert decode_metric(encode_metric(m)) == m
+
+
+def test_metric_summary_roundtrip():
+    from opentelemetry_collector_spark.functions.protowire import (
+        decode_metric,
+        encode_metric,
+    )
+
+    m = {
+        "name": "dur_q", "description": "", "unit": "ms", "type": "summary",
+        "aggregation_temporality": 0, "is_monotonic": False,
+        "data_points": [
+            {"attributes": {"tool": "sql"}, "start_time_unix_nano": 0,
+             "time_unix_nano": 3, "count": 5, "sum": 50.0,
+             "quantile_values": [
+                 {"quantile": 0.5, "value": 9.0},
+                 {"quantile": 0.99, "value": 48.0},
+             ],
+             "flags": 0},
+        ],
+    }
+    assert decode_metric(encode_metric(m)) == m
+
+
+def test_metrics_request_roundtrip():
+    from opentelemetry_collector_spark.functions.protowire import (
+        decode_metrics_request,
+        encode_metrics_request,
+    )
+
+    blob = encode_metrics_request({"service": "otelcol"}, "scope-m",
+                                  [_gauge_metric()])
+    [(res, scope, ms)] = decode_metrics_request(blob)
+    assert res == {"service": "otelcol"} and scope == "scope-m"
+    assert ms == [_gauge_metric()]
+
+
+def test_packed_vs_unpacked_decoding():
+    # decoders accept unpacked repeated scalars too (proto3 parsers must)
+    from opentelemetry_collector_spark.functions.protowire import (
+        decode_histogram_point,
+    )
+
+    # field 6 (bucket_counts) as three separate fixed64 fields
+    import struct as _s
+
+    unpacked = b"".join(
+        b"\x31" + _s.pack("<Q", v) for v in (1, 2, 3)
+    )
+    dp = decode_histogram_point(unpacked)
+    assert dp["bucket_counts"] == [1, 2, 3]
+
+
+def test_zigzag_golden():
+    from opentelemetry_collector_spark.functions.protowire import (
+        _unzigzag,
+        _zigzag32,
+    )
+
+    # canonical spec vectors
+    for raw, enc in [(0, 0), (-1, 1), (1, 2), (-2, 3), (2147483647, 4294967294),
+                     (-2147483648, 4294967295)]:
+        assert _zigzag32(raw) == enc
+        assert _unzigzag(enc) == raw
+
+
+# --- Spark trace/metric signal round-trips -----------------------------------
+
+
+def test_trace_protobuf_roundtrip_spark(spark, parsed):
+    from opentelemetry_collector_spark.operators.observe import build_spans
+    from opentelemetry_collector_spark.operators.protobuf import (
+        from_otlp_trace_protobuf,
+        to_otlp_trace_protobuf,
+    )
+
+    spans = build_spans(parsed)
+    wire = to_otlp_trace_protobuf(parsed)
+    assert dict(wire.dtypes)["otlp_trace_request"] == "binary"
+    # one request per conversation that has spans
+    assert wire.count() == spans.select("conv_id").distinct().count()
+    decoded = from_otlp_trace_protobuf(wire)
+
+    import pandas as pd
+
+    key = ["conv_id", "turn_idx"]
+    pa = spans.toPandas().sort_values(key).reset_index(drop=True)
+    pb = decoded.toPandas().sort_values(key).reset_index(drop=True)
+    pa, pb = pa[sorted(pa.columns)], pb[sorted(pb.columns)]
+    # events/links are arrays of Rows on the Spark side vs dicts after the
+    # wire pass — compare canonical tuples
+    norm = lambda cell: [tuple(dict(e).items()) for e in cell]  # noqa: E731
+    for c in ("events", "links"):
+        pa[c] = pa[c].map(norm)
+        pb[c] = pb[c].map(norm)
+    pd.testing.assert_frame_equal(pa, pb, check_dtype=False)
+
+
+def test_metric_protobuf_roundtrip_spark(spark, parsed):
+    from opentelemetry_collector_spark.operators.metrics import (
+        histogram_explicit,
+    )
+    from opentelemetry_collector_spark.operators.protobuf import (
+        from_otlp_metric_protobuf,
+        to_otlp_metric_protobuf,
+    )
+
+    hist = histogram_explicit(parsed)
+    wire = to_otlp_metric_protobuf(parsed)
+    assert dict(wire.dtypes)["otlp_metric"] == "binary"
+    decoded = from_otlp_metric_protobuf(wire)
+
+    import pandas as pd
+
+    key = ["bucket_start_epoch", "tool"]
+    pa = hist.toPandas().sort_values(key).reset_index(drop=True)
+    pb = decoded.toPandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        pa[sorted(pa.columns)], pb[sorted(pb.columns)], check_dtype=False
+    )
