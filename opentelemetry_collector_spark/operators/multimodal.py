@@ -78,40 +78,52 @@ _fake_decode = _make_fake_decode()  # driver-side/test alias
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """Decode + feature-extract over Arrow batches: checksum verification,
-    dimensions, frame counts. Corrupt rows (checksum mismatch / decode
-    failure) are kept with checksum_ok=false and null dims — the dead-letter
-    split happens downstream (route-stage semantics)."""
-    import hashlib
+    """Decode + feature-extract: checksum verification, dimensions, frame
+    counts. Corrupt rows (checksum mismatch / decode failure) are kept with
+    checksum_ok=false and null dims — the dead-letter split happens
+    downstream (route-stage semantics).
 
+    The per-byte work (md5, length, checksum compare) runs JVM-side in
+    whole-stage codegen before the Arrow hop, so only the codec itself
+    crosses into Python — per row by nature (a real image/ffmpeg decode is
+    a per-payload C call). Single pass, no join, no shuffle: the JVM
+    columns ride through the kernel as passthrough."""
     import pandas as pd
 
     decode = _make_fake_decode()  # local binding -> pickled by value
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for r in pdf.itertuples(index=False):
-                payload = bytes(r.payload)
-                md5 = hashlib.md5(payload).hexdigest()
-                ok = md5 == r.declared_md5
+            dims = []
+            for payload, mt in zip(pdf["payload"], pdf["media_type"]):
                 try:
-                    w, h, n = decode(payload, r.media_type)
+                    dims.append(decode(bytes(payload), mt))
                 except ValueError:
-                    w = h = n = None
-                    ok = False
-                out.append(
-                    (r.doc_id, r.media_type, len(payload), md5, ok, w, h, n)
-                )
+                    dims.append((None, None, None))
+            w, h, n = (list(t) for t in zip(*dims)) if dims else ([], [], [])
+            width = pd.Series(w, dtype="Int32", index=pdf.index)
             yield pd.DataFrame(
-                out,
-                columns=[
-                    "doc_id", "media_type", "n_bytes", "content_md5",
-                    "checksum_ok", "width", "height", "n_frames",
-                ],
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "content_md5": pdf["content_md5"],
+                    "checksum_ok": pdf["md5_ok"] & width.notna(),
+                    "width": width,
+                    "height": pd.Series(h, dtype="Int32", index=pdf.index),
+                    "n_frames": pd.Series(n, dtype="Int32", index=pdf.index),
+                }
             )
 
-    return media.mapInPandas(kernel, FEATURE_SCHEMA)
+    base = media.select(
+        "doc_id",
+        "media_type",
+        "payload",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("content_md5"),
+        (F.md5("payload") == F.col("declared_md5")).alias("md5_ok"),
+    )
+    return base.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n: int = 8) -> DataFrame:
