@@ -86,6 +86,39 @@ def sum_delta_to_cumulative(parsed: DataFrame) -> DataFrame:
     )
 
 
+def sum_cumulative_to_delta(parsed: DataFrame) -> DataFrame:
+    """AggregationTemporality conversion (cumulative -> delta) — the
+    inverse of sum_delta_to_cumulative, i.e. the cumulative-to-delta
+    processor pattern over pmetric Sum points
+    (pdata/pmetric/aggregation_temporality.go:12-38 defines the two
+    temporalities; the conversion rules follow the OTel metrics data-model
+    reset spec):
+
+    * delta = cumulative - previous cumulative within the (conv_id, tool)
+      stream in turn order;
+    * a reset (cumulative < previous) restarts the baseline — the point's
+      delta is its full cumulative value;
+    * the first point of a stream has no baseline -> NULL delta (the
+      processor drops it; kept as NULL here so row counts are auditable).
+
+    One window over the stream key — same single shuffle as the forward
+    conversion, aligned with the conv_id bucket layout.
+    """
+    cum = sum_delta_to_cumulative(parsed)
+    w = Window.partitionBy("conv_id", "tool").orderBy("turn_idx")
+    prev = F.lag("cumulative_value").over(w)
+    return cum.select(
+        "conv_id",
+        "tool",
+        "turn_idx",
+        "cumulative_value",
+        F.when(prev.isNull(), F.lit(None).cast("long"))
+        .when(F.col("cumulative_value") < prev, F.col("cumulative_value"))
+        .otherwise(F.col("cumulative_value") - prev)
+        .alias("delta_value"),
+    )
+
+
 def histogram_explicit(
     parsed: DataFrame, bucket_seconds: int = BUCKET_SECONDS
 ) -> DataFrame:
@@ -296,6 +329,26 @@ SELECT conv_id, parsed_tool AS tool, turn_idx,
     cast(sum(dur_ms) OVER (PARTITION BY conv_id, parsed_tool ORDER BY turn_idx
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_value
 FROM parsed WHERE trace_id IS NOT NULL
+"""
+
+SUM_DELTA_ORACLE_BODY = """
+, cum AS (
+    SELECT conv_id, parsed_tool AS tool, turn_idx,
+        cast(sum(dur_ms) OVER (PARTITION BY conv_id, parsed_tool
+            ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cumulative_value
+    FROM parsed WHERE trace_id IS NOT NULL
+)
+SELECT conv_id, tool, turn_idx, cumulative_value,
+    CASE WHEN prev IS NULL THEN NULL
+         WHEN cumulative_value < prev THEN cumulative_value
+         ELSE cumulative_value - prev END AS delta_value
+FROM (
+    SELECT *, lag(cumulative_value) OVER (
+        PARTITION BY conv_id, tool ORDER BY turn_idx) AS prev
+    FROM cum
+) q
 """
 
 

@@ -266,6 +266,10 @@ def q_metrics_sum_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _met.sum_delta_to_cumulative(_parsed(spark, sf_dir))
 
 
+def q_metrics_sum_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _met.sum_cumulative_to_delta(_parsed(spark, sf_dir))
+
+
 def q_metrics_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _met.histogram_explicit(_parsed(spark, sf_dir))
 
@@ -452,6 +456,7 @@ PIPELINE_QUERIES: dict[str, QueryFn] = {
     "span_links": q_span_links,
     "metrics_gauge_last": q_metrics_gauge_last,
     "metrics_sum_cumulative": q_metrics_sum_cumulative,
+    "metrics_sum_delta": q_metrics_sum_delta,
     "metrics_histogram": q_metrics_histogram,
     "metrics_exp_histogram": q_metrics_exp_histogram,
     "metrics_exp_histogram_neg1": q_metrics_exp_histogram_neg1,
@@ -644,6 +649,7 @@ SELECT conv_id, turn_idx, trace_id, span_id, linked_trace_id,
 FROM spans WHERE linked_trace_id IS NOT NULL""",
     "metrics_gauge_last": f"{_PARSED_CTE}\n{_met.GAUGE_LAST_ORACLE_BODY}",
     "metrics_sum_cumulative": f"{_PARSED_CTE}\n{_met.SUM_CUMULATIVE_ORACLE_BODY}",
+    "metrics_sum_delta": f"{_PARSED_CTE}{_met.SUM_DELTA_ORACLE_BODY}",
     "metrics_histogram": f"{_PARSED_CTE}\n{_met.histogram_oracle_body()}",
     "metrics_exp_histogram": f"{_PARSED_CTE}\n{_met.EXP_HISTOGRAM_ORACLE_BODY}",
     "metrics_exp_histogram_neg1": f"{_PARSED_CTE}\n{_met.exp_histogram_oracle_body(-1)}",

@@ -382,3 +382,66 @@ def test_approx_gate_drives_summary_path(spark):
     r.register("engine.stableThing", "stable")
     with _pytest.raises(ValueError):
         r.set("engine.stableThing", True)  # even a no-op override is rejected
+
+
+def test_cumulative_to_delta_inverts_forward_conversion(spark):
+    """cumulative->delta recovers the original per-point values everywhere a
+    baseline exists; first point of each stream is NULL (dropped-baseline
+    semantics)."""
+    from opentelemetry_collector_spark.operators.metrics import (
+        sum_cumulative_to_delta,
+        sum_delta_to_cumulative,
+    )
+    from opentelemetry_collector_spark.queries import _parsed
+
+    parsed = _parsed(spark, SF_SMOKE)
+    fwd = sum_delta_to_cumulative(parsed).withColumnRenamed(
+        "delta_value", "orig_value"
+    )
+    back = sum_cumulative_to_delta(parsed)
+    joined = fwd.join(back, ["conv_id", "tool", "turn_idx"]).cache()
+    try:
+        assert joined.count() > 0
+        # non-first points: recovered delta == original value
+        mismatch = joined.filter(
+            F.col("delta_value").isNotNull()
+            & (F.col("delta_value") != F.col("orig_value"))
+        ).count()
+        assert mismatch == 0
+        # exactly one NULL delta per stream (the baseline-less first point)
+        n_null = joined.filter(F.col("delta_value").isNull()).count()
+        n_streams = joined.select("conv_id", "tool").distinct().count()
+        assert n_null == n_streams
+    finally:
+        joined.unpersist()
+
+
+def test_cumulative_to_delta_reset_semantics(spark):
+    """A stream reset (cumulative drops) restarts the baseline: the point's
+    delta is its full cumulative value (OTel data-model reset rule)."""
+    import datetime
+
+    from opentelemetry_collector_spark.operators.metrics import (
+        sum_cumulative_to_delta,
+    )
+
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        # stream (c1, sql): 5, 12, then reset to 3, then 10
+        ("c1", 0, "sql", ts, 5),
+        ("c1", 1, "sql", ts, 7),
+        ("c1", 2, "sql", ts, -9),   # running sum: 5, 12, 3 (reset), 13
+        ("c1", 3, "sql", ts, 10),
+    ]
+    parsed = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, parsed_tool string, "
+              "ts timestamp_ntz, dur_ms long"
+    ).withColumn("trace_id", F.lit("aa"))
+    out = {
+        r["turn_idx"]: r["delta_value"]
+        for r in sum_cumulative_to_delta(parsed).collect()
+    }
+    assert out[0] is None          # no baseline
+    assert out[1] == 7             # 12 - 5
+    assert out[2] == 3             # reset: cumulative 3 < 12 -> full value
+    assert out[3] == 10            # 13 - 3
