@@ -460,3 +460,98 @@ cand AS (
 SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
 FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}
 """
+
+
+# --- near-dup clustering (connected components) -----------------------------
+
+
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, max_iter: int = 20
+) -> DataFrame:
+    """Group near-dup pairs into clusters and pick a canonical doc per
+    cluster: connected components over the ``dedup_ngram_pairs`` edge set
+    by iterative min-label propagation (cluster_id = smallest doc_id in
+    the component).
+
+    This is the canonical-selection step after any pair-emitting dedup —
+    pairs alone can't answer "which docs do I keep" when duplicates chain
+    (A~B, B~C but not A~C).
+
+    Scale: label propagation converges in O(component diameter) rounds —
+    near-dup components are shallow (dups of a common source), so a
+    handful of distributed join+groupBy rounds, each shuffling only the
+    component node set (≪ corpus). The driver loop holds no data, only
+    the converged/changed flag; per-round ``localCheckpoint`` cuts the
+    lineage so plans stay flat. (GraphFrames' big-star/small-star CC is
+    the same pattern with a better constant; the propagation join below
+    keeps the dependency surface to plain DataFrames.)
+    """
+    from pyspark.sql.window import Window
+
+    pairs = dedup_ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["doc_b"] == labels["node"])
+            .groupBy(F.col("doc_a").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["node2"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce("nbr_label", F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("label")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
+# Oracle: reachability closure via recursive CTE (components are tiny at
+# oracle SF, so the closure is cheap), then min-reachable per node.
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE base AS ({DEDUP_NGRAM_ORACLE}),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM base
+    UNION
+    SELECT doc_b, doc_a FROM base
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (
+    SELECT node, node AS r FROM nodes
+    UNION
+    SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+lab AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lab
+"""

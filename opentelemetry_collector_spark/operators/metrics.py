@@ -444,3 +444,45 @@ SELECT
 FROM parsed WHERE trace_id IS NOT NULL
 GROUP BY 1, 2
 """
+
+
+def sum_delta_to_rate(parsed: DataFrame) -> DataFrame:
+    """Delta Sum points -> per-second rate (the deltatorate processor
+    pattern over pmetric Sum points; temporality semantics per
+    pdata/pmetric/aggregation_temporality.go:12-38).
+
+    Each span is a delta point (value = dur_ms) in its (conv_id, tool)
+    stream; the conversion divides the delta by the wall-clock interval to
+    the previous point of the same stream. First points (no interval) and
+    zero-length intervals yield NULL — the processor drops those; kept as
+    NULL so row counts stay auditable.
+
+    One lag window over the stream key — same single shuffle as the other
+    temporality conversions, aligned with the conv_id bucket layout.
+    """
+    w = Window.partitionBy("conv_id", "parsed_tool").orderBy("turn_idx")
+    gap = (
+        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    ).cast("long")
+    return _spans(parsed).select(
+        "conv_id",
+        F.col("parsed_tool").alias("tool"),
+        "turn_idx",
+        F.col("dur_ms").alias("delta_value"),
+        gap.alias("gap_s"),
+        F.when(gap > 0, F.col("dur_ms") / gap).alias("rate_per_s"),
+    )
+
+
+SUM_RATE_ORACLE_BODY = """
+SELECT conv_id, tool, turn_idx, delta_value, gap_s,
+    CASE WHEN gap_s > 0 THEN delta_value / gap_s END AS rate_per_s
+FROM (
+    SELECT conv_id, parsed_tool AS tool, turn_idx,
+        dur_ms AS delta_value,
+        cast(floor(epoch(ts)) - floor(epoch(lag(ts) OVER (
+            PARTITION BY conv_id, parsed_tool ORDER BY turn_idx)))
+            AS bigint) AS gap_s
+    FROM parsed WHERE trace_id IS NOT NULL
+) q
+"""

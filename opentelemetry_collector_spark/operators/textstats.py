@@ -333,3 +333,192 @@ SELECT doc_id, quality_score, prefix_fp, pred_class FROM (
     FROM kept
 ) c WHERE doc_id = canonical_id
 """
+
+
+# --- repetition filtering (Gopher-style rules) ------------------------------
+
+# Gopher repetition-filter thresholds (Rae et al. 2021, "Scaling Language
+# Models", appendix A1.1): a doc whose most frequent word or 2-gram covers
+# too much of it is boilerplate/repetitive and is dropped before training.
+TOP_WORD_FRAC_MAX = 0.10
+TOP_BIGRAM_FRAC_MAX = 0.18
+
+
+def _word_positions(docs: DataFrame) -> DataFrame:
+    """(doc_id, ws, i) with 1-based word index — the shared explode for
+    unigram/bigram stats. `sequence(1, size)` mirrors DuckDB
+    generate_series(1, len) exactly (both inclusive, both ascending for
+    size >= 1; docs are non-empty so the descending-sequence trap for
+    size = 0 cannot fire)."""
+    d = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    return d.select(
+        "doc_id", "ws", F.explode(F.expr("sequence(1, size(ws))")).alias("i")
+    )
+
+
+def doc_repetition(spark, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per doc: top-word fraction,
+    duplicate-word fraction, top-bigram fraction, and a drop flag.
+
+    No reference analog (collector never inspects payload text — SURVEY
+    §2.8 gap-filler); semantics follow the public Gopher repetition rules,
+    word-level because the synthetic corpus is single-line.
+
+    Scale: two count aggregations keyed by doc_id (+ the word/bigram
+    sub-key) and a doc_id join — partial aggregation is map-side, keys are
+    per-document so there is no skew surface; survives a 100x corpus.
+    """
+    pos = _word_positions(_docs(spark, sf_dir))
+    uni = pos.select("doc_id", F.expr("element_at(ws, i)").alias("word"))
+    uc = uni.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    us = uc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.max("cnt").alias("top_word_cnt"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+            "dup_word_cnt"
+        ),
+    )
+    bi = pos.filter(F.col("i") < F.size("ws")).select(
+        "doc_id",
+        F.expr("concat(element_at(ws, i), ' ', element_at(ws, i + 1))").alias(
+            "bg"
+        ),
+    )
+    bc = bi.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    bs = bc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.max("cnt").alias("top_bigram_cnt"),
+    )
+    joined = us.join(bs, "doc_id", "left")
+    top_word_frac = F.col("top_word_cnt") / F.col("n_words")
+    top_bigram_frac = F.col("top_bigram_cnt") / F.col("n_bigrams")
+    return joined.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        top_word_frac.alias("top_word_frac"),
+        (F.col("dup_word_cnt") / F.col("n_words")).alias("dup_word_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        (
+            (top_word_frac > TOP_WORD_FRAC_MAX)
+            | (top_bigram_frac > TOP_BIGRAM_FRAC_MAX)
+        ).alias("repetitive"),
+    )
+
+
+DOC_REPETITION_ORACLE = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+pos AS (
+    SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM d
+),
+uc AS (
+    SELECT doc_id, ws[i] AS word, count(*) AS cnt
+    FROM pos GROUP BY 1, 2
+),
+us AS (
+    SELECT doc_id,
+        cast(sum(cnt) AS bigint) AS n_words,
+        cast(max(cnt) AS bigint) AS top_word_cnt,
+        cast(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS bigint)
+            AS dup_word_cnt
+    FROM uc GROUP BY 1
+),
+bc AS (
+    SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg, count(*) AS cnt
+    FROM pos WHERE i < len(ws) GROUP BY 1, 2
+),
+bs AS (
+    SELECT doc_id,
+        cast(sum(cnt) AS bigint) AS n_bigrams,
+        cast(max(cnt) AS bigint) AS top_bigram_cnt
+    FROM bc GROUP BY 1
+)
+SELECT us.doc_id, us.n_words,
+    us.top_word_cnt / us.n_words AS top_word_frac,
+    us.dup_word_cnt / us.n_words AS dup_word_frac,
+    bs.top_bigram_cnt / bs.n_bigrams AS top_bigram_frac,
+    (us.top_word_cnt / us.n_words > {TOP_WORD_FRAC_MAX}
+     OR bs.top_bigram_cnt / bs.n_bigrams > {TOP_BIGRAM_FRAC_MAX})
+        AS repetitive
+FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+"""
+
+
+# --- benchmark-contamination tagging ----------------------------------------
+
+CONTAM_SHINGLE_WORDS = 4
+CONTAM_BENCH_MOD = 23  # doc_id % 97 == 0 -> the held-out "benchmark" set
+
+
+def contamination_tag(spark, sf_dir: str) -> DataFrame:
+    """Tag training docs that share a CONTAM_SHINGLE_WORDS-word shingle
+    with the benchmark set (docs with doc_id % CONTAM_BENCH_MOD == 0) —
+    the decontamination step every training pipeline runs against its eval
+    suites (n-gram-overlap method per GPT-3/PaLM appendix practice).
+
+    Scale: the benchmark shingle set is tiny relative to the corpus ->
+    broadcast hash join against a single corpus-side scan; shingles are
+    md5-keyed (fixed width). Per-doc distinct bounds the fan-out; no skew
+    surface beyond shingle popularity, which the broadcast join absorbs.
+    """
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= CONTAM_SHINGLE_WORDS)
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(1, size(ws) - {CONTAM_SHINGLE_WORDS - 1})")
+        ).alias("i"),
+        "ws",
+    ).select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.expr(f"slice(ws, i, {CONTAM_SHINGLE_WORDS})"), " "
+            )
+        ).alias("sh"),
+    ).distinct()
+    bench = (
+        sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+        .select("sh")
+        .distinct()
+    )
+    train = sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+    return (
+        train.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .select(
+            "doc_id",
+            F.col("n_shared_shingles").cast("long").alias(
+                "n_shared_shingles"
+            ),
+        )
+    )
+
+
+CONTAMINATION_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    WHERE len(string_split(text, ' ')) >= {CONTAM_SHINGLE_WORDS}
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+        md5(array_to_string(
+            list_slice(ws, i, i + {CONTAM_SHINGLE_WORDS - 1}), ' ')) AS sh
+    FROM (
+        SELECT doc_id, ws,
+            unnest(generate_series(1, len(ws) - {CONTAM_SHINGLE_WORDS - 1}))
+                AS i
+        FROM d
+    ) q
+),
+bench AS (
+    SELECT DISTINCT sh FROM sh WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+)
+SELECT s.doc_id, cast(count(*) AS bigint) AS n_shared_shingles
+FROM sh s JOIN bench b USING (sh)
+WHERE s.doc_id % {CONTAM_BENCH_MOD} <> 0
+GROUP BY s.doc_id
+"""

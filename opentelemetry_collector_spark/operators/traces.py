@@ -112,3 +112,59 @@ FROM (
     FROM parsed WHERE trace_id IS NOT NULL
 ) q WHERE keep_policy IS NOT NULL
 """
+
+
+# --- head sampling ----------------------------------------------------------
+
+SAMPLER_PERMYRIAD = 2500  # keep 25.00% of traces
+SAMPLER_SALT = ":sampler"
+
+
+def probabilistic_sampler(parsed: DataFrame) -> DataFrame:
+    """Hash-seed head sampling — the probabilistic-sampler processor
+    pattern (OTel sampling spec: hash the trace id into a fixed range,
+    keep when below threshold; complements ``tail_sampling``, which needs
+    the whole trace, by deciding per span from the id alone).
+
+    The trace id is hashed (salted md5, first 8 hex chars -> int) into
+    [0, 10000); spans with bucket < SAMPLER_PERMYRIAD are kept. All spans
+    of a trace share the id, so the decision is trace-consistent without
+    any trace-affinity shuffle — this is a stateless, shuffle-free filter
+    that pipelines into the scan, the property that makes head sampling
+    the cheap pre-filter at 100 TB.
+    """
+    from opentelemetry_collector_spark.operators.textstats import (
+        _hash_bucket,
+    )
+
+    bucket = _hash_bucket(F.col("trace_id"), 10000, SAMPLER_SALT)
+    return (
+        parsed.filter(F.col("trace_id").isNotNull())
+        .withColumn("sample_bucket", bucket.cast("int"))
+        .filter(F.col("sample_bucket") < SAMPLER_PERMYRIAD)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("parsed_tool").alias("tool"),
+            "trace_id",
+            "span_id",
+            "dur_ms",
+            "sample_bucket",
+        )
+    )
+
+
+def probabilistic_sampler_oracle_body() -> str:
+    from opentelemetry_collector_spark.operators.textstats import (
+        _hash_bucket_sql,
+    )
+
+    bucket = _hash_bucket_sql("trace_id", 10000, SAMPLER_SALT)
+    return f"""
+SELECT conv_id, turn_idx, tool, trace_id, span_id, dur_ms, sample_bucket
+FROM (
+    SELECT conv_id, turn_idx, parsed_tool AS tool, trace_id, span_id,
+        dur_ms, cast({bucket} AS int) AS sample_bucket
+    FROM parsed WHERE trace_id IS NOT NULL
+) q WHERE sample_bucket < {SAMPLER_PERMYRIAD}
+"""

@@ -35,8 +35,12 @@ delete removes the key. Values that are canonical JSON numbers
 leading zeros) serialize unquoted, everything else is quoted — the same
 rule as the parse stage's serializer.
 
-Scale note: every op is a narrow projection/filter — no shuffle, no UDF. The
-attributes rebuild uses map_entries/array_sort/transform higher-order
+Scale note: every op is a narrow projection/filter — no shuffle, no UDF.
+Consecutive attribute statements fuse into one parse -> map-ops -> serialize
+pipeline (the compiler flushes the running map only when a statement could
+read the serialized column), so an N-statement attribute rewrite costs one
+from_json and one serialize, not N. The attributes rebuild uses
+map_entries/array_sort/transform higher-order
 functions, which are interpreted per row (not codegen'd) — fine off the hot
 path; hot-path pipelines should set attributes at parse time instead.
 """
@@ -81,11 +85,6 @@ def _guard(new: Column, old: Column, where: str | None) -> Column:
     return F.when(F.expr(where), new).otherwise(old)
 
 
-def _apply_attr(df: DataFrame, new_map: Column, where: str | None) -> DataFrame:
-    df = df.withColumn("__attrs_m", _guard(new_map, _attrs_map(), where))
-    return df.withColumn("attributes_json", _serialize("__attrs_m")).drop(
-        "__attrs_m"
-    )
 
 
 def compile_statements(
@@ -108,6 +107,8 @@ def compile_statements(
             missing = {"field", "mask"} - st.keys()
             if not missing and not isinstance(st["mask"], int):
                 raise ValueError(f"statement {i} ({op}): mask must be int")
+        elif op == "redact":
+            missing = {"field", "pattern", "replacement"} - st.keys()
         elif op in ("drop", "keep"):
             missing = {"where"} - st.keys()
         else:
@@ -116,9 +117,53 @@ def compile_statements(
             raise ValueError(f"statement {i} ({op}): missing {sorted(missing)}")
 
     def apply(df: DataFrame) -> DataFrame:
+        # Consecutive attribute statements fuse into ONE
+        # parse -> map-ops -> serialize pipeline: `pending` holds the
+        # running map Column; it is flushed back to attributes_json before
+        # any statement that could read the serialized form (every
+        # non-attribute statement, and attribute guards that mention
+        # attributes_json). parse(serialize(m)) == m for map<string,string>
+        # (the digits convention only drops quotes, from_json restores the
+        # same string), so fusing is semantics-preserving.
+        pending: Column | None = None
+
+        def cur_map() -> Column:
+            return pending if pending is not None else _attrs_map()
+
+        def flush(d: DataFrame) -> DataFrame:
+            nonlocal pending
+            if pending is None:
+                return d
+            d = d.withColumn("__attrs_m", pending).withColumn(
+                "attributes_json", _serialize("__attrs_m")
+            ).drop("__attrs_m")
+            pending = None
+            return d
+
         for st in statements:
             op = st["op"]
             where = st.get("where")
+            if op in ("set_attribute", "delete_attribute"):
+                if where and "attributes_json" in where:
+                    df = flush(df)
+                base = cur_map()
+                if op == "set_attribute":
+                    new = F.map_concat(
+                        F.map_filter(
+                            base, lambda k, _v: k != F.lit(st["key"])
+                        ),
+                        F.create_map(
+                            F.lit(st["key"]),
+                            F.expr(st["expr"]).cast("string"),
+                        ),
+                    )
+                else:
+                    new = F.map_filter(
+                        base, lambda k, _v: k != F.lit(st["key"])
+                    )
+                pending = _guard(new, base, where)
+                continue
+            df = flush(df)
             if op == "set":
                 df = df.withColumn(
                     st["field"],
@@ -133,21 +178,6 @@ def compile_statements(
                         where,
                     ),
                 )
-            elif op == "set_attribute":
-                new = F.map_concat(
-                    F.map_filter(
-                        _attrs_map(), lambda k, _v: k != F.lit(st["key"])
-                    ),
-                    F.create_map(
-                        F.lit(st["key"]), F.expr(st["expr"]).cast("string")
-                    ),
-                )
-                df = _apply_attr(df, new, where)
-            elif op == "delete_attribute":
-                new = F.map_filter(
-                    _attrs_map(), lambda k, _v: k != F.lit(st["key"])
-                )
-                df = _apply_attr(df, new, where)
             elif op in ("set_flag", "clear_flag"):
                 from opentelemetry_collector_spark.functions.flags import (
                     with_flag,
@@ -163,11 +193,27 @@ def compile_statements(
                         where,
                     ),
                 )
+            elif op == "redact":
+                # PII-masking pattern (redaction-processor analog): replace
+                # every regex match in the field — regexp_replace is global
+                # in Spark; oracles must pass the 'g' flag in DuckDB.
+                df = df.withColumn(
+                    st["field"],
+                    _guard(
+                        F.regexp_replace(
+                            F.col(st["field"]),
+                            st["pattern"],
+                            st["replacement"],
+                        ),
+                        F.col(st["field"]),
+                        where,
+                    ),
+                )
             elif op == "drop":
                 df = df.filter(~F.coalesce(F.expr(where), F.lit(False)))
             elif op == "keep":
                 df = df.filter(F.coalesce(F.expr(where), F.lit(False)))
-        return df
+        return flush(df)
 
     return apply
 

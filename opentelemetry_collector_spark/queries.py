@@ -424,6 +424,37 @@ def q_tail_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tr.tail_sampling(_parsed(spark, sf_dir))
 
 
+def q_probabilistic_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tr.probabilistic_sampler(_parsed(spark, sf_dir))
+
+
+def q_metrics_sum_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _met.sum_delta_to_rate(_parsed(spark, sf_dir))
+
+
+REDACTION_STATEMENTS = [
+    # mask raw trace ids everywhere (32-hex tokens in the body)
+    {"op": "redact", "field": "body", "pattern": "[0-9a-f]{32}",
+     "replacement": "[TRACE_ID]"},
+    # mask payload identifiers, but only on tool turns
+    {"op": "redact", "field": "body", "pattern": "payload-[0-9]+",
+     "replacement": "payload-[N]", "where": "role = 'tool'"},
+]
+
+
+def q_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction-processor pattern: regex PII masking as transform
+    statements (global regexp_replace, conditional second pass)."""
+    from opentelemetry_collector_spark.operators.transform import (
+        compile_statements,
+    )
+
+    parsed = _parsed(spark, sf_dir)
+    return compile_statements(REDACTION_STATEMENTS)(parsed).select(
+        "conv_id", "turn_idx", "role", "body"
+    )
+
+
 _PARSED_CTE = f"""WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
 parsed AS ({parse_oracle_sql('transcripts')})"""
 
@@ -467,6 +498,9 @@ PIPELINE_QUERIES: dict[str, QueryFn] = {
     "histogram_exemplars": q_histogram_exemplars,
     "trace_rollup": q_trace_rollup,
     "tail_sampling": q_tail_sampling,
+    "probabilistic_sampler": q_probabilistic_sampler,
+    "metrics_sum_rate": q_metrics_sum_rate,
+    "redaction": q_redaction,
 }
 
 # --- training-data-pipeline operators (documents / embeddings tables) ------
@@ -493,6 +527,9 @@ DOCS_QUERIES: dict[str, QueryFn] = {
     "corpus_curation": _ts.corpus_curation,
     "doc_split": _ts.doc_split,
     "corpus_sample": _ts.corpus_sample,
+    "doc_repetition": _ts.doc_repetition,
+    "contamination_tag": _ts.contamination_tag,
+    "dedup_clusters": _dedup.dedup_clusters,
 }
 
 DOCS_ORACLES: dict[str, str] = {
@@ -513,6 +550,9 @@ DOCS_ORACLES: dict[str, str] = {
     "corpus_curation": _ts.CORPUS_CURATION_ORACLE,
     "doc_split": _ts.DOC_SPLIT_ORACLE,
     "corpus_sample": _ts.CORPUS_SAMPLE_ORACLE,
+    "doc_repetition": _ts.DOC_REPETITION_ORACLE,
+    "contamination_tag": _ts.CONTAMINATION_ORACLE,
+    "dedup_clusters": _dedup.DEDUP_CLUSTERS_ORACLE,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -659,6 +699,24 @@ FROM spans WHERE linked_trace_id IS NOT NULL""",
     "histogram_exemplars": f"{_PARSED_CTE}\n{_met.exemplars_oracle_body()}",
     "trace_rollup": f"{_PARSED_CTE}\n{_tr.TRACE_ROLLUP_ORACLE_BODY}",
     "tail_sampling": f"{_PARSED_CTE}\n{_tr.tail_sampling_oracle_body()}",
+    "probabilistic_sampler": (
+        f"{_PARSED_CTE}\n{_tr.probabilistic_sampler_oracle_body()}"
+    ),
+    "metrics_sum_rate": f"{_PARSED_CTE}\n{_met.SUM_RATE_ORACLE_BODY}",
+    # plain concatenation: the {32} quantifier would be eaten by f-strings
+    "redaction": (
+        _PARSED_CTE
+        + """
+SELECT conv_id, turn_idx, role,
+    CASE WHEN role = 'tool'
+         THEN regexp_replace(b1, 'payload-[0-9]+', 'payload-[N]', 'g')
+         ELSE b1 END AS body
+FROM (
+    SELECT conv_id, turn_idx, role,
+        regexp_replace(body, '[0-9a-f]{32}', '[TRACE_ID]', 'g') AS b1
+    FROM parsed
+) q"""
+    ),
     # plain concatenation (not f-string): the grok regexes carry {32}/{16}
     # quantifiers that f-string interpolation would eat
     "grok_parse": (
