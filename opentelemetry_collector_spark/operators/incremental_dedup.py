@@ -1,0 +1,111 @@
+"""Cross-tick corpus dedup — exact dedup against a persistent fingerprint
+ledger, composing the training-data dedup operators with the incremental
+ingest/checkpoint layer (SURVEY §2.5, §2.8).
+
+A 100 TB training corpus is not deduped once: new crawl/transcript batches
+arrive continuously and must be checked against EVERYTHING already accepted.
+Re-running global dedup per batch is O(corpus) per tick; the standard shape
+is a fingerprint ledger — the accepted docs' content hashes — that each new
+batch anti-joins against. This module is that stage, with the same
+crash-safety contract as the rest of the engine (write-then-commit,
+idempotent re-run; the two-layer recovery pattern of
+``sources/incremental.py`` + ``plans/checkpoint.py``, reference analog
+persistent_storage.go:268-348's delete-after-OnProcessingFinished ordering).
+
+Protocol per tick (caller typically inside ``IncrementalSource.process_new``
+with the tick's ``PendingTick.tick_id``)::
+
+    fresh = deduper.dedup(new_docs, tick_id)   # pure, repeatable
+    ... write `fresh` to the accepted corpus (idempotent sink) ...
+    deduper.commit(fresh, tick_id)             # fp ledger, tick-partitioned
+
+Crash anywhere before ``commit`` -> the re-run sees the SAME ledger state,
+recomputes the SAME ``fresh`` set, and the idempotent sink + tick-partition
+overwrite make the retry exactly-once. Commits are tick-partition dynamic
+overwrites, so a double-commit of one tick cannot duplicate fingerprints.
+
+Scale: the ledger holds one 32-char md5 + doc_id per accepted doc — bytes
+per doc, not the doc. The anti-join shuffles only (fp) pairs hashed on fp;
+no skew surface (md5 is uniform). At 10^9+ docs, bucket the ledger table by
+fp so the per-tick anti-join co-locates with no ledger shuffle at all —
+same Iceberg bucket layout note as sources/catalog.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FP_SCHEMA = T.StructType(
+    [
+        T.StructField("fp", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tick_id", T.StringType(), False),
+    ]
+)
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp=md5(text)) — same content hash as ``dedup_exact``."""
+    return docs.select("doc_id", F.md5("text").alias("fp"))
+
+
+class IncrementalDeduper:
+    """Exact dedup of incoming batches against a persistent fp ledger."""
+
+    def __init__(self, spark: SparkSession, ledger_path: str):
+        self.spark = spark
+        self.ledger_path = ledger_path
+
+    def seen(self) -> DataFrame:
+        """Accepted fingerprints (empty frame when no ledger yet —
+        explicit FS probe, same bootstrap rule as IncrementalSource)."""
+        from opentelemetry_collector_spark.sources.incremental import (
+            list_data_files,
+        )
+
+        if not list_data_files(self.spark, self.ledger_path):
+            return self.spark.createDataFrame([], FP_SCHEMA)
+        return self.spark.read.schema(FP_SCHEMA).parquet(self.ledger_path)
+
+    def dedup(self, docs: DataFrame, tick_id: str) -> DataFrame:
+        """The tick's accepted docs: in-batch dups collapsed to the min
+        doc_id per content hash, then everything already in the ledger
+        anti-joined away. Pure — safe to recompute on a crash retry (the
+        ledger only changes at ``commit``)."""
+        from pyspark.sql.window import Window
+
+        fps = fingerprint(docs)
+        w = Window.partitionBy("fp")
+        in_batch = (
+            fps.withColumn("canonical_id", F.min("doc_id").over(w))
+            .filter(F.col("doc_id") == F.col("canonical_id"))
+            .drop("canonical_id")
+        )
+        fresh = in_batch.join(
+            self.seen().select("fp"), "fp", "left_anti"
+        )
+        return docs.join(fresh.select("doc_id"), "doc_id")
+
+    def commit(self, accepted: DataFrame, tick_id: str) -> None:
+        """Record the tick's accepted fingerprints, idempotently: the
+        write replaces only this tick's partition (dynamic partition
+        overwrite), so retrying a tick never duplicates ledger rows."""
+        (
+            fingerprint(accepted)
+            .withColumn("tick_id", F.lit(tick_id))
+            .select("fp", "doc_id", "tick_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("tick_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self.ledger_path)
+        )
+
+    def metrics(self) -> dict:
+        """Ledger gauges (queue-gauge analog, queued_retry.go:209-223)."""
+        led = self.seen()
+        n = led.count()
+        ticks = led.select("tick_id").distinct().count()
+        return {"accepted_docs": n, "ticks": ticks}
