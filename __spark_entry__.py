@@ -17,18 +17,53 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from opentelemetry_collector_spark import queries as _q  # noqa: E402
 
+_SHIPPED: set[int] = set()
+
+
+def _ensure_pkg_shipped(spark: SparkSession) -> None:
+    """Ship the engine package to executor Python workers via addPyFile.
+
+    The driver may import this module from any cwd; Arrow-batched
+    operators (mapInPandas in operators/protobuf.py, grok.py) unpickle by
+    module reference on the workers, which otherwise only see the cwd the
+    Spark JVM inherited. One zip per process, added once per SparkContext.
+    """
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    import zipfile
+
+    root = Path(__file__).resolve().parent
+    zip_path = "/tmp/otelcol_spark_entry_pkg.zip"
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for p in (root / "opentelemetry_collector_spark").rglob("*.py"):
+            if "__pycache__" in p.parts:
+                continue
+            z.write(p, str(p.relative_to(root)))
+    sc.addPyFile(zip_path)
+    _SHIPPED.add(id(sc))
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: per-sink, per-time-bucket
     record counts from the full parse->enrich->route->aggregate pipeline."""
+    _ensure_pkg_shipped(spark)
     return _q.q_sink_counts(spark, "/root/testdata/sf0.001")
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_pkg_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(_q.PIPELINE_QUERIES)
     out.update(_q.DOCS_QUERIES)
-    return out
+    return {k: _wrap(fn) for k, fn in out.items()}
 
 
 def oracle_sql() -> dict[str, str]:
