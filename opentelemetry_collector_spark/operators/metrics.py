@@ -101,15 +101,25 @@ def sum_cumulative_to_delta(parsed: DataFrame) -> DataFrame:
     * the first point of a stream has no baseline -> NULL delta (the
       processor drops it; kept as NULL here so row counts are auditable).
 
-    One window over the stream key — same single shuffle as the forward
-    conversion, aligned with the conv_id bucket layout.
+    Both windows (the running sum and the lag) keep the SAME partition
+    attributes — ``(conv_id, parsed_tool)`` — and only rename to ``tool``
+    in the final projection: renaming between the windows makes Catalyst
+    plan a second hashpartitioning exchange on the aliased attribute, a
+    full extra shuffle of every stream (observed in .explain; guarded by
+    test_temporality_conversions_share_one_stream_shuffle).
     """
-    cum = sum_delta_to_cumulative(parsed)
-    w = Window.partitionBy("conv_id", "tool").orderBy("turn_idx")
-    prev = F.lag("cumulative_value").over(w)
+    w_base = Window.partitionBy("conv_id", "parsed_tool").orderBy("turn_idx")
+    w_cum = w_base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = _spans(parsed).select(
+        "conv_id",
+        "parsed_tool",
+        "turn_idx",
+        F.sum("dur_ms").over(w_cum).alias("cumulative_value"),
+    )
+    prev = F.lag("cumulative_value").over(w_base)
     return cum.select(
         "conv_id",
-        "tool",
+        F.col("parsed_tool").alias("tool"),
         "turn_idx",
         "cumulative_value",
         F.when(prev.isNull(), F.lit(None).cast("long"))

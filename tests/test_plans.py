@@ -77,3 +77,46 @@ def test_dedup_joins_are_equality_joins(spark):
         plan = _plan(DOCS_QUERIES[name](spark, SF_SMOKE))
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_sampler_and_redaction_add_no_shuffle(spark):
+    """Head sampling and redaction are stateless filters/projections over
+    the parsed stage — at 100 TB they must pipeline into the scan. The
+    only exchange allowed is the transcripts-derivation window (a
+    test-fixture artifact; the production table is already turn-ordered)."""
+    for name in ["probabilistic_sampler", "redaction"]:
+        plan = _plan(PIPELINE_QUERIES[name](spark, SF_SMOKE))
+        assert _shuffles(plan) <= 1, f"{name} added a shuffle"
+
+
+def test_temporality_conversions_share_one_stream_shuffle(spark):
+    """delta->cumulative, cumulative->delta, and delta->rate each shuffle
+    the stream exactly once on the (conv_id, tool) key — the
+    cumulative->delta op stacks two windows and must NOT re-shuffle
+    between them (renaming the partition attribute between windows used
+    to cost a full second exchange)."""
+    for name in ["metrics_sum_cumulative", "metrics_sum_delta",
+                 "metrics_sum_rate"]:
+        plan = _plan(PIPELINE_QUERIES[name](spark, SF_SMOKE))
+        assert _shuffles(plan) <= 2, (
+            f"{name}: more than fixture-window + one stream shuffle"
+        )
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """Decontamination joins the corpus shingle set against the (small)
+    benchmark shingle set: must be a broadcast hash join — a sort-merge
+    join here shuffles the full corpus on shingle key."""
+    plan = _plan(DOCS_QUERIES["contamination_tag"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_pairs_use_bucket_equality_join(spark):
+    """Embedding near-dup candidates come from an equality join on the
+    LSH bucket id — never an all-pairs nested loop."""
+    plan = _plan(DOCS_QUERIES["dedup_embedding_pairs"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
