@@ -166,3 +166,42 @@ def test_stream_obs_counters_match_input(spark, transcripts_dir, tmp_path):
         assert sum(c.batch_send_sizes) == want
     finally:
         detach_obs_listener(spark, listener)
+
+
+def test_stream_sampler_matches_batch(spark, transcripts_dir, tmp_path):
+    """Head sampling is a stateless, shuffle-free filter, so the same
+    probabilistic_sampler call must work unchanged on a streaming parsed
+    frame and keep exactly the batch-selected span set (trace-consistent
+    hash decision, probabilisticsampler pattern)."""
+    from opentelemetry_collector_spark.operators.traces import (
+        probabilistic_sampler,
+    )
+
+    src = stream_transcripts(spark, transcripts_dir, max_files_per_trigger=2)
+    sampled = probabilistic_sampler(parse_turns(src))
+    out_dir = str(tmp_path / "sampled")
+    q = (
+        sampled.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.conv_id, r.turn_idx, r.trace_id)
+        for r in spark.read.parquet(out_dir)
+        .select("conv_id", "turn_idx", "trace_id").collect()
+    }
+    batch = probabilistic_sampler(
+        parse_turns(spark.read.parquet(transcripts_dir)))
+    want = {
+        (r.conv_id, r.turn_idx, r.trace_id)
+        for r in batch.select("conv_id", "turn_idx", "trace_id").collect()
+    }
+    assert got == want and len(got) > 0
+    # sampling actually filtered (keep rate permyriad of 2500 -> ~25%)
+    total = parse_turns(spark.read.parquet(transcripts_dir)).filter(
+        F.col("trace_id").isNotNull()).count()
+    assert 0 < len(got) < total
