@@ -522,3 +522,138 @@ FROM sh s JOIN bench b USING (sh)
 WHERE s.doc_id % {CONTAM_BENCH_MOD} <> 0
 GROUP BY s.doc_id
 """
+
+
+# --- corpus unigram language model (CCNet-style LM quality filter) -----------
+
+UNIGRAM_MIN_COUNT = 2  # words below this corpus count are OOV (floor prob)
+VOCAB_TOPK = 50  # tokenizer-vocabulary induction: Zipf head size
+
+
+def _tokens(spark, sf_dir: str) -> DataFrame:
+    """(doc_id, word) pairs: lowercase whitespace tokenization, empty
+    tokens dropped — one explode over a (doc_id, text) projection."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+        )
+        .filter(F.length("w") > 0)
+    )
+
+
+def doc_unigram_ll(spark, sf_dir: str) -> DataFrame:
+    """Per-document unigram log-likelihood under a corpus-trained LM —
+    the CCNet/Gopher-style statistical quality filter (perplexity
+    filtering with a unigram model standing in for KenLM: the Spark plan
+    shape — broadcast model join + per-doc aggregate — is identical).
+
+    Model: p(w) = count(w)/N over this corpus; words with corpus count
+    < UNIGRAM_MIN_COUNT are out-of-vocabulary and score the floor prob
+    1/N (add-nothing backoff, deterministic).
+
+    Cross-engine exactness: per-token log-probs are quantized to integer
+    milli-nats BEFORE summing (``round(ln(c/N)*1000) -> bigint``) — each
+    token's value derives from the same two integers in both engines, and
+    integer sums are order-independent, so no float-accumulation-order
+    hazard (the file-header parity rule).
+
+    Scale: the vocab aggregate shuffles words once (map-side combine
+    absorbs Zipf skew — hot words partial-aggregate per partition); the
+    model join is a broadcast (a count>=2 vocab is bounded by corpus
+    vocabulary, ~10M rows at 100 TB — still broadcastable at ~100 MB;
+    production would precompute it as a side table instead of rescanning);
+    the per-doc aggregate shuffles on doc_id (uniform key, no skew).
+    """
+    toks = _tokens(spark, sf_dir)
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= UNIGRAM_MIN_COUNT)
+    )
+    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    logp_milli = F.round(
+        F.log(F.coalesce(F.col("c"), F.lit(1)).cast("double") / F.col("n"))
+        * 1000.0
+    ).cast("long")
+    agg = (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("c").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("oov_tokens"),
+            F.sum(logp_milli).cast("long").alias("ll_milli"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "oov_tokens",
+        "ll_milli",
+        (F.col("ll_milli").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("avg_logp_milli"),
+    )
+
+
+DOC_UNIGRAM_LL_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents
+    ) t WHERE length(w) > 0
+),
+vocab AS (
+    SELECT w, count(*) AS c FROM toks GROUP BY w
+    HAVING count(*) >= {UNIGRAM_MIN_COUNT}
+),
+tot AS (SELECT cast(count(*) AS double) AS n FROM toks)
+SELECT doc_id,
+    cast(count(*) AS bigint) AS n_tokens,
+    cast(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS bigint) AS oov_tokens,
+    cast(sum(cast(round(ln(cast(coalesce(c, 1) AS double) / n) * 1000)
+        AS bigint)) AS bigint) AS ll_milli,
+    cast(sum(cast(round(ln(cast(coalesce(c, 1) AS double) / n) * 1000)
+        AS bigint)) AS double) / cast(count(*) AS double) AS avg_logp_milli
+FROM toks LEFT JOIN vocab USING (w), tot
+GROUP BY doc_id
+"""
+
+
+def vocab_topk(spark, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary induction: the corpus's top-{VOCAB_TOPK} words
+    by frequency (Zipf head), ties broken lexically so the ranking is
+    total and engine-independent.
+
+    Scale: groupBy(word) with map-side combine, then ``orderBy + limit``
+    — Spark plans TakeOrderedAndProject (per-partition partial top-k, no
+    global sort); the row_number window runs on the K survivors only.
+    """
+    from pyspark.sql.window import Window
+
+    vocab = (
+        _tokens(spark, sf_dir)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    top = vocab.orderBy(F.col("c").desc(), F.col("w")).limit(VOCAB_TOPK)
+    w_rank = Window.orderBy(F.col("c").desc(), F.col("w"))
+    return top.withColumn(
+        "rank", F.row_number().over(w_rank).cast("int")
+    )
+
+
+VOCAB_TOPK_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents
+    ) t WHERE length(w) > 0
+),
+vocab AS (SELECT w, cast(count(*) AS bigint) AS c FROM toks GROUP BY w)
+SELECT w, c, cast(row_number() OVER (ORDER BY c DESC, w) AS int) AS rank
+FROM vocab ORDER BY c DESC, w LIMIT {VOCAB_TOPK}
+"""

@@ -519,9 +519,10 @@ DOCS_QUERIES: dict[str, QueryFn] = {
     "ann_cosine_topk": _sim.ann_cosine_topk,
     "ann_lsh_topk": _sim.ann_lsh_topk,
     "ann_ivf_topk": _sim.ann_ivf_topk,
-    # performance-path twin of ann_cosine_topk (Arrow/numpy matmul); checked
-    # rows-only — its float op order differs from the SQL fold, so exact
-    # value-hash parity is not contractual.
+    # performance-path twin of ann_cosine_topk (Arrow/numpy matmul). Both
+    # sides normalize in float64 and round the cosine to 6 dp, which
+    # absorbs the ~1e-13 summation-order difference between the numpy
+    # matmul and the SQL fold — so it shares ann_cosine_topk's oracle.
     "ann_cosine_topk_pandas": _sim.cosine_topk_pandas,
     "media_features": _mm.media_features,
     "corpus_curation": _ts.corpus_curation,
@@ -530,6 +531,8 @@ DOCS_QUERIES: dict[str, QueryFn] = {
     "doc_repetition": _ts.doc_repetition,
     "contamination_tag": _ts.contamination_tag,
     "dedup_clusters": _dedup.dedup_clusters,
+    "doc_unigram_ll": _ts.doc_unigram_ll,
+    "vocab_topk": _ts.vocab_topk,
 }
 
 DOCS_ORACLES: dict[str, str] = {
@@ -544,6 +547,7 @@ DOCS_ORACLES: dict[str, str] = {
     "dedup_simhash_pairs": _dedup.DEDUP_SIMHASH_PAIRS_ORACLE,
     "dedup_embedding_pairs": _sim.DEDUP_EMBEDDING_ORACLE,
     "ann_cosine_topk": _sim.ANN_TOPK_ORACLE,
+    "ann_cosine_topk_pandas": _sim.ANN_TOPK_ORACLE,
     "ann_lsh_topk": _sim.ANN_LSH_ORACLE,
     "ann_ivf_topk": _sim.ANN_IVF_ORACLE,
     "media_features": _mm.MEDIA_FEATURES_ORACLE,
@@ -553,6 +557,8 @@ DOCS_ORACLES: dict[str, str] = {
     "doc_repetition": _ts.DOC_REPETITION_ORACLE,
     "contamination_tag": _ts.CONTAMINATION_ORACLE,
     "dedup_clusters": _dedup.DEDUP_CLUSTERS_ORACLE,
+    "doc_unigram_ll": _ts.DOC_UNIGRAM_LL_ORACLE,
+    "vocab_topk": _ts.VOCAB_TOPK_ORACLE,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {

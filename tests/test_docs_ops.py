@@ -149,3 +149,30 @@ def test_corpus_sample_downsamples_only_target_lang(spark):
             assert 0.3 < kept[lang] / cnt < 0.7  # ~0.5 keep rate
         else:
             assert kept[lang] == cnt  # tail untouched
+
+
+def test_unigram_ll_semantics(spark):
+    """LM-quality invariants the oracle can't express: OOV tokens score
+    exactly the floor prob (1/N in milli-nats), so a doc's ll decomposes
+    as sum of per-token quantized logs; common-word docs score strictly
+    higher avg_logp than the corpus floor."""
+    import math
+
+    from opentelemetry_collector_spark.operators.textstats import (
+        _tokens,
+        doc_unigram_ll,
+    )
+
+    rows = doc_unigram_ll(spark, SF_CORRECT).collect()
+    n_total = _tokens(spark, SF_CORRECT).count()
+    floor_milli = round(math.log(1.0 / n_total) * 1000)
+    for r in rows:
+        assert r.n_tokens > 0
+        assert 0 <= r.oov_tokens <= r.n_tokens
+        # every token's logp is in [floor, 0); the doc sum must bound it
+        assert floor_milli * r.n_tokens <= r.ll_milli < 0
+        assert abs(r.avg_logp_milli - r.ll_milli / r.n_tokens) < 1e-9
+    # an all-OOV doc would sit exactly at the floor; the corpus mean must
+    # sit strictly above it (common words exist by construction)
+    mean_avg = sum(r.avg_logp_milli for r in rows) / len(rows)
+    assert mean_avg > floor_milli

@@ -120,3 +120,14 @@ def test_embedding_pairs_use_bucket_equality_join(spark):
     plan = _plan(DOCS_QUERIES["dedup_embedding_pairs"](spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_unigram_vocab_join_is_broadcast(spark):
+    """The LM-model join must broadcast the vocab side — a sort-merge join
+    here would shuffle every (doc_id, word) pair on the word key; the
+    top-k query must plan TakeOrderedAndProject, not a global sort."""
+    plan = _plan(DOCS_QUERIES["doc_unigram_ll"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    plan_top = _plan(DOCS_QUERIES["vocab_topk"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan_top
