@@ -168,3 +168,134 @@ FROM (
     FROM parsed WHERE trace_id IS NOT NULL
 ) q WHERE sample_bucket < {SAMPLER_PERMYRIAD}
 """
+
+
+# --- composite tail sampling -------------------------------------------------
+
+TAIL_PROB_PERMYRIAD = 1000  # probabilistic fallback keeps 10.00% of the rest
+TAIL_PROB_SALT = ":tailprob"
+
+
+def tail_sampling_composite(
+    parsed: DataFrame, latency_threshold_ms: int = LATENCY_THRESHOLD_MS
+) -> DataFrame:
+    """Composite tail-sampling policy chain, first match wins:
+    ``error`` > ``latency`` > ``probabilistic`` — the and/or policy
+    composition the tail-sampling pattern defines (the reference's docs
+    call out tail sampling as the traceID-affinity workload,
+    docs/performance.md:69-72; the probabilistic fallback keeps a hash-
+    deterministic TAIL_PROB_PERMYRIAD/10000 share of traces no stronger
+    policy claimed, so kept traffic stays bounded).
+
+    The probabilistic decision hashes the trace identity (conv_id), so
+    it needs NO window — all spans of a trace agree by construction; the
+    error/latency policies reuse the single conv_id-partitioned window,
+    so the whole composite costs the same one trace-affinity shuffle as
+    the two-policy form (exchange-free on the bucket(conv_id) layout).
+    """
+    from opentelemetry_collector_spark.operators.textstats import (
+        _hash_bucket,
+    )
+
+    w = Window.partitionBy("conv_id")
+    spans = parsed.filter(F.col("trace_id").isNotNull())
+    prob_bucket = _hash_bucket(F.col("conv_id"), 10000, TAIL_PROB_SALT)
+    flagged = spans.withColumn(
+        "keep_policy",
+        F.when(
+            F.max(F.when(F.col("status") == "ERROR", 1).otherwise(0)).over(w)
+            == 1,
+            F.lit("error"),
+        )
+        .when(
+            F.max("dur_ms").over(w) >= latency_threshold_ms, F.lit("latency")
+        )
+        .when(
+            prob_bucket.cast("int") < TAIL_PROB_PERMYRIAD,
+            F.lit("probabilistic"),
+        ),
+    )
+    return flagged.filter(F.col("keep_policy").isNotNull()).select(
+        "conv_id",
+        "turn_idx",
+        F.col("parsed_tool").alias("tool"),
+        "trace_id",
+        "span_id",
+        "dur_ms",
+        "status",
+        "keep_policy",
+    )
+
+
+def tail_sampling_composite_oracle_body(
+    latency_threshold_ms: int = LATENCY_THRESHOLD_MS,
+) -> str:
+    from opentelemetry_collector_spark.operators.textstats import (
+        _hash_bucket_sql,
+    )
+
+    bucket = _hash_bucket_sql("conv_id", 10000, TAIL_PROB_SALT)
+    return f"""
+SELECT conv_id, turn_idx, tool, trace_id, span_id, dur_ms, status, keep_policy
+FROM (
+    SELECT conv_id, turn_idx, parsed_tool AS tool, trace_id, span_id, dur_ms, status,
+        CASE
+            WHEN max(CASE WHEN status = 'ERROR' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY conv_id) = 1 THEN 'error'
+            WHEN max(dur_ms) OVER (PARTITION BY conv_id)
+                >= {latency_threshold_ms} THEN 'latency'
+            WHEN cast({bucket} AS int) < {TAIL_PROB_PERMYRIAD}
+                THEN 'probabilistic'
+        END AS keep_policy
+    FROM parsed WHERE trace_id IS NOT NULL
+) q WHERE keep_policy IS NOT NULL
+"""
+
+
+# --- span-edge aggregation (service-graph connector analog) ------------------
+
+
+def span_edges(parsed: DataFrame) -> DataFrame:
+    """Caller->callee edge aggregation over each trace's span sequence —
+    the service-graph connector pattern (build (src, dst) edges from
+    trace structure, aggregate count/error/latency per edge). In the
+    transcript model a conversation's tool calls form the call sequence,
+    so the edge is (previous tool -> this tool) within conv_id order.
+
+    One lag window on the conv_id bucket layout (the pipeline's standing
+    partitioning — exchange-free on the bucketed table), then a tiny
+    groupBy on (src_tool, dst_tool): |tools|^2 output rows, map-side
+    partial agg collapses each partition before the shuffle.
+    """
+    spans = parsed.filter(F.col("trace_id").isNotNull())
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    edges = spans.select(
+        "conv_id",
+        F.lag("parsed_tool").over(w).alias("src_tool"),
+        F.col("parsed_tool").alias("dst_tool"),
+        "dur_ms",
+        "status",
+    ).filter(F.col("src_tool").isNotNull())
+    return edges.groupBy("src_tool", "dst_tool").agg(
+        F.count(F.lit(1)).alias("n_calls"),
+        F.count(F.when(F.col("status") == "ERROR", 1)).alias("n_errors"),
+        F.sum("dur_ms").cast("long").alias("total_dur_ms"),
+        F.max("dur_ms").alias("max_dur_ms"),
+    )
+
+
+SPAN_EDGES_ORACLE_BODY = """
+SELECT src_tool, dst_tool,
+    count(*) AS n_calls,
+    count(*) FILTER (WHERE status = 'ERROR') AS n_errors,
+    cast(sum(dur_ms) AS BIGINT) AS total_dur_ms,
+    max(dur_ms) AS max_dur_ms
+FROM (
+    SELECT conv_id,
+        lag(parsed_tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+            AS src_tool,
+        parsed_tool AS dst_tool, dur_ms, status
+    FROM parsed WHERE trace_id IS NOT NULL
+) e WHERE src_tool IS NOT NULL
+GROUP BY 1, 2
+"""

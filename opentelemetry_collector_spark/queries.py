@@ -424,6 +424,14 @@ def q_tail_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tr.tail_sampling(_parsed(spark, sf_dir))
 
 
+def q_tail_sampling_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tr.tail_sampling_composite(_parsed(spark, sf_dir))
+
+
+def q_span_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tr.span_edges(_parsed(spark, sf_dir))
+
+
 def q_probabilistic_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tr.probabilistic_sampler(_parsed(spark, sf_dir))
 
@@ -498,6 +506,8 @@ PIPELINE_QUERIES: dict[str, QueryFn] = {
     "histogram_exemplars": q_histogram_exemplars,
     "trace_rollup": q_trace_rollup,
     "tail_sampling": q_tail_sampling,
+    "tail_sampling_composite": q_tail_sampling_composite,
+    "span_edges": q_span_edges,
     "probabilistic_sampler": q_probabilistic_sampler,
     "metrics_sum_rate": q_metrics_sum_rate,
     "redaction": q_redaction,
@@ -705,6 +715,10 @@ FROM spans WHERE linked_trace_id IS NOT NULL""",
     "histogram_exemplars": f"{_PARSED_CTE}\n{_met.exemplars_oracle_body()}",
     "trace_rollup": f"{_PARSED_CTE}\n{_tr.TRACE_ROLLUP_ORACLE_BODY}",
     "tail_sampling": f"{_PARSED_CTE}\n{_tr.tail_sampling_oracle_body()}",
+    "tail_sampling_composite": (
+        f"{_PARSED_CTE}\n{_tr.tail_sampling_composite_oracle_body()}"
+    ),
+    "span_edges": f"{_PARSED_CTE}\n{_tr.SPAN_EDGES_ORACLE_BODY}",
     "probabilistic_sampler": (
         f"{_PARSED_CTE}\n{_tr.probabilistic_sampler_oracle_body()}"
     ),

@@ -14,7 +14,7 @@ from opentelemetry_collector_spark.queries import (
     q_tail_sampling,
     q_trace_rollup,
 )
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_CORRECT, SF_SMOKE
 
 
 def _span_count(spark):
@@ -445,3 +445,40 @@ def test_cumulative_to_delta_reset_semantics(spark):
     assert out[1] == 7             # 12 - 5
     assert out[2] == 3             # reset: cumulative 3 < 12 -> full value
     assert out[3] == 10            # 13 - 3
+
+
+def test_composite_policy_precedence(spark):
+    """Composite = plain tail sampling plus a probabilistic fallback:
+    every (trace, policy) the two-policy form keeps must re-appear
+    unchanged, and every extra trace must carry keep_policy
+    'probabilistic' (first-match-wins composition)."""
+    from opentelemetry_collector_spark.queries import PIPELINE_QUERIES
+
+    plain = {
+        (r.conv_id, r.keep_policy)
+        for r in PIPELINE_QUERIES["tail_sampling"](spark, SF_CORRECT)
+        .select("conv_id", "keep_policy").distinct().collect()
+    }
+    comp = {
+        (r.conv_id, r.keep_policy)
+        for r in PIPELINE_QUERIES["tail_sampling_composite"](spark, SF_CORRECT)
+        .select("conv_id", "keep_policy").distinct().collect()
+    }
+    assert plain <= comp
+    extras = comp - plain
+    assert extras, "probabilistic fallback never fired"
+    assert all(p == "probabilistic" for _, p in extras)
+
+
+def test_span_edges_conservation(spark):
+    """Each conversation with k spans contributes exactly k-1 edges, so
+    sum(n_calls) == total spans - conversations-with-spans."""
+    from opentelemetry_collector_spark.queries import PIPELINE_QUERIES, _parsed
+    from pyspark.sql import functions as F
+
+    parsed = _parsed(spark, SF_CORRECT).filter(F.col("trace_id").isNotNull())
+    n_spans = parsed.count()
+    n_convs = parsed.select("conv_id").distinct().count()
+    edges = PIPELINE_QUERIES["span_edges"](spark, SF_CORRECT)
+    total_calls = edges.agg(F.sum("n_calls")).collect()[0][0]
+    assert total_calls == n_spans - n_convs

@@ -131,3 +131,16 @@ def test_unigram_vocab_join_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
     plan_top = _plan(DOCS_QUERIES["vocab_topk"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan_top
+
+
+def test_trace_ops_share_the_trace_affinity_shuffle(spark):
+    """tail_sampling_composite adds a policy without adding a shuffle
+    (probabilistic decision is hash-of-key, windowless); span_edges costs
+    the conv_id window plus one tiny (src,dst) aggregate exchange."""
+    plain = _shuffles(_plan(PIPELINE_QUERIES["tail_sampling"](spark, SF_SMOKE)))
+    comp = _shuffles(
+        _plan(PIPELINE_QUERIES["tail_sampling_composite"](spark, SF_SMOKE))
+    )
+    assert comp == plain, "composite policy added a shuffle"
+    edges = _shuffles(_plan(PIPELINE_QUERIES["span_edges"](spark, SF_SMOKE)))
+    assert edges <= plain + 1, "span_edges: more than window + edge agg"
