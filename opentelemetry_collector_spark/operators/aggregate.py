@@ -57,3 +57,53 @@ def severity_histogram(parsed: DataFrame) -> DataFrame:
         parsed.groupBy("severity_number", "severity_text")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+def log_dedup(
+    parsed: DataFrame, bucket_seconds: int = BUCKET_SECONDS
+) -> DataFrame:
+    """Collapse same-template log bodies within a time bucket into one row
+    + occurrence counts — the log-deduplication processor pattern
+    (repeated near-identical records are the dominant log-volume
+    pathology; the collector ecosystem handles it with an interval-keyed
+    identity aggregate). Identity = the body with numeric payloads masked
+    (``[0-9]+`` -> ``#``), i.e. log-template extraction, so records that
+    differ only in ids/counters/durations dedup together.
+
+    The group key is md5(template), not the text, so the shuffle carries
+    32-byte keys — at 10^12 rows the exchange volume is bounded by
+    (buckets x roles x distinct templates) after map-side partial
+    aggregation; hot templates (the very thing being deduped) collapse to
+    one row per task before the shuffle, so the skew they'd otherwise
+    cause is absorbed by the combine. ``sample_body`` keeps min(body) as
+    a representative record (one body per group per task in the partial
+    agg, not a full-text shuffle).
+    """
+    template = F.regexp_replace(F.col("body"), "[0-9]+", "#")
+    return (
+        parsed.groupBy(
+            time_bucket(F.col("ts"), bucket_seconds).alias(
+                "bucket_start_epoch"
+            ),
+            "role",
+            F.md5(template).alias("template_hash"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.min("body").alias("sample_body"),
+        )
+    )
+
+
+LOG_DEDUP_ORACLE_BODY = f"""
+SELECT cast(floor(epoch(ts)/{BUCKET_SECONDS})*{BUCKET_SECONDS} AS bigint)
+        AS bucket_start_epoch,
+    role,
+    md5(regexp_replace(body, '[0-9]+', '#', 'g')) AS template_hash,
+    count(*) AS n_records,
+    cast(count(DISTINCT conv_id) AS bigint) AS n_convs,
+    min(body) AS sample_body
+FROM parsed
+GROUP BY 1, 2, 3
+"""

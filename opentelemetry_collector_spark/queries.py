@@ -24,6 +24,7 @@ from opentelemetry_collector_spark.operators.enrich import (
 from opentelemetry_collector_spark.operators.parse import parse_oracle_sql, parse_turns
 from opentelemetry_collector_spark.severity import ERROR_THRESHOLD
 from opentelemetry_collector_spark.operators.route import dead_letter, route, routed_ok
+from opentelemetry_collector_spark.operators import aggregate as _agg
 from opentelemetry_collector_spark.operators import dedup as _dedup
 from opentelemetry_collector_spark.operators import multimodal as _mm
 from opentelemetry_collector_spark.operators.asof import (
@@ -147,6 +148,12 @@ def q_severity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return severity_histogram(
         parse_turns(events_to_transcripts(spark, sf_dir))
     )
+
+
+def q_log_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators.aggregate import log_dedup
+
+    return log_dedup(_parsed(spark, sf_dir))
 
 
 def q_count_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -475,6 +482,7 @@ PIPELINE_QUERIES: dict[str, QueryFn] = {
     "dead_letter": q_dead_letter,
     "sink_counts": q_sink_counts,
     "severity_histogram": q_severity_histogram,
+    "log_dedup": q_log_dedup,
     "count_conservation": q_count_conservation,
     "turn_ordering": q_turn_ordering,
     "tool_spans": q_tool_spans,
@@ -713,6 +721,7 @@ FROM spans WHERE linked_trace_id IS NOT NULL""",
     "span_red_metrics": f"{_PARSED_CTE}\n{_met.span_red_oracle_body()}",
     "metrics_summary": f"{_PARSED_CTE}\n{_met.SUMMARY_ORACLE_BODY}",
     "histogram_exemplars": f"{_PARSED_CTE}\n{_met.exemplars_oracle_body()}",
+    "log_dedup": f"{_PARSED_CTE}\n{_agg.LOG_DEDUP_ORACLE_BODY}",
     "trace_rollup": f"{_PARSED_CTE}\n{_tr.TRACE_ROLLUP_ORACLE_BODY}",
     "tail_sampling": f"{_PARSED_CTE}\n{_tr.tail_sampling_oracle_body()}",
     "tail_sampling_composite": (

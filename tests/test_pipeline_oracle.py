@@ -47,3 +47,17 @@ def test_sink_counts_sum_to_ok_rows(spark):
     n = counts.agg(F.sum("n_rows")).collect()[0][0]
     ok = _routed(spark, SF_CORRECT).filter("error_reason IS NULL").count()
     assert n == ok
+
+
+def test_log_dedup_conserves_and_collapses(spark):
+    """Template dedup must conserve records (sum of group counts == input
+    rows) and actually collapse something on the fixture (bodies that
+    differ only in numeric payloads share a template)."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.queries import PIPELINE_QUERIES, _parsed
+
+    groups = PIPELINE_QUERIES["log_dedup"](spark, SF_CORRECT)
+    total = groups.agg(F.sum("n_records")).collect()[0][0]
+    assert total == _parsed(spark, SF_CORRECT).count()
+    assert groups.filter(F.col("n_records") > 1).count() > 0
