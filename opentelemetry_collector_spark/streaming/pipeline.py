@@ -181,3 +181,49 @@ def start_windowed_red_metrics(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_windowed_log_dedup(
+    parsed,
+    checkpoint_dir: str,
+    query_name: str = "log_dedup_stream",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    trigger_available_now: bool = True,
+    output_mode: str = "complete",
+):
+    """Streaming log-template dedup (the continuous form of
+    operators/aggregate.log_dedup): per (event-time window, role,
+    numeric-masked template) occurrence count + representative body,
+    same watermark semantics as start_windowed_counts. countDistinct is
+    not supported in streaming aggregates, so the streaming twin
+    approximates n_convs with approx_count_distinct — the documented
+    batch/stream divergence (exact distinct needs the batch pass)."""
+    template = F.regexp_replace(F.col("body"), "[0-9]+", "#")
+    groups = (
+        parsed.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("bucket"),
+            "role",
+            F.md5(template).alias("template_hash"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.approx_count_distinct("conv_id").alias("n_convs_approx"),
+            F.min("body").alias("sample_body"),
+        )
+        .select(
+            F.unix_timestamp("bucket.start").alias("bucket_start_epoch"),
+            "role", "template_hash", "n_records", "n_convs_approx",
+            "sample_body",
+        )
+    )
+    writer = (
+        groups.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

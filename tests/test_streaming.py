@@ -205,3 +205,36 @@ def test_stream_sampler_matches_batch(spark, transcripts_dir, tmp_path):
     total = parse_turns(spark.read.parquet(transcripts_dir)).filter(
         F.col("trace_id").isNotNull()).count()
     assert 0 < len(got) < total
+
+
+def test_stream_log_dedup_matches_batch(spark, transcripts_dir, tmp_path):
+    """Streaming template-dedup groups must equal the batch log_dedup
+    groups on (bucket, role, template, count, sample); n_convs is approx
+    in streaming (documented divergence), so it is compared with HLL
+    tolerance only."""
+    from opentelemetry_collector_spark.operators.aggregate import log_dedup
+    from opentelemetry_collector_spark.streaming.pipeline import (
+        start_windowed_log_dedup,
+    )
+
+    src = stream_transcripts(spark, transcripts_dir, max_files_per_trigger=4)
+    q = start_windowed_log_dedup(
+        parse_turns(src), str(tmp_path / "ckpt"), query_name="t_log_dedup"
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.bucket_start_epoch, r.role, r.template_hash, r.n_records,
+         r.sample_body): r.n_convs_approx
+        for r in spark.sql("SELECT * FROM t_log_dedup").collect()
+    }
+    batch = {
+        (r.bucket_start_epoch, r.role, r.template_hash, r.n_records,
+         r.sample_body): r.n_convs
+        for r in log_dedup(
+            parse_turns(spark.read.parquet(transcripts_dir))).collect()
+    }
+    assert set(got) == set(batch)
+    for k, approx in got.items():
+        exact = batch[k]
+        assert abs(approx - exact) <= max(1, int(0.1 * exact))
