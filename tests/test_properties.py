@@ -196,3 +196,35 @@ def test_attributes_json_is_valid_sorted_json(spark):
     for r in rows:
         obj = json.loads(r.attributes_json)
         assert list(obj) == sorted(obj)
+
+
+def test_milli_nat_quantization_cross_engine_grid(spark):
+    """doc_unigram_ll's one float step — round(ln(c/N)*1000) -> bigint —
+    must be bit-identical in Spark and DuckDB for every (count, total)
+    pair, or its order-independent-integer-sum parity argument collapses.
+    Exhaustive small grid + a spread of larger magnitudes."""
+    import duckdb
+
+    pairs = [(c, n) for n in range(1, 60) for c in range(1, n + 1)]
+    pairs += [(c, n) for n in (10**3, 10**6, 10**9)
+              for c in (1, 2, 3, 7, n // 3, n // 2, n - 1, n)]
+    df = spark.createDataFrame(pairs, "c long, n long")
+    got = {
+        (r.c, r.n): r.q
+        for r in df.selectExpr(
+            "c", "n",
+            "cast(round(ln(cast(c AS double) / cast(n AS double)) * 1000)"
+            " AS bigint) AS q",
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (c BIGINT, n BIGINT)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", pairs)
+    want = {
+        (c, n): q
+        for c, n, q in con.sql(
+            "SELECT c, n, cast(round(ln(cast(c AS double) / cast(n AS double))"
+            " * 1000) AS bigint) FROM p"
+        ).fetchall()
+    }
+    assert got == want
