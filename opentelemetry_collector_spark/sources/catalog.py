@@ -151,3 +151,29 @@ def get_catalog(spark: SparkSession, warehouse: str,
     if iceberg_available(spark):
         return IcebergCatalog(spark, n_buckets=n_buckets)
     return ParquetCatalog(spark, warehouse, n_buckets=n_buckets)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Materialize the production layout with Spark's NATIVE bucketing
+    (``bucketBy(N, conv_id).sortBy(turn_idx)`` + ``saveAsTable``) — the
+    metastore-less stand-in for the Iceberg ``bucket(N, conv_id)`` +
+    write-ordered layout in the header (works against the in-memory
+    session catalog; no extra jar).
+
+    Reading the table back via ``spark.table(name)`` carries the bucket
+    spec into FileSourceScanExec's outputPartitioning, so every conv_id-
+    keyed window/groupBy downstream plans with ZERO exchanges and the
+    ordering window degrades to a partition-local sort — the claim
+    PLANS.md makes for the 100 TB layout, mechanically verified by
+    tests/test_bucketed.py over this writer.
+    """
+    w = df.write.bucketBy(n_buckets, "conv_id").sortBy("turn_idx").mode(mode)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
