@@ -50,12 +50,16 @@ def trace_rollup(parsed: DataFrame) -> DataFrame:
 
 
 def tail_sampling(
-    parsed: DataFrame, latency_threshold_ms: int = LATENCY_THRESHOLD_MS
+    parsed: DataFrame,
+    latency_threshold_ms: int = LATENCY_THRESHOLD_MS,
+    project: bool = True,
 ) -> DataFrame:
     """Keep whole traces matching a policy; emit their spans + the policy.
 
     Policy order mirrors tail-sampling's first-match semantics: `error`
-    wins over `latency`.
+    wins over `latency`. ``project=False`` keeps every input column
+    (+ ``keep_policy``) — the in-pipeline processor shape, where
+    downstream stages still need the full record.
     """
     w = Window.partitionBy("conv_id")
     spans = parsed.filter(F.col("trace_id").isNotNull())
@@ -69,7 +73,10 @@ def tail_sampling(
             F.max("dur_ms").over(w) >= latency_threshold_ms, F.lit("latency")
         ),
     )
-    return flagged.filter(F.col("keep_policy").isNotNull()).select(
+    kept = flagged.filter(F.col("keep_policy").isNotNull())
+    if not project:
+        return kept
+    return kept.select(
         "conv_id",
         "turn_idx",
         F.col("parsed_tool").alias("tool"),
@@ -120,7 +127,7 @@ SAMPLER_PERMYRIAD = 2500  # keep 25.00% of traces
 SAMPLER_SALT = ":sampler"
 
 
-def probabilistic_sampler(parsed: DataFrame) -> DataFrame:
+def probabilistic_sampler(parsed: DataFrame, project: bool = True) -> DataFrame:
     """Hash-seed head sampling — the probabilistic-sampler processor
     pattern (OTel sampling spec: hash the trace id into a fixed range,
     keep when below threshold; complements ``tail_sampling``, which needs
@@ -138,19 +145,21 @@ def probabilistic_sampler(parsed: DataFrame) -> DataFrame:
     )
 
     bucket = _hash_bucket(F.col("trace_id"), 10000, SAMPLER_SALT)
-    return (
+    kept = (
         parsed.filter(F.col("trace_id").isNotNull())
         .withColumn("sample_bucket", bucket.cast("int"))
         .filter(F.col("sample_bucket") < SAMPLER_PERMYRIAD)
-        .select(
-            "conv_id",
-            "turn_idx",
-            F.col("parsed_tool").alias("tool"),
-            "trace_id",
-            "span_id",
-            "dur_ms",
-            "sample_bucket",
-        )
+    )
+    if not project:
+        return kept
+    return kept.select(
+        "conv_id",
+        "turn_idx",
+        F.col("parsed_tool").alias("tool"),
+        "trace_id",
+        "span_id",
+        "dur_ms",
+        "sample_bucket",
     )
 
 
@@ -177,7 +186,9 @@ TAIL_PROB_SALT = ":tailprob"
 
 
 def tail_sampling_composite(
-    parsed: DataFrame, latency_threshold_ms: int = LATENCY_THRESHOLD_MS
+    parsed: DataFrame,
+    latency_threshold_ms: int = LATENCY_THRESHOLD_MS,
+    project: bool = True,
 ) -> DataFrame:
     """Composite tail-sampling policy chain, first match wins:
     ``error`` > ``latency`` > ``probabilistic`` — the and/or policy
@@ -215,7 +226,10 @@ def tail_sampling_composite(
             F.lit("probabilistic"),
         ),
     )
-    return flagged.filter(F.col("keep_policy").isNotNull()).select(
+    kept = flagged.filter(F.col("keep_policy").isNotNull())
+    if not project:
+        return kept
+    return kept.select(
         "conv_id",
         "turn_idx",
         F.col("parsed_tool").alias("tool"),

@@ -51,12 +51,42 @@ def _builtin_processors() -> dict[str, Callable]:
         transform_processor_factory,
     )
 
+    from opentelemetry_collector_spark.operators.traces import (
+        LATENCY_THRESHOLD_MS,
+        probabilistic_sampler,
+        tail_sampling,
+        tail_sampling_composite,
+    )
+
+    def sampler_factory(spark, df, cfg):
+        # head sampling keeps every input column in processor position —
+        # downstream stages still need the full record
+        return probabilistic_sampler(df, project=False)
+
+    def tail_factory(spark, df, cfg):
+        fn = (
+            tail_sampling_composite
+            if cfg.get("policies") == "composite"
+            else tail_sampling
+        )
+        return fn(
+            df,
+            latency_threshold_ms=cfg.get(
+                "latency_threshold_ms", LATENCY_THRESHOLD_MS
+            ),
+            project=False,
+        )
+
     return {
         "parse": lambda spark, df, cfg: parse_turns(df),
         "enrich": lambda spark, df, cfg: enrich(df, spark),
         "route": lambda spark, df, cfg: route(df),
         # telemetry-mutation / filter statements (docs/processing.md:33-60)
         "transform": transform_processor_factory,
+        # sampling processors (trace-consistent hash head sampling; window
+        # tail sampling with error>latency[>probabilistic] policies)
+        "sampler": sampler_factory,
+        "tail_sampling": tail_factory,
     }
 
 
@@ -86,11 +116,21 @@ def _builtin_exporters() -> dict[str, Callable]:
     def export_dead_letter(spark, df, cfg):
         dead_letter(df).write.mode("overwrite").parquet(cfg["path"])
 
+    def export_log_dedup(spark, df, cfg):
+        from opentelemetry_collector_spark.operators.aggregate import (
+            log_dedup,
+        )
+
+        groups = log_dedup(df, cfg.get("bucket_seconds", 300))
+        groups.write.mode("overwrite").parquet(cfg["path"])
+
     return {
         "sinks": export_sinks,
         "sink_counts": export_counts,
         "otlp_jsonl": export_jsonl,
         "dead_letter": export_dead_letter,
+        # template-identity dedup counts (log-deduplication pattern)
+        "log_dedup": export_log_dedup,
     }
 
 

@@ -73,3 +73,64 @@ def test_run_service_custom_factory(spark, tmp_path):
     cfg.pipelines["logs"]["exporters"] = ["capture"]
     results = run_service(spark, cfg, extra_exporters={"capture": capture})
     assert captured["n"] == results["logs"].count()
+
+
+def test_run_service_sampling_pipeline(spark, tmp_path):
+    """Sampling processors and the log_dedup exporter are config-buildable:
+    a sampler -> tail_sampling(composite) pipeline built from config must
+    equal the direct operator composition (processor position keeps every
+    column so downstream stages still work)."""
+    from opentelemetry_collector_spark.operators.aggregate import log_dedup
+    from opentelemetry_collector_spark.operators.parse import parse_turns
+    from opentelemetry_collector_spark.operators.traces import (
+        probabilistic_sampler,
+        tail_sampling_composite,
+    )
+    from opentelemetry_collector_spark.sources.transcripts import (
+        events_to_transcripts,
+    )
+
+    cfg = ServiceConfig.from_sources(
+        {
+            "receivers": {"transcripts": {"path": SF_SMOKE}},
+            "processors": {
+                "parse": {},
+                "sampler": {},
+                "tail_sampling": {"policies": "composite"},
+            },
+            "exporters": {
+                "log_dedup": {"path": str(tmp_path / "dedup"),
+                              "bucket_seconds": 300},
+            },
+            "service": {
+                "pipelines": {
+                    "sampled": {
+                        "receivers": ["transcripts"],
+                        "processors": ["parse", "sampler", "tail_sampling"],
+                        "exporters": ["log_dedup"],
+                    }
+                }
+            },
+        },
+        env={},
+    )
+    results = run_service(spark, cfg)
+    got = results["sampled"]
+
+    parsed = parse_turns(events_to_transcripts(spark, SF_SMOKE))
+    want = tail_sampling_composite(
+        probabilistic_sampler(parsed, project=False), project=False
+    )
+    assert got.count() == want.count() > 0
+    key = lambda r: (r.conv_id, r.turn_idx)  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    # processor position preserved the full record (parse cols + markers)
+    assert {"body", "keep_policy", "sample_bucket"} <= set(got.columns)
+
+    dedup_out = spark.read.parquet(str(tmp_path / "dedup"))
+    direct = log_dedup(want)
+    assert dedup_out.count() == direct.count()
+    assert (
+        dedup_out.agg(F.sum("n_records")).collect()[0][0]
+        == direct.agg(F.sum("n_records")).collect()[0][0]
+    )
