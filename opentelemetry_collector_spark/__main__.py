@@ -24,9 +24,13 @@ import time
 
 def build_arg_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="opentelemetry_collector_spark")
-    p.add_argument("--source", required=True,
+    p.add_argument("--config", default=None,
+                   help="collector-style YAML service config (provider URI "
+                        "or path; repeatable, later files override earlier)",
+                   action="append")
+    p.add_argument("--source", required=False,
                    help="sf dir containing events.parquet, or a transcripts table path")
-    p.add_argument("--output", required=True, help="sink base path")
+    p.add_argument("--output", required=False, help="sink base path")
     p.add_argument("--mode", choices=["batch", "stream"], default="batch")
     p.add_argument("--source-kind", choices=["events", "transcripts"],
                    default="events")
@@ -49,6 +53,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_arg_parser().parse_args(argv)
+    if args.config is None and (args.source is None or args.output is None):
+        build_arg_parser().error(
+            "--source and --output are required unless --config is given"
+        )
 
     from pyspark.sql import SparkSession
 
@@ -78,6 +86,30 @@ def main(argv: list[str] | None = None) -> int:
             "spark.sql.shuffle.partitions", str(args.shuffle_partitions)
         )
     spark = builder.getOrCreate()
+
+    if args.config:
+        # collector.Run parity: resolve config (confmap provider URIs,
+        # ${} expansion, right-biased merge across files), build the
+        # pipeline graph, run every pipeline (service/service.go:83-233)
+        import json as _json
+        import os as _os
+
+        from opentelemetry_collector_spark.plans.config import ServiceConfig
+        from opentelemetry_collector_spark.plans.service import run_service
+
+        svc_cfg = ServiceConfig.from_sources(
+            *args.config, env=dict(_os.environ)
+        )
+        t0 = time.perf_counter()
+        results = run_service(spark, svc_cfg)
+        report = {
+            "mode": "config",
+            "pipelines": {name: df.count() for name, df in results.items()},
+            "wall_s": round(time.perf_counter() - t0, 2),
+        }
+        print(_json.dumps(report))
+        spark.stop()
+        return 0
 
     cfg = PipelineConfig(
         source_path=args.source,

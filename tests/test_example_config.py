@@ -32,3 +32,45 @@ def test_example_config_runs_end_to_end(spark, tmp_path):
     counts = spark.read.parquet(str(tmp_path / "metrics" / "sink_counts"))
     ok_rows = out.filter("error_reason IS NULL").count()
     assert counts.agg(F.sum("n_rows")).collect()[0][0] == ok_rows > 0
+
+
+EXAMPLE_SAMPLED = str(
+    Path(__file__).resolve().parent.parent / "examples" / "sampled_pipeline.yaml"
+)
+
+
+def test_sampled_example_via_cli_config_mode(tmp_path):
+    """`python -m opentelemetry_collector_spark --config <yaml>` is the
+    collector.Run parity path: resolve config from the env, build the
+    graph, run it (subprocess because config mode owns its session)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, DATA_DIR=SF_SMOKE, OUT_DIR=str(tmp_path))
+    proc = subprocess.run(
+        [sys.executable, "-m", "opentelemetry_collector_spark",
+         "--config", EXAMPLE_SAMPLED,
+         "--master", "local[4]", "--shuffle-partitions", "4"],
+        capture_output=True, text=True, timeout=240, env=env,
+        cwd=str(Path(__file__).resolve().parent.parent),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["mode"] == "config"
+    assert report["pipelines"]["sampled"] > 0
+    assert (tmp_path / "log_dedup").exists()
+
+
+def test_cli_requires_source_output_without_config():
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "opentelemetry_collector_spark"],
+        capture_output=True, text=True, timeout=60,
+        cwd=str(Path(__file__).resolve().parent.parent),
+    )
+    assert proc.returncode != 0
+    assert "--source and --output are required" in proc.stderr
