@@ -496,3 +496,70 @@ FROM (
     FROM parsed WHERE trace_id IS NOT NULL
 ) q
 """
+
+
+# --- staleness markers (DataPointFlags NoRecordedValue) ----------------------
+
+STALE_GAP_S = 600_000  # a stream silent longer than this gets a marker
+
+
+def staleness_markers(
+    parsed: DataFrame, gap_s: int = STALE_GAP_S
+) -> DataFrame:
+    """Emit a synthetic staleness marker per stream gap — the
+    NoRecordedValue DataPointFlags concept (functions/flags.py
+    FLAG_NO_RECORDED_VALUE; reference pmetric number-data-point Flags
+    accessors): when a (conv_id, tool) metric stream goes silent for more
+    than ``gap_s`` seconds, downstream consumers need an explicit "series
+    went stale" point at prev_ts + gap_s rather than silently
+    interpolating across the hole (the Prometheus staleness-marker
+    semantics the OTel flag exists to carry).
+
+    One lag window on the standing (conv_id, tool) stream key — same
+    single shuffle as the temporality conversions, exchange-free on the
+    bucket(conv_id) layout.
+    """
+    from opentelemetry_collector_spark.functions.flags import (
+        FLAG_NO_RECORDED_VALUE,
+    )
+
+    w = Window.partitionBy("conv_id", "parsed_tool").orderBy("turn_idx")
+    cur = F.unix_timestamp("ts").cast("long")
+    prev = F.lag(cur).over(w)
+    df = _spans(parsed).select(
+        "conv_id",
+        F.col("parsed_tool").alias("tool"),
+        "turn_idx",
+        cur.alias("ts_epoch"),
+        prev.alias("prev_ts_epoch"),
+    )
+    return df.filter(
+        F.col("prev_ts_epoch").isNotNull()
+        & ((F.col("ts_epoch") - F.col("prev_ts_epoch")) > gap_s)
+    ).select(
+        "conv_id",
+        "tool",
+        "turn_idx",
+        (F.col("prev_ts_epoch") + gap_s).cast("long").alias(
+            "marker_ts_epoch"
+        ),
+        (F.col("ts_epoch") - F.col("prev_ts_epoch")).cast("long").alias(
+            "gap_s"
+        ),
+        F.lit(FLAG_NO_RECORDED_VALUE).alias("flags"),
+    )
+
+
+def staleness_oracle_body(gap_s: int = STALE_GAP_S) -> str:
+    return f"""
+SELECT conv_id, tool, turn_idx, marker_ts_epoch, gap_s, flags FROM (
+    SELECT conv_id, parsed_tool AS tool, turn_idx,
+        cast(lag(floor(epoch(ts))) OVER w + {gap_s} AS bigint)
+            AS marker_ts_epoch,
+        cast(floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w AS bigint)
+            AS gap_s,
+        1 AS flags
+    FROM parsed WHERE trace_id IS NOT NULL
+    WINDOW w AS (PARTITION BY conv_id, parsed_tool ORDER BY turn_idx)
+) q WHERE gap_s > {gap_s}
+"""

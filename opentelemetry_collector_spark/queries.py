@@ -423,6 +423,10 @@ def q_protobuf_document_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select(*_PARSED_COLS)
 
 
+def q_staleness_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _met.staleness_markers(_parsed(spark, sf_dir))
+
+
 def q_trace_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tr.trace_rollup(_parsed(spark, sf_dir))
 
@@ -512,6 +516,7 @@ PIPELINE_QUERIES: dict[str, QueryFn] = {
     "metrics_summary": q_metrics_summary,
     "metrics_summary_approx": q_metrics_summary_approx,
     "histogram_exemplars": q_histogram_exemplars,
+    "staleness_markers": q_staleness_markers,
     "trace_rollup": q_trace_rollup,
     "tail_sampling": q_tail_sampling,
     "tail_sampling_composite": q_tail_sampling_composite,
@@ -722,6 +727,7 @@ FROM spans WHERE linked_trace_id IS NOT NULL""",
     "metrics_summary": f"{_PARSED_CTE}\n{_met.SUMMARY_ORACLE_BODY}",
     "histogram_exemplars": f"{_PARSED_CTE}\n{_met.exemplars_oracle_body()}",
     "log_dedup": f"{_PARSED_CTE}\n{_agg.LOG_DEDUP_ORACLE_BODY}",
+    "staleness_markers": f"{_PARSED_CTE}\n{_met.staleness_oracle_body()}",
     "trace_rollup": f"{_PARSED_CTE}\n{_tr.TRACE_ROLLUP_ORACLE_BODY}",
     "tail_sampling": f"{_PARSED_CTE}\n{_tr.tail_sampling_oracle_body()}",
     "tail_sampling_composite": (

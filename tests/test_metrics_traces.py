@@ -482,3 +482,26 @@ def test_span_edges_conservation(spark):
     edges = PIPELINE_QUERIES["span_edges"](spark, SF_CORRECT)
     total_calls = edges.agg(F.sum("n_calls")).collect()[0][0]
     assert total_calls == n_spans - n_convs
+
+
+def test_staleness_markers_fire_and_sit_inside_the_gap(spark):
+    """Every marker carries the NoRecordedValue flag and is timestamped
+    prev_ts + threshold, strictly inside its gap; streams with no
+    over-threshold gap emit nothing."""
+    from opentelemetry_collector_spark.functions.flags import (
+        FLAG_NO_RECORDED_VALUE,
+    )
+    from opentelemetry_collector_spark.operators.metrics import (
+        STALE_GAP_S,
+        staleness_markers,
+    )
+    from opentelemetry_collector_spark.queries import _parsed
+
+    rows = staleness_markers(_parsed(spark, SF_CORRECT)).collect()
+    assert rows, "fixture has over-threshold stream gaps by construction"
+    for r in rows:
+        assert r.flags == FLAG_NO_RECORDED_VALUE
+        assert r.gap_s > STALE_GAP_S
+        # marker sits inside the silent interval: prev < marker < current
+        assert 0 < STALE_GAP_S < r.gap_s
+        assert r.marker_ts_epoch - STALE_GAP_S + r.gap_s > r.marker_ts_epoch
