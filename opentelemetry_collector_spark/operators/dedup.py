@@ -555,3 +555,119 @@ SELECT doc_id, cluster_id,
     count(*) OVER (PARTITION BY cluster_id) AS cluster_size
 FROM lab
 """
+
+
+# --- exact substring dedup (duplicated-run excision spans) -------------------
+
+SUBSTR_W = 8  # window width in words: runs >= W words shared anywhere dedup
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring deduplication, windowed: find every maximal word
+    run that appears (>=2 times anywhere in the corpus, including within
+    one document) and emit the per-document spans to excise — the
+    "deduplicating training data" substring method (Lee et al. 2021)
+    re-expressed as sliding windows instead of a suffix array: every
+    {SUBSTR_W}-word window is hashed, windows whose hash repeats are
+    duplicated, and overlapping/adjacent duplicated windows merge into
+    maximal spans via a gaps-and-islands pass.
+
+    Scale shape — never quadratic: hits come from joining windows back to
+    the DISTINCT duplicated-hash set (an inverted-index membership join),
+    not from pairing posting lists, so a boilerplate run shared by 10^6
+    docs costs 10^6 hit rows, not 10^12 pairs. The islands merge is a
+    window on the doc_id key (the dedup output's natural partitioning);
+    window volume ~= corpus words (stride 1 here; production uses a
+    stride >1 with W widened by stride to keep the guarantee).
+    """
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= SUBSTR_W)
+    )
+    w = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(1, size(ws) - {SUBSTR_W - 1})")
+        ).alias("i"),
+        "ws",
+    ).select(
+        "doc_id",
+        "i",
+        F.md5(
+            F.array_join(F.expr(f"slice(ws, i, {SUBSTR_W})"), " ")
+        ).alias("h"),
+    )
+    dup = (
+        w.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    hits = w.join(dup, "h").select(
+        "doc_id",
+        F.col("i").alias("s"),
+        (F.col("i") + (SUBSTR_W - 1)).alias("e"),
+    )
+    from pyspark.sql.window import Window
+
+    ordered = Window.partitionBy("doc_id").orderBy("s")
+    prev_max_end = F.max("e").over(
+        ordered.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "ni",
+        F.when(
+            prev_max_end.isNull() | (F.col("s") > prev_max_end + 1), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("ni").over(
+            ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("s").cast("int").alias("span_start"),
+        F.max("e").cast("int").alias("span_end"),
+        (F.max("e") - F.min("s") + 1).cast("int").alias("n_words"),
+    ).select("doc_id", "span_start", "span_end", "n_words")
+
+
+DEDUP_SUBSTRING_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    WHERE len(string_split(text, ' ')) >= {SUBSTR_W}
+),
+w AS (
+    SELECT doc_id, i,
+        md5(array_to_string(list_slice(ws, i, i + {SUBSTR_W - 1}), ' ')) AS h
+    FROM (
+        SELECT doc_id, ws,
+            unnest(generate_series(1, len(ws) - {SUBSTR_W - 1})) AS i
+        FROM d
+    ) q
+),
+dup AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+hits AS (
+    SELECT doc_id, i AS s, i + {SUBSTR_W - 1} AS e FROM w JOIN dup USING (h)
+),
+fl AS (
+    SELECT doc_id, s, e,
+        CASE WHEN max(e) OVER pw IS NULL OR s > max(e) OVER pw + 1
+             THEN 1 ELSE 0 END AS ni
+    FROM hits
+    WINDOW pw AS (PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl AS (
+    SELECT doc_id, s, e,
+        sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM fl
+)
+SELECT doc_id, cast(min(s) AS int) AS span_start,
+    cast(max(e) AS int) AS span_end,
+    cast(max(e) - min(s) + 1 AS int) AS n_words
+FROM isl GROUP BY doc_id, island
+"""

@@ -554,6 +554,7 @@ DOCS_QUERIES: dict[str, QueryFn] = {
     "doc_repetition": _ts.doc_repetition,
     "contamination_tag": _ts.contamination_tag,
     "dedup_clusters": _dedup.dedup_clusters,
+    "dedup_substring_spans": _dedup.dedup_substring_spans,
     "doc_unigram_ll": _ts.doc_unigram_ll,
     "vocab_topk": _ts.vocab_topk,
 }
@@ -580,6 +581,7 @@ DOCS_ORACLES: dict[str, str] = {
     "doc_repetition": _ts.DOC_REPETITION_ORACLE,
     "contamination_tag": _ts.CONTAMINATION_ORACLE,
     "dedup_clusters": _dedup.DEDUP_CLUSTERS_ORACLE,
+    "dedup_substring_spans": _dedup.DEDUP_SUBSTRING_ORACLE,
     "doc_unigram_ll": _ts.DOC_UNIGRAM_LL_ORACLE,
     "vocab_topk": _ts.VOCAB_TOPK_ORACLE,
 }

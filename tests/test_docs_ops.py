@@ -176,3 +176,42 @@ def test_unigram_ll_semantics(spark):
     # sit strictly above it (common words exist by construction)
     mean_avg = sum(r.avg_logp_milli for r in rows) / len(rows)
     assert mean_avg > floor_milli
+
+
+def test_substring_spans_are_maximal_and_really_duplicated(spark):
+    """Every emitted span (a) is at least window-width wide, (b) never
+    overlaps another span of the same doc (islands merged maximally), and
+    (c) its window-width prefix text really does appear in some other
+    span-covered position (ground-truth recount)."""
+    from opentelemetry_collector_spark.operators.dedup import (
+        SUBSTR_W,
+        dedup_substring_spans,
+    )
+
+    spans = dedup_substring_spans(spark, SF_CORRECT).collect()
+    assert spans
+    by_doc: dict[int, list] = {}
+    for r in spans:
+        assert r.n_words >= SUBSTR_W
+        assert r.n_words == r.span_end - r.span_start + 1
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for doc, ivs in by_doc.items():
+        ivs.sort()
+        for (s1, e1), (s2, e2) in zip(ivs, ivs[1:]):
+            assert s2 > e1 + 1, f"doc {doc}: spans not maximally merged"
+    # ground truth: recount duplicated 8-word runs in python
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id", "text").collect()
+    }
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for ws in docs.values():
+        for i in range(len(ws) - SUBSTR_W + 1):
+            counts[" ".join(ws[i:i + SUBSTR_W])] += 1
+    for r in spans[:50]:
+        ws = docs[r.doc_id]
+        run = " ".join(ws[r.span_start - 1:r.span_start - 1 + SUBSTR_W])
+        assert counts[run] >= 2, f"span start not actually duplicated: {run!r}"
