@@ -657,3 +657,73 @@ vocab AS (SELECT w, cast(count(*) AS bigint) AS c FROM toks GROUP BY w)
 SELECT w, c, cast(row_number() OVER (ORDER BY c DESC, w) AS int) AS rank
 FROM vocab ORDER BY c DESC, w LIMIT {VOCAB_TOPK}
 """
+
+
+# --- sequence packing (token-budget grouping for training batches) -----------
+
+PACK_BUDGET_TOKENS = 256  # tokens per training sequence
+PACK_BUCKETS = 8  # parallel packing streams (hash-partitioned)
+
+
+def corpus_pack(spark, sf_dir: str) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences
+    ("sequence packing"): docs are hash-routed into {PACK_BUCKETS}
+    independent packing streams, greedily packed in deterministic
+    (md5-of-id) order — pack_seq = which budget window the doc's START
+    offset falls in, so a doc belongs to exactly one pack and packs fill
+    to the budget (straddling docs spill into the next pack, the greedy
+    rule every packer uses when truncation is off).
+
+    Scale: one shuffle on the pack bucket (uniform hash key), a running
+    integer cumsum window per bucket, no skew surface — the same shape
+    at 10^9 docs with PACK_BUCKETS scaled to the cluster (each stream's
+    sort is partition-local).
+    """
+    from pyspark.sql.window import Window
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.ceil(F.col("n_chars") / 4.0).cast("long").alias("n_tokens"),
+            _hash_bucket(F.col("doc_id"), PACK_BUCKETS, ":pack").cast(
+                "int"
+            ).alias("pack_bucket"),
+            F.md5(F.col("doc_id").cast("string")).alias("ord_key"),
+        )
+    )
+    w = Window.partitionBy("pack_bucket").orderBy("ord_key").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return cum.select(
+        "doc_id",
+        "pack_bucket",
+        "n_tokens",
+        "cum_tokens",
+        F.floor(
+            (F.col("cum_tokens") - F.col("n_tokens"))
+            / PACK_BUDGET_TOKENS
+        ).cast("int").alias("pack_seq"),
+    )
+
+
+CORPUS_PACK_ORACLE = f"""
+SELECT doc_id, pack_bucket, n_tokens,
+    cast(cum_tokens AS bigint) AS cum_tokens,
+    cast(floor((cum_tokens - n_tokens) / {PACK_BUDGET_TOKENS}) AS int)
+        AS pack_seq
+FROM (
+    SELECT doc_id, pack_bucket, n_tokens,
+        sum(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY ord_key
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+    FROM (
+        SELECT doc_id,
+            cast(ceil(n_chars / 4.0) AS bigint) AS n_tokens,
+            cast({_hash_bucket_sql('doc_id', PACK_BUCKETS, ':pack')} AS int)
+                AS pack_bucket,
+            md5(cast(doc_id AS string)) AS ord_key
+        FROM documents
+    ) t
+) q
+"""

@@ -557,6 +557,8 @@ DOCS_QUERIES: dict[str, QueryFn] = {
     "dedup_substring_spans": _dedup.dedup_substring_spans,
     "doc_unigram_ll": _ts.doc_unigram_ll,
     "vocab_topk": _ts.vocab_topk,
+    "corpus_pack": _ts.corpus_pack,
+    "embedding_quantize": _sim.embedding_quantize,
 }
 
 DOCS_ORACLES: dict[str, str] = {
@@ -584,6 +586,8 @@ DOCS_ORACLES: dict[str, str] = {
     "dedup_substring_spans": _dedup.DEDUP_SUBSTRING_ORACLE,
     "doc_unigram_ll": _ts.DOC_UNIGRAM_LL_ORACLE,
     "vocab_topk": _ts.VOCAB_TOPK_ORACLE,
+    "corpus_pack": _ts.CORPUS_PACK_ORACLE,
+    "embedding_quantize": _sim.EMBEDDING_QUANTIZE_ORACLE,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {

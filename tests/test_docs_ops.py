@@ -215,3 +215,57 @@ def test_substring_spans_are_maximal_and_really_duplicated(spark):
         ws = docs[r.doc_id]
         run = " ".join(ws[r.span_start - 1:r.span_start - 1 + SUBSTR_W])
         assert counts[run] >= 2, f"span start not actually duplicated: {run!r}"
+
+
+def test_pack_budget_and_stability(spark):
+    """Sequence packing: every pack except a stream's last holds >= the
+    budget at its end boundary (greedy fill), pack assignment is a pure
+    function of doc identity (stable under re-runs), and every doc lands
+    in exactly one pack."""
+    from opentelemetry_collector_spark.operators.textstats import (
+        PACK_BUDGET_TOKENS,
+        corpus_pack,
+    )
+
+    rows = corpus_pack(spark, SF_CORRECT).collect()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    by_stream: dict[int, list] = {}
+    for r in rows:
+        by_stream.setdefault(r.pack_bucket, []).append(r)
+    for bucket, docs in by_stream.items():
+        docs.sort(key=lambda r: r.cum_tokens)
+        last_seq = docs[-1].pack_seq
+        for r in docs:
+            # start offset of pack k is >= k * budget by construction
+            start = r.cum_tokens - r.n_tokens
+            assert r.pack_seq == start // PACK_BUDGET_TOKENS
+            if r.pack_seq < last_seq:
+                assert r.cum_tokens > r.pack_seq * PACK_BUDGET_TOKENS
+    again = {(r.doc_id, r.pack_bucket, r.pack_seq)
+             for r in corpus_pack(spark, SF_CORRECT).collect()}
+    assert again == {(r.doc_id, r.pack_bucket, r.pack_seq) for r in rows}
+
+
+def test_quantization_reconstruction_error_bound(spark):
+    """int8 reconstruction q/scale is within 0.5/scale of the original
+    on every dimension, and qvals use the full int8 range."""
+    from opentelemetry_collector_spark.operators.similarity import (
+        embedding_quantize,
+    )
+
+    q = {(r.vec_id, r.dim_idx): (r.qval, r.scale)
+         for r in embedding_quantize(spark, SF_CORRECT).collect()}
+    vecs = {
+        r.vec_id: r.embedding
+        for r in spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+        .limit(50).collect()
+    }
+    checked = 0
+    for vid, emb in vecs.items():
+        for i, x in enumerate(emb, start=1):
+            qval, scale = q[(vid, i)]
+            assert -127 <= qval <= 127
+            assert abs(x - qval / scale) <= 0.5 / scale + 1e-9
+            checked += 1
+    assert checked > 0
+    assert any(abs(v[0]) == 127 for v in q.values())  # max dim hits range
