@@ -269,3 +269,42 @@ def test_quantization_reconstruction_error_bound(spark):
             checked += 1
     assert checked > 0
     assert any(abs(v[0]) == 127 for v in q.values())  # max dim hits range
+
+
+def test_quantized_cosine_preserves_topk(spark):
+    """ANN over the int8-quantized vectors must recover (almost) the exact
+    float top-5 sets — the end-to-end property that makes the 4x storage
+    cut usable: rank by dot(q_a, q_b)/(|q_a||q_b|) on dequantized ints."""
+    import math
+
+    from opentelemetry_collector_spark.operators.similarity import (
+        N_QUERIES,
+        TOPK,
+        embedding_quantize,
+    )
+
+    q = {}
+    for r in embedding_quantize(spark, SF_CORRECT).collect():
+        q.setdefault(r.vec_id, {})[r.dim_idx] = r.qval / r.scale
+    vecs = {v: [d[i] for i in sorted(d)] for v, d in q.items()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    exact = {}
+    for r in DOCS_QUERIES["ann_cosine_topk"](spark, SF_CORRECT).collect():
+        exact.setdefault(r.query_id, set()).add(r.data_id)
+    hit = tot = 0
+    for qid in list(exact)[:N_QUERIES]:
+        scored = sorted(
+            ((cos(vecs[qid], vecs[d]), d) for d in vecs if d != qid),
+            reverse=True,
+        )[:TOPK]
+        got = {d for _, d in scored}
+        hit += len(got & exact[qid])
+        tot += len(exact[qid])
+    assert tot > 0
+    assert hit / tot >= 0.9, f"quantized recall {hit}/{tot} below 0.9"
