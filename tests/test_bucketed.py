@@ -94,3 +94,40 @@ def test_bucketed_scan_skips_the_global_sort(bucketed):
     )
     assert "Exchange hashpartitioning" not in plan
     assert "Sort [conv_id" in plan and ", false, 0" in plan  # local sort
+
+
+def test_co_bucketed_join_needs_no_exchange(spark, tmp_path_factory):
+    """The classic 100 TB join shape: two tables bucketed on conv_id with
+    the same bucket count join as a SortMergeJoin with ZERO exchanges —
+    only partition-local sorts (broadcast disabled to force the join to
+    prove co-location, not dodge it)."""
+    base = str(tmp_path_factory.mktemp("cojoin"))
+    spark.sql("DROP TABLE IF EXISTS cj_transcripts")
+    spark.sql("DROP TABLE IF EXISTS cj_rollup")
+    write_bucketed_table(
+        events_to_transcripts(spark, SF_SMOKE),
+        "cj_transcripts",
+        n_buckets=8,
+        path=f"{base}/t",
+    )
+    trace_rollup(parse_turns(spark.table("cj_transcripts"))).write.bucketBy(
+        8, "conv_id"
+    ).mode("overwrite").option("path", f"{base}/r").saveAsTable("cj_rollup")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("cj_transcripts").join(
+            spark.table("cj_rollup"), "conv_id"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert n_shuffles == 0, plan[:500]
+        # and the join is actually correct
+        n = j.count()
+        assert n == spark.table("cj_transcripts").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS cj_transcripts")
+        spark.sql("DROP TABLE IF EXISTS cj_rollup")
