@@ -17,7 +17,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from opentelemetry_collector_spark import queries as _q  # noqa: E402
 
-_SHIPPED: set[int] = set()
+_SHIPPED: set[str] = set()
 
 
 def _ensure_pkg_shipped(spark: SparkSession) -> None:
@@ -26,22 +26,30 @@ def _ensure_pkg_shipped(spark: SparkSession) -> None:
     The driver may import this module from any cwd; Arrow-batched
     operators (mapInPandas in operators/protobuf.py, grok.py) unpickle by
     module reference on the workers, which otherwise only see the cwd the
-    Spark JVM inherited. One zip per process, added once per SparkContext.
+    Spark JVM inherited. Deduped per SparkContext by applicationId
+    (id() would be reused after a stopped context is garbage-collected);
+    the zip path is per-process so concurrent drivers can't tear each
+    other's artifact mid-fetch.
     """
     sc = spark.sparkContext
-    if id(sc) in _SHIPPED:
+    app_id = sc.applicationId
+    if app_id in _SHIPPED:
         return
+    import os
     import zipfile
 
     root = Path(__file__).resolve().parent
-    zip_path = "/tmp/otelcol_spark_entry_pkg.zip"
-    with zipfile.ZipFile(zip_path, "w") as z:
-        for p in (root / "opentelemetry_collector_spark").rglob("*.py"):
-            if "__pycache__" in p.parts:
-                continue
-            z.write(p, str(p.relative_to(root)))
+    zip_path = f"/tmp/otelcol_spark_entry_pkg_{os.getpid()}.zip"
+    if not os.path.exists(zip_path):
+        tmp = f"{zip_path}.tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for p in (root / "opentelemetry_collector_spark").rglob("*.py"):
+                if "__pycache__" in p.parts:
+                    continue
+                z.write(p, str(p.relative_to(root)))
+        os.replace(tmp, zip_path)
     sc.addPyFile(zip_path)
-    _SHIPPED.add(id(sc))
+    _SHIPPED.add(app_id)
 
 
 def entry(spark: SparkSession) -> DataFrame:

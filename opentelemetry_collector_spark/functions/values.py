@@ -56,19 +56,33 @@ def attributes_json(pairs: dict[str, Column]) -> Column:
 JSON_NUMBER_RE = r"^-?(0|[1-9][0-9]*)(\.[0-9]+)?$"
 
 
+# Full JSON string-escape table (RFC 8259 §7): backslash FIRST (escaping
+# it later would double the escapes the other rules introduce), the five
+# short escapes + \b \f, then every remaining control char as \u00XX.
+# Single source for the Column serializer here and the Python twin in
+# operators/protobuf.py.
+JSON_ESCAPES: tuple[tuple[str, str], ...] = (
+    ("\\", "\\\\"),
+    ('"', '\\"'),
+    ("\b", "\\b"),
+    ("\f", "\\f"),
+    ("\n", "\\n"),
+    ("\r", "\\r"),
+    ("\t", "\\t"),
+) + tuple(
+    (chr(c), f"\\u{c:04x}")
+    for c in range(0x20)
+    if chr(c) not in "\b\f\n\r\t"
+)
+
+
 def _json_scalar(col: Column) -> Column:
     # numeric stays bare if it round-trips as a canonical JSON number,
-    # else JSON-escaped quoted string (backslash first — escaping it later
-    # would double the escapes the other rules introduced)
+    # else JSON-escaped quoted string (full control-char coverage — a raw
+    # \x0c in a value would make the document unparseable by from_json)
     s = col.cast("string")
     e = s
-    for raw, esc in (
-        ("\\", "\\\\"),
-        ('"', '\\"'),
-        ("\n", "\\n"),
-        ("\r", "\\r"),
-        ("\t", "\\t"),
-    ):
+    for raw, esc in JSON_ESCAPES:
         e = F.replace(e, F.lit(raw), F.lit(esc))
     return F.when(s.rlike(JSON_NUMBER_RE), s).otherwise(
         F.concat(F.lit('"'), e, F.lit('"'))

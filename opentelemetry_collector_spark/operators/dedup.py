@@ -527,6 +527,14 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # never return silently-wrong components: a chain with diameter
+        # > max_iter would split one component into several clusters
+        raise RuntimeError(
+            f"dedup_clusters: min-label propagation did not converge in "
+            f"{max_iter} rounds (component diameter exceeds max_iter — "
+            f"raise max_iter)"
+        )
     w = Window.partitionBy("label")
     return labels.select(
         F.col("node").alias("doc_id"),

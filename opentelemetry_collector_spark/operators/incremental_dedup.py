@@ -54,9 +54,18 @@ def fingerprint(docs: DataFrame) -> DataFrame:
 class IncrementalDeduper:
     """Exact dedup of incoming batches against a persistent fp ledger."""
 
-    def __init__(self, spark: SparkSession, ledger_path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        ledger_path: str,
+        ledger_write_partitions: int = 8,
+    ):
         self.spark = spark
         self.ledger_path = ledger_path
+        # files per tick partition: bounds both the commit-path fan-in
+        # (never a single-task funnel on a large tick) and the ledger's
+        # file count (read amplification on every seen() scan)
+        self.ledger_write_partitions = ledger_write_partitions
 
     def seen(self) -> DataFrame:
         """Accepted fingerprints (empty frame when no ledger yet —
@@ -96,7 +105,7 @@ class IncrementalDeduper:
             fingerprint(accepted)
             .withColumn("tick_id", F.lit(tick_id))
             .select("fp", "doc_id", "tick_id")
-            .coalesce(1)
+            .coalesce(self.ledger_write_partitions)
             .write.mode("overwrite")
             .partitionBy("tick_id")
             .option("partitionOverwriteMode", "dynamic")

@@ -500,7 +500,13 @@ FROM (
 
 # --- staleness markers (DataPointFlags NoRecordedValue) ----------------------
 
-STALE_GAP_S = 600_000  # a stream silent longer than this gets a marker
+# A stream silent longer than this (seconds) gets a marker. The value is
+# deliberately fixture-scaled: the synthetic (conv_id, tool) streams tick
+# days apart (median inter-point gap ~5 days at sf0.01), so ~7 days marks
+# the sparse tail without flagging every point. A production deployment
+# with seconds-cadence scrapes would configure this to minutes (the
+# Prometheus default staleness window is 300 s) via the gap_s parameter.
+STALE_GAP_S = 600_000
 
 
 def staleness_markers(

@@ -52,6 +52,9 @@ from opentelemetry_collector_spark.functions.protowire import (
     encode_logs_request,
 )
 from opentelemetry_collector_spark.functions.values import (
+    JSON_ESCAPES as _ESCAPES,
+)
+from opentelemetry_collector_spark.functions.values import (
     JSON_NUMBER_RE,
     _es6_number_str,
 )
@@ -61,13 +64,6 @@ ENGINE_PREFIX = "otelcol."
 SCOPE_NAME = "otelcol-spark/transcripts"
 
 _NUM_RE = re.compile(JSON_NUMBER_RE)
-_ESCAPES = (
-    ("\\", "\\\\"),
-    ('"', '\\"'),
-    ("\n", "\\n"),
-    ("\r", "\\r"),
-    ("\t", "\\t"),
-)
 
 DECODED_SCHEMA = (
     "conv_id string, turn_idx int, role string, tool string, "

@@ -144,7 +144,14 @@ def compile_statements(
             op = st["op"]
             where = st.get("where")
             if op in ("set_attribute", "delete_attribute"):
-                if where and "attributes_json" in where:
+                # flush if this statement can READ the serialized column —
+                # through its guard or its value expression (an expr like
+                # "attributes_json" must see every earlier fused statement)
+                reads_serialized = any(
+                    "attributes_json" in (st.get(k) or "")
+                    for k in ("where", "expr")
+                )
+                if reads_serialized:
                     df = flush(df)
                 base = cur_map()
                 if op == "set_attribute":

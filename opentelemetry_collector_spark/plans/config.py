@@ -45,13 +45,16 @@ def _fetch_http(uri: str, timeout: float = 10.0) -> str:
         return resp.read().decode("utf-8")
 
 
-def load_uri(uri: str) -> dict:
+def load_uri(uri: str, env: dict[str, str] | None = None) -> dict:
     """One provider URI -> config map (the provider registry dispatch,
     confmap/resolver.go:122-141).
 
     * ``file:path`` or plain path — YAML file (fileprovider);
     * ``env:NAME`` — the variable's VALUE parsed as YAML (envprovider;
-      distinct from ``${env:NAME}`` scalar expansion);
+      distinct from ``${env:NAME}`` scalar expansion); resolved against
+      the SAME ``env`` mapping the caller passed for expansion (process
+      environment only when none is given), so one resolve call never
+      sees two different environments;
     * ``yaml:receivers::x: {}`` — inline YAML body (yamlprovider);
     * ``http(s)://...`` — remote YAML (http/httpsprovider; TLS handled by
       urllib; custom CA bundles are a deployment concern, gated like the
@@ -66,9 +69,10 @@ def load_uri(uri: str) -> dict:
         with open(rest) as f:
             return yaml.safe_load(f) or {}
     if scheme == "env":
-        if rest not in os.environ:
+        env_map = env if env is not None else dict(os.environ)
+        if rest not in env_map:
             raise ValueError(f"config env provider: {rest!r} is not set")
-        return yaml.safe_load(os.environ[rest]) or {}
+        return yaml.safe_load(env_map[rest]) or {}
     if scheme == "yaml":
         data = yaml.safe_load(rest)
         if not isinstance(data, dict):
@@ -128,7 +132,7 @@ class ServiceConfig:
         paths keep working via the default file scheme."""
         merged: dict = {}
         for src in sources:
-            data = load_uri(src) if isinstance(src, str) else src
+            data = load_uri(src, env=env) if isinstance(src, str) else src
             merged = deep_merge(merged, data)
         merged = expand_vars(merged, env)
         cfg = cls(

@@ -497,11 +497,34 @@ def test_staleness_markers_fire_and_sit_inside_the_gap(spark):
     )
     from opentelemetry_collector_spark.queries import _parsed
 
-    rows = staleness_markers(_parsed(spark, SF_CORRECT)).collect()
+    parsed = _parsed(spark, SF_CORRECT)
+    rows = staleness_markers(parsed).collect()
     assert rows, "fixture has over-threshold stream gaps by construction"
+    # ground truth: the actual per-stream timestamp sequences
+    streams: dict[tuple, list[int]] = {}
+    for p in (
+        parsed.filter(F.col("trace_id").isNotNull())
+        .select("conv_id", "parsed_tool", "turn_idx", "ts")
+        .collect()
+    ):
+        streams.setdefault((p.conv_id, p.parsed_tool), []).append(
+            (p.turn_idx, int(p.ts.timestamp()))
+        )
+    for s in streams.values():
+        s.sort()
+    by_turn = {
+        (c, t): {turn: e for turn, e in pts}
+        for (c, t), pts in streams.items()
+    }
     for r in rows:
         assert r.flags == FLAG_NO_RECORDED_VALUE
         assert r.gap_s > STALE_GAP_S
-        # marker sits inside the silent interval: prev < marker < current
-        assert 0 < STALE_GAP_S < r.gap_s
-        assert r.marker_ts_epoch - STALE_GAP_S + r.gap_s > r.marker_ts_epoch
+        # marker sits strictly inside the real silent interval:
+        # prev_ts < marker < current_ts, at exactly prev_ts + threshold
+        pts = by_turn[(r.conv_id, r.tool)]
+        cur = pts[r.turn_idx]
+        prev = max(e for turn, e in streams[(r.conv_id, r.tool)]
+                   if turn < r.turn_idx)
+        assert r.marker_ts_epoch == prev + STALE_GAP_S
+        assert prev < r.marker_ts_epoch < cur
+        assert r.gap_s == cur - prev

@@ -116,9 +116,18 @@ def test_config_file_scheme_uri(tmp_path):
 def test_config_env_provider_uri(monkeypatch):
     import yaml
 
-    monkeypatch.setenv("OTEL_CFG_BODY", yaml.safe_dump(VALID_CFG))
-    cfg = ServiceConfig.from_sources("env:OTEL_CFG_BODY", env={"SRC_PATH": "/z"})
+    body = yaml.safe_dump(VALID_CFG)
+    # explicit env mapping: provider URIs and ${} expansion resolve against
+    # the SAME environment (one resolve call never sees two environments)
+    cfg = ServiceConfig.from_sources(
+        "env:OTEL_CFG_BODY", env={"OTEL_CFG_BODY": body, "SRC_PATH": "/z"}
+    )
     assert cfg.receivers["transcripts"]["path"] == "/z"
+    # no env given -> the process environment serves both roles
+    monkeypatch.setenv("OTEL_CFG_BODY", body)
+    monkeypatch.setenv("SRC_PATH", "/proc")
+    cfg2 = ServiceConfig.from_sources("env:OTEL_CFG_BODY")
+    assert cfg2.receivers["transcripts"]["path"] == "/proc"
 
 
 def test_config_env_provider_unset_raises():

@@ -174,3 +174,47 @@ def test_service_builder_runs_transform(spark, tmp_path):
     out = run_service(spark, cfg)["logs"]
     assert out.filter("role = 'system'").count() == 0
     assert out.filter(~F.col("attributes_json").contains('"env": "test"')).count() == 0
+
+
+def test_fused_attribute_expr_sees_prior_statements(spark):
+    """A set_attribute whose EXPR reads attributes_json must observe every
+    earlier fused attribute statement — the fusion must flush before any
+    read of the serialized column, whether it is in the guard or the
+    value expression."""
+    import json
+
+    parsed = _parsed(spark, SF_SMOKE)
+    out = compile_statements([
+        {"op": "set_attribute", "key": "a", "expr": "'1'"},
+        {"op": "set_attribute", "key": "copy", "expr": "attributes_json"},
+    ])(parsed)
+    row = out.select("attributes_json").first()
+    attrs = json.loads(row.attributes_json)
+    copied = json.loads(attrs["copy"])
+    assert copied.get("a") == 1 or copied.get("a") == "1", attrs
+
+
+def test_control_chars_escape_and_roundtrip(spark):
+    """Attribute values containing control characters (\\x0c, \\x00, \\b)
+    must serialize to VALID JSON — from_json round-trips the exact value
+    and json.loads accepts the document (RFC 8259 full escape table)."""
+    import json
+
+    parsed = _parsed(spark, SF_SMOKE)
+    evil = 'concat("a", char(12), char(8), char(1), "b")'  # a\f\b\x01b
+    out = compile_statements([
+        {"op": "set_attribute", "key": "evil", "expr": evil},
+    ])(parsed)
+    doc = out.select("attributes_json").first().attributes_json
+    attrs = json.loads(doc)  # raises on raw control chars
+    assert attrs["evil"] == "a\f\b\x01b"
+    rt = (
+        out.select(
+            F.from_json(
+                "attributes_json", "map<string,string>"
+            ).alias("m")
+        )
+        .select(F.col("m")["evil"].alias("v"))
+        .first()
+    )
+    assert rt.v == "a\f\b\x01b"
