@@ -308,3 +308,21 @@ def test_quantized_cosine_preserves_topk(spark):
         tot += len(exact[qid])
     assert tot > 0
     assert hit / tot >= 0.9, f"quantized recall {hit}/{tot} below 0.9"
+
+
+def test_dedup_clusters_raises_on_non_convergence(spark, monkeypatch):
+    """A component with diameter > max_iter must raise, never silently
+    return split clusters (review finding: the loop used to exhaust
+    without any signal)."""
+    import pytest as _pytest
+
+    from opentelemetry_collector_spark.operators import dedup as _d
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    monkeypatch.setattr(
+        _d, "dedup_ngram_pairs", lambda spark, sf_dir: chain
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        _d.dedup_clusters(spark, SF_CORRECT, max_iter=3)
