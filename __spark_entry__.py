@@ -40,14 +40,16 @@ def _ensure_pkg_shipped(spark: SparkSession) -> None:
 
     root = Path(__file__).resolve().parent
     zip_path = f"/tmp/otelcol_spark_entry_pkg_{os.getpid()}.zip"
-    if not os.path.exists(zip_path):
-        tmp = f"{zip_path}.tmp"
-        with zipfile.ZipFile(tmp, "w") as z:
-            for p in (root / "opentelemetry_collector_spark").rglob("*.py"):
-                if "__pycache__" in p.parts:
-                    continue
-                z.write(p, str(p.relative_to(root)))
-        os.replace(tmp, zip_path)
+    # always rebuild (atomic replace): a leftover zip from a recycled pid,
+    # or source edits since this process last shipped, must never win —
+    # the build is milliseconds against silently-stale executor code
+    tmp = f"{zip_path}.tmp"
+    with zipfile.ZipFile(tmp, "w") as z:
+        for p in (root / "opentelemetry_collector_spark").rglob("*.py"):
+            if "__pycache__" in p.parts:
+                continue
+            z.write(p, str(p.relative_to(root)))
+    os.replace(tmp, zip_path)
     sc.addPyFile(zip_path)
     _SHIPPED.add(app_id)
 

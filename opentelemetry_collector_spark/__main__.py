@@ -101,7 +101,9 @@ def main(argv: list[str] | None = None) -> int:
             *args.config, env=dict(_os.environ)
         )
         t0 = time.perf_counter()
-        results = run_service(spark, svc_cfg)
+        # persist_results: the report counts below reuse the exporters'
+        # execution instead of re-running every pipeline plan
+        results = run_service(spark, svc_cfg, persist_results=True)
         report = {
             "mode": "config",
             "pipelines": {name: df.count() for name, df in results.items()},

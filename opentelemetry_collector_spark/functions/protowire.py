@@ -219,6 +219,10 @@ def encode_any_value(v: Any) -> bytes:
         # oneof presence: False still encodes (explicit 0 varint)
         return _int64_field(2, 1 if v else 0)
     if isinstance(v, int):
+        # AnyValue.int_value is int64 — Python ints are unbounded, and a
+        # silent two's-complement wrap would corrupt the attribute
+        if not -(1 << 63) <= v < (1 << 63):
+            raise ValueError(f"int attribute out of int64 range: {v}")
         return _int64_field(3, v)
     if isinstance(v, float):
         return _double_field(4, v)
@@ -931,6 +935,13 @@ def encode_metric(m: dict[str, Any]) -> bytes:
     exponential_histogram|summary), data_points (list of point dicts),
     aggregation_temporality (sum/histogram/exp), is_monotonic (sum)."""
     mtype = m["type"]
+    if mtype not in _POINT_CODEC:
+        # a dataless Metric (name-only, unset data oneof) decodes to
+        # type=None — re-encoding needs an explicit contract, not KeyError
+        raise ValueError(
+            f"metric {m.get('name')!r} has no encodable data oneof "
+            f"(type={mtype!r}; expected one of {sorted(_POINT_CODEC)})"
+        )
     enc, _ = _POINT_CODEC[mtype]
     data = bytearray()
     for dp in m.get("data_points") or []:

@@ -53,7 +53,13 @@ def attributes_json(pairs: dict[str, Column]) -> Column:
 # A value serializes bare iff it is a CANONICAL JSON number (no leading
 # zeros — '0123' bare would be invalid JSON). Single source for every
 # attributes serializer (parse stage here, transform rewrites, codecs).
+# The `$` anchor is line-terminator-lenient in BOTH engines (Python `$`
+# matches before a final \n; Java before any final terminator), so the
+# bare path must ALSO reject line terminators — "42\n" emitted bare would
+# put a raw newline outside any JSON string. JSON_TERMINATOR_RE is that
+# shared guard (valid in Python re and Java regex alike).
 JSON_NUMBER_RE = r"^-?(0|[1-9][0-9]*)(\.[0-9]+)?$"
+JSON_TERMINATOR_RE = r"[\n\r\u0085\u2028\u2029]"
 
 
 # Full JSON string-escape table (RFC 8259 §7): backslash FIRST (escaping
@@ -84,7 +90,8 @@ def _json_scalar(col: Column) -> Column:
     e = s
     for raw, esc in JSON_ESCAPES:
         e = F.replace(e, F.lit(raw), F.lit(esc))
-    return F.when(s.rlike(JSON_NUMBER_RE), s).otherwise(
+    is_bare = s.rlike(JSON_NUMBER_RE) & ~s.rlike(JSON_TERMINATOR_RE)
+    return F.when(is_bare, s).otherwise(
         F.concat(F.lit('"'), e, F.lit('"'))
     )
 

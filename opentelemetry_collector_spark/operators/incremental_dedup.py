@@ -15,7 +15,7 @@ persistent_storage.go:268-348's delete-after-OnProcessingFinished ordering).
 Protocol per tick (caller typically inside ``IncrementalSource.process_new``
 with the tick's ``PendingTick.tick_id``)::
 
-    fresh = deduper.dedup(new_docs, tick_id)   # pure, repeatable
+    fresh = deduper.dedup(new_docs)            # pure, repeatable
     ... write `fresh` to the accepted corpus (idempotent sink) ...
     deduper.commit(fresh, tick_id)             # fp ledger, tick-partitioned
 
@@ -78,7 +78,7 @@ class IncrementalDeduper:
             return self.spark.createDataFrame([], FP_SCHEMA)
         return self.spark.read.schema(FP_SCHEMA).parquet(self.ledger_path)
 
-    def dedup(self, docs: DataFrame, tick_id: str) -> DataFrame:
+    def dedup(self, docs: DataFrame) -> DataFrame:
         """The tick's accepted docs: in-batch dups collapsed to the min
         doc_id per content hash, then everything already in the ledger
         anti-joined away. Pure — safe to recompute on a crash retry (the

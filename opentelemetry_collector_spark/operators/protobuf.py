@@ -56,6 +56,7 @@ from opentelemetry_collector_spark.functions.values import (
 )
 from opentelemetry_collector_spark.functions.values import (
     JSON_NUMBER_RE,
+    JSON_TERMINATOR_RE,
     _es6_number_str,
 )
 
@@ -64,6 +65,7 @@ ENGINE_PREFIX = "otelcol."
 SCOPE_NAME = "otelcol-spark/transcripts"
 
 _NUM_RE = re.compile(JSON_NUMBER_RE)
+_TERM_RE = re.compile(JSON_TERMINATOR_RE)
 
 DECODED_SCHEMA = (
     "conv_id string, turn_idx int, role string, tool string, "
@@ -87,7 +89,9 @@ def _scalar_text(v: Any) -> str:
         s = _es6_number_str(v)
     else:
         s = str(v)
-    if _NUM_RE.match(s):
+    # mirror the Column path's terminator guard: Python `$` matches before
+    # a trailing \n, so "42\n" would otherwise be emitted bare (invalid)
+    if _NUM_RE.match(s) and not _TERM_RE.search(s):
         return s
     for raw, esc in _ESCAPES:
         s = s.replace(raw, esc)
@@ -626,6 +630,11 @@ def from_otlp_metric_protobuf(serialized: DataFrame) -> DataFrame:
         buckets=", ".join(f"{c} bigint" for c in bucket_cols)
     )
 
+    col_order = [
+        "bucket_start_epoch", "tool", "n_points",
+        "sum_value", "min_value", "max_value", *bucket_cols,
+    ]
+
     def decode(batches) -> Iterator:
         import pandas as pd
 
@@ -636,19 +645,27 @@ def from_otlp_metric_protobuf(serialized: DataFrame) -> DataFrame:
                 if m["type"] != "histogram":
                     raise ValueError(f"expected histogram metric, got {m['type']}")
                 for dp in m["data_points"]:
+                    # sum/min/max are OPTIONAL in OTLP HistogramDataPoint —
+                    # a spec-valid external producer may omit them; surface
+                    # NULL instead of crashing the task on int(None)
                     row = {
                         "bucket_start_epoch": int(
                             dp["attributes"][ENGINE_PREFIX + "bucket_start_epoch"]
                         ),
                         "tool": dp["attributes"]["tool"],
                         "n_points": dp["count"],
-                        "sum_value": int(dp["sum"]),
-                        "min_value": int(dp["min"]),
-                        "max_value": int(dp["max"]),
+                        "sum_value": None if dp.get("sum") is None
+                        else int(dp["sum"]),
+                        "min_value": None if dp.get("min") is None
+                        else int(dp["min"]),
+                        "max_value": None if dp.get("max") is None
+                        else int(dp["max"]),
                     }
                     for c, v in zip(bucket_cols, dp["bucket_counts"]):
                         row[c] = v
                     rows.append(row)
-            yield pd.DataFrame(rows)
+            # an all-empty batch must still carry the declared columns —
+            # pd.DataFrame([]) has none and fails Arrow schema conversion
+            yield pd.DataFrame(rows, columns=col_order)
 
     return serialized.select("otlp_metric").mapInPandas(decode, schema)

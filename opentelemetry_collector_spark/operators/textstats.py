@@ -446,7 +446,7 @@ FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
 # --- benchmark-contamination tagging ----------------------------------------
 
 CONTAM_SHINGLE_WORDS = 4
-CONTAM_BENCH_MOD = 23  # doc_id % 97 == 0 -> the held-out "benchmark" set
+CONTAM_BENCH_MOD = 23  # doc_id % 23 == 0 -> the held-out "benchmark" set
 
 
 def contamination_tag(spark, sf_dir: str) -> DataFrame:

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import re
+import urllib.error
 import urllib.request
 from dataclasses import dataclass, field
 from typing import Any
@@ -38,11 +39,16 @@ _SCHEME = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]+):")
 def _fetch_http(uri: str, timeout: float = 10.0) -> str:
     """GET a config body over http/https (confmap/provider/httpprovider/
     provider.go:45-63 — plain GET, non-2xx is an error). Split out so tests
-    and deployments can stub transport without a live endpoint."""
-    with urllib.request.urlopen(uri, timeout=timeout) as resp:  # noqa: S310
-        if not 200 <= resp.status < 300:
-            raise ValueError(f"config fetch {uri!r}: HTTP {resp.status}")
-        return resp.read().decode("utf-8")
+    and deployments can stub transport without a live endpoint.
+
+    urlopen raises HTTPError for non-2xx before the body is readable —
+    normalized here to the ValueError contract every other provider
+    failure uses (an in-band status check would be dead code)."""
+    try:
+        with urllib.request.urlopen(uri, timeout=timeout) as resp:  # noqa: S310
+            return resp.read().decode("utf-8")
+    except urllib.error.HTTPError as e:
+        raise ValueError(f"config fetch {uri!r}: HTTP {e.code}") from e
 
 
 def load_uri(uri: str, env: dict[str, str] | None = None) -> dict:

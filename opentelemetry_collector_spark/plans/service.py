@@ -140,6 +140,7 @@ def run_service(
     extra_receivers: dict[str, Callable] | None = None,
     extra_processors: dict[str, Callable] | None = None,
     extra_exporters: dict[str, Callable] | None = None,
+    persist_results: bool = False,
 ) -> dict[str, DataFrame]:
     """Build and execute every configured pipeline. Component TYPE is the
     config key before any '/' (collector 'type/name' instance convention,
@@ -150,7 +151,11 @@ def run_service(
     exporters consume the SAME DataFrame — immutability replaces the
     clone-if-mutating dance; Catalyst may recompute the plan per action,
     which callers avoid at scale by .persist() between exporters (handled
-    here when a pipeline has >1 exporter)."""
+    here when a pipeline has >1 exporter). ``persist_results=True`` keeps
+    each pipeline's frame cached past the exporter loop so the caller's
+    post-run actions (e.g. the CLI's report counts) reuse the exporters'
+    execution instead of re-running the plan — the caller owns unpersist.
+    """
     receivers = {**_builtin_receivers(), **(extra_receivers or {})}
     processors = {**_builtin_processors(), **(extra_processors or {})}
     exporters = {**_builtin_exporters(), **(extra_exporters or {})}
@@ -179,7 +184,8 @@ def run_service(
             df = factory(spark, df, config.processors[prname])
 
         exps = p["exporters"]
-        if len(exps) > 1:
+        persisted = persist_results or len(exps) > 1
+        if persisted:
             df = df.persist()
         try:
             for ename in exps:
@@ -190,7 +196,7 @@ def run_service(
                     )
                 factory(spark, df, config.exporters[ename])
         finally:
-            if len(exps) > 1:
+            if persisted and not persist_results:
                 df.unpersist()
         results[pname] = df
     return results

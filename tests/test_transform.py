@@ -218,3 +218,25 @@ def test_control_chars_escape_and_roundtrip(spark):
         .first()
     )
     assert rt.v == "a\f\b\x01b"
+
+
+def test_numeric_with_trailing_newline_is_quoted(spark):
+    """'42\\n' must NOT serialize bare — both regex engines' `$` anchor
+    matches before a final newline, so the bare-number path needs the
+    explicit terminator guard (review finding)."""
+    import json
+
+    parsed = _parsed(spark, SF_SMOKE)
+    out = compile_statements([
+        {"op": "set_attribute", "key": "n", "expr": "concat('42', chr(10))"},
+    ])(parsed)
+    doc = out.select("attributes_json").first().attributes_json
+    attrs = json.loads(doc)  # raises if the raw newline escaped the string
+    assert attrs["n"] == "42\n"
+
+    # Python twin (protobuf codec) agrees
+    from opentelemetry_collector_spark.operators.protobuf import (
+        canonical_attrs_json,
+    )
+
+    assert json.loads(canonical_attrs_json({"n": "42\n"}))["n"] == "42\n"
