@@ -72,3 +72,72 @@ def sessionize_stateful(transcripts: DataFrame, gap_s: int = 600) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+EDGE_OUTPUT_SCHEMA = (
+    "conv_id string, turn_idx int, src_tool string, dst_tool string, "
+    "dur_ms long, status string"
+)
+EDGE_STATE_SCHEMA = "last_turn_idx int, last_tool string"
+
+
+def span_edges_stateful(parsed: DataFrame) -> DataFrame:
+    """Streaming service-graph edge extraction: the previous tool of each
+    conversation's span sequence must survive micro-batch boundaries, so
+    the per-conv GroupState carries (last_turn_idx, last_tool) — the
+    streaming twin of operators/traces.span_edges' lag window. Emits one
+    raw edge row per span that has a predecessor; the per-(src,dst)
+    aggregation composes downstream exactly as in batch (a plain streaming
+    groupBy with watermark, or a batch rollup over the emitted edges).
+
+    Scale notes: state is O(active conversations) x (int + tool string),
+    keyed on conv_id — the table's bucket key, so the state shuffle aligns
+    with storage partitioning, like the sessionizer above.
+    """
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (conv_id,) = key
+        last_turn, last_tool = state.get if state.exists else (None, None)
+        chunks = list(pdfs)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("turn_idx")
+        rows = []
+        for r in pdf.itertuples(index=False):
+            if last_tool is not None:
+                rows.append(
+                    (
+                        conv_id,
+                        int(r.turn_idx),
+                        last_tool,
+                        r.parsed_tool,
+                        int(r.dur_ms),
+                        r.status,
+                    )
+                )
+            last_turn, last_tool = int(r.turn_idx), r.parsed_tool
+        state.update((last_turn, last_tool))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "conv_id", "turn_idx", "src_tool", "dst_tool",
+                "dur_ms", "status",
+            ],
+        )
+
+    from pyspark.sql import functions as F
+
+    return (
+        parsed.filter(F.col("trace_id").isNotNull())
+        .select("conv_id", "turn_idx", "parsed_tool", "dur_ms", "status")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=EDGE_OUTPUT_SCHEMA,
+            stateStructType=EDGE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -62,3 +62,69 @@ def test_stateful_sessionize_matches_batch_across_batches(spark, tmp_path):
     }
     assert len(got) == len(want)
     assert got == want
+
+
+def test_stateful_span_edges_match_batch_across_batches(spark, tmp_path):
+    """The streaming edge extractor must emit exactly the batch lag-window
+    edges even when every conversation's spans are split across two
+    micro-batches — the previous-tool state survives the trigger."""
+    from opentelemetry_collector_spark.operators.parse import parse_turns
+    from opentelemetry_collector_spark.operators.traces import span_edges
+    from opentelemetry_collector_spark.streaming.stateful import (
+        span_edges_stateful,
+    )
+
+    t = events_to_transcripts(spark, SF_SMOKE)
+    src = str(tmp_path / "edge_src")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id")
+    marked = t.withColumn(
+        "half",
+        (F.col("turn_idx") < F.max("turn_idx").over(w) / 2).cast("int"),
+    )
+    marked.filter("half = 1").drop("half").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    time.sleep(1.1)
+    marked.filter("half = 0").drop("half").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        span_edges_stateful(parse_turns(stream))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("edge_state")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    raw = spark.sql("SELECT * FROM edge_state")
+    got = {
+        (r.src_tool, r.dst_tool): (r.n_calls, r.n_errors, r.total_dur_ms,
+                                   r.max_dur_ms)
+        for r in raw.groupBy("src_tool", "dst_tool").agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.count(F.when(F.col("status") == "ERROR", 1)).alias("n_errors"),
+            F.sum("dur_ms").cast("long").alias("total_dur_ms"),
+            F.max("dur_ms").alias("max_dur_ms"),
+        ).collect()
+    }
+    want = {
+        (r.src_tool, r.dst_tool): (r.n_calls, r.n_errors, r.total_dur_ms,
+                                   r.max_dur_ms)
+        for r in span_edges(
+            parse_turns(spark.read.parquet(src))).collect()
+    }
+    assert got == want and len(got) > 0
