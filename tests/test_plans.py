@@ -144,3 +144,13 @@ def test_trace_ops_share_the_trace_affinity_shuffle(spark):
     assert comp == plain, "composite policy added a shuffle"
     edges = _shuffles(_plan(PIPELINE_QUERIES["span_edges"](spark, SF_SMOKE)))
     assert edges <= plain + 1, "span_edges: more than window + edge agg"
+
+
+def test_kmeans_joins_broadcast_the_centroids(spark):
+    """Every k-means iteration joins the exploded vector stream against
+    k*dim centroid cells — always a broadcast hash join, never a shuffle
+    of the vector stream on dim_idx or an all-pairs nested loop."""
+    plan = _plan(DOCS_QUERIES["embedding_kmeans"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
