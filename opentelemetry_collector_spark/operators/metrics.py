@@ -47,19 +47,25 @@ def _spans(parsed: DataFrame) -> DataFrame:
 def gauge_last(parsed: DataFrame) -> DataFrame:
     """Gauge semantics: the most recent data point per series (tool).
 
-    Deterministic arg-max: order by (ts, conv_id, turn_idx) desc.
+    Deterministic arg-max: max over (ts, conv_id, turn_idx) — expressed as
+    ``max(struct(...))`` so Spark plans a PARTIAL-aggregatable HashAggregate
+    (map-side combine) instead of a ``row_number`` window partitioned by the
+    ~5-value ``parsed_tool`` key. The window shape funnels every span into
+    <=5 reducer tasks — at 100 TB five tasks own the whole dataset; the
+    struct arg-max reduces each input partition to <=5 rows before the
+    (tiny) exchange. Struct comparison is lexicographic on the fields in
+    order, which is exactly the old (ts desc, conv_id desc, turn_idx desc)
+    row_number ordering.
     """
-    w = Window.partitionBy("parsed_tool").orderBy(
-        F.col("ts").desc(), F.col("conv_id").desc(), F.col("turn_idx").desc()
-    )
+    m = F.max(F.struct("ts", "conv_id", "turn_idx", "dur_ms")).alias("m")
     return (
         _spans(parsed)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
+        .groupBy("parsed_tool")
+        .agg(m)
         .select(
             F.col("parsed_tool").alias("tool"),
-            F.unix_timestamp("ts").cast("long").alias("last_ts_epoch"),
-            F.col("dur_ms").alias("last_value"),
+            F.unix_timestamp("m.ts").cast("long").alias("last_ts_epoch"),
+            F.col("m.dur_ms").alias("last_value"),
         )
     )
 

@@ -573,18 +573,44 @@ def embedding_kmeans(
     distance sum, a vec_id window argmin, and a (cluster, dim) partial-agg
     mean — every shuffle keyed on uniform ids, centroids never leave the
     driver-broadcast size class.
+
+    Iteration state is MATERIALIZED: each update collects the k*dim
+    integer centroid cells (tiny by construction — k=4 x 64 dims) to the
+    driver and rebuilds ``cents`` as a literal DataFrame. Chaining the
+    lazy centroid lineage instead makes every later ``_assign`` re-execute
+    the quantize pass and all earlier iterations each time ``q`` is
+    re-joined — plan depth and scan count grow with ``iters``
+    (round-2 scale-audit finding; guard:
+    test_kmeans_final_plan_is_flat_in_iters). ``q`` itself is cached for
+    the 2*iters passes over it and the handle is kept on the returned
+    plan, matching how dedup_clusters pins its per-round state
+    (operators/dedup.py localCheckpoint).
     """
-    q = _quantized_dims(spark, sf_dir)
-    cents = (
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cent_schema = StructType(
+        [
+            StructField("cluster", IntegerType(), False),
+            StructField("dim_idx", IntegerType(), False),
+            StructField("c", IntegerType(), False),
+        ]
+    )
+
+    q = _quantized_dims(spark, sf_dir).persist()
+    seed_rows = (
         q.filter(F.col("vec_id") < k)
         .select(
             F.col("vec_id").cast("int").alias("cluster"),
-            "dim_idx",
-            F.col("qval").alias("c"),
+            F.col("dim_idx").cast("int").alias("dim_idx"),
+            F.col("qval").cast("int").alias("c"),
         )
+        .collect()
     )
-    grid = cents.select("cluster", "dim_idx")
+    cells = {(r.cluster, r.dim_idx): r.c for r in seed_rows}
     for _ in range(iters):
+        cents = spark.createDataFrame(
+            [(cl, d, c) for (cl, d), c in sorted(cells.items())], cent_schema
+        )
         assign = _assign(q, cents)
         means = (
             q.join(assign.select("vec_id", "cluster"), "vec_id")
@@ -594,22 +620,16 @@ def embedding_kmeans(
                     F.sum("qval").cast("double") / F.count(F.lit(1))
                 ).cast("int").alias("c_new")
             )
+            .collect()
         )
         # an empty cluster keeps its previous centroid (identical rule in
         # the oracle's unrolled CTEs)
-        cents = (
-            grid.join(means, ["cluster", "dim_idx"], "left")
-            .join(
-                cents.select("cluster", "dim_idx", "c"),
-                ["cluster", "dim_idx"],
-            )
-            .select(
-                "cluster",
-                "dim_idx",
-                F.coalesce("c_new", "c").alias("c"),
-            )
-        )
-    return _assign(q, cents)
+        for r in means:
+            cells[(r.cluster, r.dim_idx)] = r.c_new
+    final = spark.createDataFrame(
+        [(cl, d, c) for (cl, d), c in sorted(cells.items())], cent_schema
+    )
+    return _assign(q, final)
 
 
 def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:

@@ -184,21 +184,44 @@ def q_turn_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOOL_SPANS_TOPK = 3
+TOOL_SPANS_SALTS = 64
+
+
 def q_tool_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Span extraction + per-tool top-3 by duration (rank window) — the
-    tool-call span analog (pdata/ptrace/generated_span.go:58-131)."""
+    """Span extraction + per-tool top-3 by duration — the tool-call span
+    analog (pdata/ptrace/generated_span.go:58-131).
+
+    Two-phase top-k: ``parsed_tool`` has ~5 distinct values, so a single
+    ``row_number`` window over it funnels EVERY span into <=5 reducer
+    tasks — at 100 TB five tasks own the whole dataset. Phase 1 ranks
+    within (parsed_tool, salt) — 5x64 well-spread keys — and keeps <=k
+    rows per salted group; phase 2 ranks the <=5*64*k survivors globally
+    per tool. The top-k per tool is contained in the union of per-salt
+    top-ks, and (dur_ms desc, trace_id) is a total order (trace_id is
+    unique per turn), so the result is row-identical to the one-phase
+    window the oracle runs.
+    """
     from pyspark.sql.window import Window
 
     parsed = parse_turns(events_to_transcripts(spark, sf_dir))
     spans = parsed.filter(F.col("trace_id").isNotNull()).select(
-        "conv_id", "turn_idx", "parsed_tool", "trace_id", "span_id", "dur_ms"
+        "parsed_tool", "trace_id", "span_id", "dur_ms"
     )
-    w = Window.partitionBy("parsed_tool").orderBy(
-        F.col("dur_ms").desc(), F.col("trace_id")
+    order = (F.col("dur_ms").desc(), F.col("trace_id"))
+    w_local = Window.partitionBy("parsed_tool", "salt").orderBy(*order)
+    survivors = (
+        spans.withColumn(
+            "salt", F.pmod(F.xxhash64("trace_id"), F.lit(TOOL_SPANS_SALTS))
+        )
+        .withColumn("rk", F.row_number().over(w_local))
+        .filter(F.col("rk") <= TOOL_SPANS_TOPK)
+        .drop("rk", "salt")
     )
+    w_global = Window.partitionBy("parsed_tool").orderBy(*order)
     return (
-        spans.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
+        survivors.withColumn("rk", F.row_number().over(w_global))
+        .filter(F.col("rk") <= TOOL_SPANS_TOPK)
         .select("parsed_tool", "trace_id", "span_id", "dur_ms", "rk")
     )
 

@@ -154,3 +154,45 @@ def test_kmeans_joins_broadcast_the_centroids(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _scan_count(plan: str) -> int:
+    return plan.count("FileScan") + plan.count("InMemoryTableScan")
+
+
+def test_kmeans_final_plan_is_flat_in_iters(spark):
+    """Iteration state is materialized (centroid cells collected to driver
+    literals each round), so the FINAL assignment plan must scan the
+    vector stream a constant number of times — chaining the lazy centroid
+    lineage instead makes scan count and plan depth grow with iters
+    (round-2 scale-audit finding #2)."""
+    from opentelemetry_collector_spark.operators.similarity import (
+        embedding_kmeans,
+    )
+
+    p1 = _plan(embedding_kmeans(spark, SF_SMOKE, iters=1))
+    p3 = _plan(embedding_kmeans(spark, SF_SMOKE, iters=3))
+    assert _scan_count(p3) == _scan_count(p1), (
+        "k-means final-plan scan count grows with iters"
+    )
+    assert _scan_count(p3) <= 2
+
+
+def test_tool_spans_ranks_locally_before_the_tool_window(spark):
+    """Top-k over the ~5-value parsed_tool key must be two-phase: a salted
+    (parsed_tool, salt) local rank prunes to <=5*salts*k rows BEFORE the
+    global per-tool window, so no reducer ever owns a full tool's rows
+    (round-2 scale-audit finding #1)."""
+    plan = _plan(PIPELINE_QUERIES["tool_spans"](spark, SF_SMOKE))
+    assert plan.count("Window") >= 2, "expected local + global rank windows"
+    assert "salt" in plan, "local rank must partition by the salt key"
+
+
+def test_gauge_last_is_a_partial_aggregate_not_a_window(spark):
+    """The gauge arg-max must map-side combine (max(struct) partial agg),
+    not row_number over the ~5-value tool key (round-2 finding #1)."""
+    plan = _plan(PIPELINE_QUERIES["metrics_gauge_last"](spark, SF_SMOKE))
+    # the only Window allowed is the transcripts-derivation fixture's
+    # (user_id-keyed); the gauge itself must not window on parsed_tool
+    assert "windowspecdefinition(parsed_tool" not in plan
+    assert "partial_max(struct" in plan, "arg-max must map-side combine"
