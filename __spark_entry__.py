@@ -70,14 +70,12 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(_q.PIPELINE_QUERIES)
-    out.update(_q.DOCS_QUERIES)
-    return {k: _wrap(fn) for k, fn in out.items()}
+    # REGISTRY_ORDER puts operators without a prior driver-artifact row
+    # first: the driver's recorded correctness file covers a bounded prefix
+    # of this dict (r02 stopped at 50 entries), so prefix order decides
+    # which operators get an authoritative record.
+    return {k: _wrap(fn) for k, fn in _q.ordered_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    out: dict[str, str] = {}
-    out.update(_q.PIPELINE_ORACLES)
-    out.update(_q.DOCS_ORACLES)
-    return out
+    return _q.ordered_oracles()

@@ -792,3 +792,102 @@ FROM (
         + _grok.GROK_ORACLE_BODY
     ),
 }
+
+# Registry presentation order for the driver contract. The driver's recorded
+# correctness artifact covers a bounded prefix of the registry (r02 stopped
+# at 50 entries, leaving the whole round-2 LLM-operator tail unrecorded), so
+# ordering is part of artifact discipline (VERDICT r02, task 1a):
+#   1. operators with no prior driver-artifact row (newest first),
+#   2. one representative per remaining operator family,
+#   3. demo variants of in-window operators last — each variant's operator
+#      code is already exercised by an earlier entry.
+# test_plumbing guards that this list stays a permutation of the registry.
+REGISTRY_ORDER: list[str] = [
+    # -- never recorded by the driver (round-2 additions) ------------------
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_cosine_topk_pandas",
+    "media_features",
+    "corpus_curation",
+    "doc_split",
+    "corpus_sample",
+    "doc_repetition",
+    "contamination_tag",
+    "dedup_clusters",
+    "dedup_substring_spans",
+    "doc_unigram_ll",
+    "vocab_topk",
+    "corpus_pack",
+    "embedding_quantize",
+    "embedding_kmeans",
+    # -- LLM-pipeline operators recorded green in r02 ----------------------
+    "doc_tokens",
+    "doc_quality",
+    "doc_langid",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_pairs",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding_pairs",
+    # -- one representative per pipeline operator family -------------------
+    "transcripts_source",
+    "parse_turns",
+    "enrich",
+    "route",
+    "dead_letter",
+    "sink_counts",
+    "count_conservation",
+    "tool_spans",
+    "grok_parse",
+    "transform_pipeline",
+    "asof_enrich",
+    "protobuf_roundtrip",
+    "span_events",
+    "metrics_gauge_last",
+    "metrics_sum_cumulative",
+    "metrics_histogram",
+    "metrics_exp_histogram",
+    "span_red_metrics",
+    "metrics_summary",
+    "histogram_exemplars",
+    "staleness_markers",
+    "trace_rollup",
+    "tail_sampling_composite",
+    # -- variants / siblings of in-window operators (all r02-green) --------
+    "tail_sampling",
+    "span_edges",
+    "probabilistic_sampler",
+    "redaction",
+    "log_dedup",
+    "severity_histogram",
+    "sessionize",
+    "span_stats",
+    "sink_counts_rollup",
+    "turn_ordering",
+    "span_links",
+    "metrics_sum_delta",
+    "metrics_sum_rate",
+    "metrics_exp_histogram_neg1",
+    "metrics_exp_histogram_s2",
+    "metrics_summary_approx",
+    "protobuf_document_roundtrip",
+]
+
+
+def ordered_queries() -> dict[str, QueryFn]:
+    merged = {**PIPELINE_QUERIES, **DOCS_QUERIES}
+    out = {name: merged.pop(name) for name in REGISTRY_ORDER}
+    out.update(merged)  # safety net: anything unlisted still ships (last)
+    return out
+
+
+def ordered_oracles() -> dict[str, str]:
+    merged = {**PIPELINE_ORACLES, **DOCS_ORACLES}
+    return {
+        name: merged[name]
+        for name in (*REGISTRY_ORDER, *merged)
+        if name in merged
+    }

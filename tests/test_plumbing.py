@@ -308,3 +308,39 @@ def test_sink_write_compression_codec(spark, tmp_path):
     files = list((tmp_path / "zstd_sinks").rglob("*.parquet"))
     assert files and all(".zstd." in f.name for f in files)
     assert spark.read.parquet(out).count() == routed.count()
+
+
+def test_registry_order_is_a_permutation_of_the_registry():
+    """REGISTRY_ORDER drives which operators land inside the driver's
+    bounded correctness-artifact window — it must list every registered
+    query exactly once, and every oracle key must have a query."""
+    from opentelemetry_collector_spark import queries as q
+
+    merged = {**q.PIPELINE_QUERIES, **q.DOCS_QUERIES}
+    assert sorted(q.REGISTRY_ORDER) == sorted(merged)
+    assert len(q.REGISTRY_ORDER) == len(set(q.REGISTRY_ORDER))
+    assert list(q.ordered_queries()) == q.REGISTRY_ORDER
+    oracles = {**q.PIPELINE_ORACLES, **q.DOCS_ORACLES}
+    assert set(oracles) <= set(merged)
+    # ordered_oracles preserves the same prefix order
+    assert list(q.ordered_oracles()) == [
+        n for n in q.REGISTRY_ORDER if n in oracles
+    ]
+
+
+def test_never_recorded_operators_lead_the_registry():
+    """Every operator absent from CORRECTNESS_r02.json sits inside the
+    first 50 registry entries (the r02 artifact window)."""
+    import json
+    from pathlib import Path
+
+    from opentelemetry_collector_spark import queries as q
+
+    r02 = json.loads(
+        (Path(__file__).resolve().parents[1] / "CORRECTNESS_r02.json")
+        .read_text()
+    )
+    unrecorded = [n for n in q.REGISTRY_ORDER if n not in r02]
+    window = q.REGISTRY_ORDER[:50]
+    missing = [n for n in unrecorded if n not in window]
+    assert not missing, f"unrecorded operators outside the window: {missing}"
