@@ -27,6 +27,53 @@ class PermanentError(Exception):
     malformed or the request can never succeed — do not retry, dead-letter."""
 
 
+class ThrottleRetry(Exception):
+    """Retryable failure carrying a server-requested delay — the
+    exporterhelper throttle error (queued_retry.go:330-349 NewThrottleRetry).
+    The retry loop honors it as a FLOOR on the backoff delay:
+    ``sleep = max(backoff_delay, delay_s)`` (queued_retry.go:420-424
+    ``backoffDelay = max(backoffDelay, throttleErr.delay)``); the backoff
+    schedule itself still advances, and give-up stays on the elapsed clock.
+    ``delay_s = 0`` means "throttled, but use the default backoff policy"
+    (otlphttpexporter/otlp.go:165-167)."""
+
+    def __init__(self, message: str, delay_s: float = 0.0):
+        super().__init__(message)
+        self.delay_s = float(delay_s)
+
+
+# HTTP codes the OTLP spec calls retryable
+# (otlphttpexporter/otlp.go:186-200 isRetryableStatusCode).
+RETRYABLE_HTTP_CODES = frozenset({429, 502, 503, 504})
+# Of those, only the two "server is overwhelmed" codes may carry Retry-After
+# (otlphttpexporter/otlp.go:172 isThrottleError).
+THROTTLE_HTTP_CODES = frozenset({429, 503})
+
+
+def classify_http_error(
+    status_code: int,
+    message: str,
+    retry_after: str | None = None,
+) -> Exception:
+    """Map an HTTP export response to the reference's error taxonomy
+    (otlphttpexporter/otlp.go:148-183): retryable codes become
+    ``ThrottleRetry`` — with the server's ``Retry-After`` seconds when the
+    code is a throttle code and the header parses as an integer, else
+    delay 0 (default backoff) — and everything else is ``PermanentError``.
+    """
+    if status_code in RETRYABLE_HTTP_CODES:
+        delay = 0.0
+        if status_code in THROTTLE_HTTP_CODES and retry_after:
+            try:
+                delay = float(int(retry_after))
+            except ValueError:
+                delay = 0.0
+        return ThrottleRetry(
+            f"HTTP {status_code}: {message}", delay_s=delay
+        )
+    return PermanentError(f"HTTP {status_code}: {message}")
+
+
 @dataclass
 class RetryConfig:
     """Defaults mirror exporter/exporterhelper/queued_retry.go:267-277.
@@ -59,6 +106,13 @@ def with_retry(
     max_elapsed_s (queued_retry.go:363-397), then the last error propagates
     (the caller re-enqueues / leaves the checkpoint uncommitted, matching the
     persistent-queue re-enqueue path at queued_retry.go:173-196).
+
+    ``ThrottleRetry`` forces the server-requested delay as a floor on the
+    backoff delay (queued_retry.go:420-424): the sleep is
+    ``max(backoff_interval, delay_s)`` but the schedule and the give-up
+    check keep using the backoff interval — after a long throttle sleep the
+    elapsed clock naturally trips the max_elapsed gate on the next failure,
+    exactly like backoff.NextBackOff returning Stop in the reference.
     """
     cfg = config or RetryConfig()
     cfg.validate()
@@ -69,8 +123,11 @@ def with_retry(
             return fn()
         except PermanentError:
             raise
-        except Exception:
+        except Exception as err:
             if cfg.max_elapsed_s and clock() - start + interval > cfg.max_elapsed_s:
                 raise
-            sleep(interval)
+            delay = interval
+            if isinstance(err, ThrottleRetry):
+                delay = max(delay, err.delay_s)
+            sleep(delay)
             interval = min(interval * cfg.multiplier, cfg.max_interval_s)

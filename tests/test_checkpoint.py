@@ -144,6 +144,85 @@ def test_permanent_error_not_retried():
     assert len(calls) == 1  # dropped immediately (queued_retry.go:399-407)
 
 
+def test_throttle_delay_is_a_floor_on_backoff(
+):
+    """A throttle error forces the server-requested delay when it exceeds
+    the scheduled backoff (queued_retry.go:420-424
+    ``backoffDelay = max(backoffDelay, throttleErr.delay)``) — but the
+    backoff schedule itself keeps advancing underneath."""
+    from opentelemetry_collector_spark.plans.retry import ThrottleRetry
+
+    calls, sleeps = [], []
+    cfg = RetryConfig(initial_interval_s=1, multiplier=2, max_interval_s=8,
+                      max_elapsed_s=1000)
+    clock = {"t": 0.0}
+
+    def fake_sleep(s):
+        sleeps.append(s)
+        clock["t"] += s
+
+    def fn():
+        calls.append(1)
+        if len(calls) == 1:
+            raise ThrottleRetry("429", delay_s=10)   # > backoff 1 -> forced
+        if len(calls) == 2:
+            raise ThrottleRetry("429", delay_s=0.5)  # < backoff 2 -> backoff
+        if len(calls) == 3:
+            raise OSError("transient")               # plain retryable
+        return "ok"
+
+    assert with_retry(fn, cfg, sleep=fake_sleep, clock=lambda: clock["t"]) == "ok"
+    # sleeps: max(1,10)=10, max(2,0.5)=2, then plain backoff 4
+    assert sleeps == [10, 2, 4]
+
+
+def test_throttle_sleep_counts_against_max_elapsed():
+    """A long server-forced delay consumes the max_elapsed budget: the
+    next failure after the throttle sleep trips the give-up gate, like
+    backoff.NextBackOff returning Stop after MaxElapsedTime."""
+    from opentelemetry_collector_spark.plans.retry import ThrottleRetry
+
+    calls = []
+    cfg = RetryConfig(initial_interval_s=1, multiplier=2, max_interval_s=8,
+                      max_elapsed_s=30)
+    clock = {"t": 0.0}
+
+    def fake_sleep(s):
+        clock["t"] += s
+
+    def fn():
+        calls.append(1)
+        raise ThrottleRetry("503", delay_s=60)
+
+    with pytest.raises(ThrottleRetry):
+        with_retry(fn, cfg, sleep=fake_sleep, clock=lambda: clock["t"])
+    assert len(calls) == 2  # one throttle sleep, then give up
+
+
+def test_classify_http_error_taxonomy():
+    """otlphttpexporter/otlp.go:148-200: retryable codes -> ThrottleRetry
+    (Retry-After honored only for 429/503, integer seconds only), other
+    4xx/5xx -> PermanentError."""
+    from opentelemetry_collector_spark.plans.retry import (
+        ThrottleRetry,
+        classify_http_error,
+    )
+
+    e429 = classify_http_error(429, "slow down", retry_after="7")
+    assert isinstance(e429, ThrottleRetry) and e429.delay_s == 7.0
+    e503 = classify_http_error(503, "busy", retry_after="3")
+    assert isinstance(e503, ThrottleRetry) and e503.delay_s == 3.0
+    # 502/504 are retryable but never carry a server delay
+    e502 = classify_http_error(502, "bad gw", retry_after="7")
+    assert isinstance(e502, ThrottleRetry) and e502.delay_s == 0.0
+    # malformed Retry-After -> default backoff (delay 0)
+    e_bad = classify_http_error(429, "slow", retry_after="soon")
+    assert isinstance(e_bad, ThrottleRetry) and e_bad.delay_s == 0.0
+    # non-retryable codes are permanent (otlp.go:182 NewPermanent)
+    assert isinstance(classify_http_error(400, "bad req"), PermanentError)
+    assert isinstance(classify_http_error(500, "ise"), PermanentError)
+
+
 def test_resume_with_different_n_buckets_raises(spark, routed, tmp_path):
     """Changing the bucketing between runs must be refused — resuming under
     a different pmod silently mixes two incompatible partitionings."""
