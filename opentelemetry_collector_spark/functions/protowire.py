@@ -215,6 +215,8 @@ def _as_double(u: int) -> float:
 
 
 def encode_any_value(v: Any) -> bytes:
+    if v is None:  # unset oneof == empty AnyValue message (zero bytes)
+        return b""
     if isinstance(v, bool):  # before int — bool is an int subclass
         # oneof presence: False still encodes (explicit 0 varint)
         return _int64_field(2, 1 if v else 0)
@@ -387,6 +389,40 @@ def encode_logs_request(
     )
     resource_logs = _len_field(1, resource) + _len_field(2, scope_logs)
     return _len_field(1, resource_logs)
+
+
+def encode_logs_response(
+    rejected_log_records: int = 0, error_message: str = ""
+) -> bytes:
+    """ExportLogsServiceResponse wire bytes — field 1 is the
+    ExportLogsPartialSuccess submessage {1: rejected_log_records int64,
+    2: error_message string} (plogotlp/response.go +
+    generated_exportpartialsuccess.go). Full success is the EMPTY response:
+    the OTLP spec says servers MUST leave partial_success unset when
+    nothing was rejected, so default values encode to zero bytes."""
+    if not rejected_log_records and not error_message:
+        return b""
+    inner = bytearray()
+    if rejected_log_records:
+        inner += _int64_field(1, rejected_log_records)
+    if error_message:
+        inner += _str_field(2, error_message)
+    return _len_field(1, bytes(inner))
+
+
+def decode_logs_response(buf: bytes) -> dict[str, Any]:
+    """Inverse of encode_logs_response:
+    {'rejected_log_records': int, 'error_message': str}."""
+    out: dict[str, Any] = {"rejected_log_records": 0, "error_message": ""}
+    for f1, _w1, v1 in iter_fields(buf):
+        if f1 != 1:
+            continue
+        for f2, _w2, v2 in iter_fields(v1):
+            if f2 == 1:
+                out["rejected_log_records"] = _to_i64(v2)
+            elif f2 == 2:
+                out["error_message"] = v2.decode("utf-8")
+    return out
 
 
 def decode_logs_request(
@@ -817,10 +853,14 @@ def encode_exp_histogram_point(dp: dict[str, Any]) -> bytes:
         out += _sint32_field(6, dp["scale"])
     if dp.get("zero_count"):
         out += _fixed64_field(7, dp["zero_count"])
-    if dp.get("positive"):
-        out += _len_field(8, _encode_exp_buckets(dp["positive"]))
-    if dp.get("negative"):
-        out += _len_field(9, _encode_exp_buckets(dp["negative"]))
+    # emit buckets only when non-default: the decoder materializes
+    # {'offset': 0, 'bucket_counts': []} for an ABSENT submessage, and an
+    # explicit empty length-delimited field would break the byte-identical
+    # decode->re-encode property (proto3 omits default submessages)
+    for field_no, key in ((8, "positive"), (9, "negative")):
+        b = dp.get(key)
+        if b and (b.get("offset") or b.get("bucket_counts")):
+            out += _len_field(field_no, _encode_exp_buckets(b))
     if dp.get("flags"):
         out += _int64_field(10, dp["flags"])
     for ex in dp.get("exemplars") or []:

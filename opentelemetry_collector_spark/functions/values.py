@@ -100,6 +100,95 @@ def _json_scalar(col: Column) -> Column:
     )
 
 
+def _escape_col(col: Column) -> Column:
+    e = col
+    for raw, esc in JSON_ESCAPES:
+        e = F.replace(e, F.lit(raw), F.lit(esc))
+    return e
+
+
+def json_value(col: Column, kind="scalar") -> Column:
+    """Canonical JSON fragment for a typed Column in NESTED position — the
+    Column twin of operators.protobuf._nested_fragment, extending the flat
+    scalar path (_json_scalar) to the full pcommon.Value type set
+    (value.go:361-395 AsRaw+json.Marshal semantics):
+
+    - "str": escaped+quoted (ALWAYS — nested types are known, so the flat
+      path's bare-iff-looks-numeric heuristic does not apply);
+    - "int": bare decimal;
+    - "double": ES6 canonical form, bare when finite (quoted 'NaN'/
+      'Infinity' keep the document parseable — json.Marshal rejects them);
+      the one non-codegen leaf (Arrow-vectorized es6_double_string);
+    - "bool": bare true/false;
+    - "bytes": base64, quoted (BinaryType column);
+    - ("array", elem_kind): JSON array over an ArrayType column;
+    - ("map", value_kind): SORTED-key JSON object over a MapType column
+      (MapType loses order; sorting is what makes the form canonical).
+
+    The default kind "scalar" is the FLAT top-level rule (_json_scalar:
+    cast to string, bare iff it looks like a canonical JSON number) —
+    what attributes_json has always done for untyped scalar columns.
+
+    NULL elements/values render as JSON null; a NULL at the top level
+    renders NULL (the attributes_json builder omits the key). Everything
+    is a pure Column expression — JVM-side, inside whole-stage codegen
+    (the "double" leaf's ES6 formatter is the one Arrow-UDF exception).
+    """
+    if kind == "bool":
+        return F.when(col, F.lit("true")).otherwise(F.lit("false"))
+    if kind == "int":
+        return col.cast("string")
+    if kind == "str":
+        return F.concat(F.lit('"'), _escape_col(col.cast("string")), F.lit('"'))
+    if kind == "double":
+        s = es6_double_string(col)
+        return F.when(
+            s.rlike(JSON_NUMBER_RE), s
+        ).otherwise(F.concat(F.lit('"'), s, F.lit('"')))
+    if kind == "bytes":
+        # java.util.Base64 basic encoder — no line wrapping, matching
+        # Python b64encode (guarded by the twin-consistency test)
+        return F.concat(F.lit('"'), F.base64(col), F.lit('"'))
+    if isinstance(kind, tuple) and kind[0] == "array":
+        frags = F.transform(
+            col, lambda x: F.coalesce(json_value(x, kind[1]), F.lit("null"))
+        )
+        return F.concat(F.lit("["), F.concat_ws(", ", frags), F.lit("]"))
+    if isinstance(kind, tuple) and kind[0] == "map":
+        entries = F.array_sort(F.map_entries(col))  # struct sorts key-first
+        frags = F.transform(
+            entries,
+            lambda e: F.concat(
+                F.lit('"'),
+                _escape_col(e["key"]),
+                F.lit('": '),
+                F.coalesce(json_value(e["value"], kind[1]), F.lit("null")),
+            ),
+        )
+        return F.concat(F.lit("{"), F.concat_ws(", ", frags), F.lit("}"))
+    return _json_scalar(col)
+
+
+def attributes_json_typed(pairs: dict) -> Column:
+    """attributes_json with per-key kind specs: values are (Column, kind)
+    tuples (kind as in json_value) or bare Columns (scalar). Lets a nested
+    attribute decoded from the wire — or built from typed nested columns —
+    be re-canonicalized entirely column-side, byte-identical to the Python
+    twin canonical_attrs_json."""
+    frags = []
+    for key in sorted(pairs):
+        spec = pairs[key]
+        col, kind = spec if isinstance(spec, tuple) else (spec, "scalar")
+        frag = json_value(col, kind)
+        frags.append(
+            F.when(
+                col.isNotNull(),
+                F.concat(F.lit(f'"{key}": '), frag),
+            )
+        )
+    return F.concat(F.lit("{"), F.concat_ws(", ", *frags), F.lit("}"))
+
+
 def _es6_number_str(f: float) -> str:
     """ES6 Number::toString for one float64 — the reference's double
     canonicalization (pdata/pcommon/value.go:397-426: shortest round-trip

@@ -71,18 +71,66 @@ DECODED_SCHEMA = (
     "conv_id string, turn_idx int, role string, tool string, "
     "ts timestamp_ntz, severity_text string, severity_number int, "
     "parsed_tool string, trace_id string, span_id string, dur_ms long, "
-    "status string, attributes_json string, body string"
+    "status string, attributes_json string, body string, "
+    "attributes_wire string"
 )
 
 _OUT_COLS = [f.split()[0] for f in DECODED_SCHEMA.split(", ")]
 
 
+def _escape(s: str) -> str:
+    for raw, esc in _ESCAPES:
+        s = s.replace(raw, esc)
+    return s
+
+
+def _nested_fragment(v: Any) -> str:
+    """A value in NESTED position (inside a map/slice attribute) -> JSON
+    fragment. Nested positions follow pcommon.Value.AsString's map/slice
+    rule (value.go:361-395: AsRaw + json.Marshal — sorted map keys, bare
+    bools/numbers, bytes as base64 strings), NOT the flat top-level
+    convention (_scalar_text quotes bools/bytes because the Column path is
+    cast-to-string). Non-finite doubles render quoted — json.Marshal
+    rejects them outright; a quoted 'NaN' keeps the document parseable.
+    Must stay byte-identical to functions.values.json_value (the Column
+    twin)."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (bytes, bytearray)):
+        import base64
+
+        return '"' + base64.b64encode(bytes(v)).decode("ascii") + '"'
+    if isinstance(v, dict):
+        return (
+            "{"
+            + ", ".join(
+                f'"{_escape(k)}": {_nested_fragment(x)}'
+                for k, x in sorted(v.items())
+            )
+            + "}"
+        )
+    if isinstance(v, list):
+        return "[" + ", ".join(_nested_fragment(x) for x in v) + "]"
+    if isinstance(v, float):
+        s = _es6_number_str(v)
+        return s if _NUM_RE.match(s) else f'"{s}"'
+    if isinstance(v, int):
+        return str(v)
+    return f'"{_escape(str(v))}"'
+
+
 def _scalar_text(v: Any) -> str:
-    """One attribute value -> canonical JSON fragment. Mirrors
+    """One TOP-LEVEL attribute value -> canonical JSON fragment. Mirrors
     functions.values._json_scalar exactly: render to string (ES6 form for
     doubles), bare iff it is a canonical JSON number, else escaped+quoted
     (bools stringify to 'true'/'false' and thus quote, matching the Column
-    path's cast-to-string behavior)."""
+    path's cast-to-string behavior). Non-scalar values — map/slice/bytes
+    AnyValues decoded from an external OTLP blob — take the nested-JSON
+    rule (value.go:361-395), never Python repr."""
+    if isinstance(v, (dict, list, bytes, bytearray)):
+        return _nested_fragment(v)
     if isinstance(v, bool):
         s = "true" if v else "false"
     elif isinstance(v, float):
@@ -93,9 +141,7 @@ def _scalar_text(v: Any) -> str:
     # a trailing \n, so "42\n" would otherwise be emitted bare (invalid)
     if _NUM_RE.match(s) and not _TERM_RE.search(s):
         return s
-    for raw, esc in _ESCAPES:
-        s = s.replace(raw, esc)
-    return f'"{s}"'
+    return f'"{_escape(s)}"'
 
 
 def canonical_attrs_json(attrs: dict[str, Any]) -> str:
@@ -112,6 +158,91 @@ def canonical_attrs_json(attrs: dict[str, Any]) -> str:
     )
 
 
+# --- typed attribute sidecar (OTLP/JSON AnyValue encoding) -------------------
+# The flat canonical attributes_json is the reference's AsString form —
+# lossy by construction for bool ("true" is a string), bytes (base64 is a
+# string) and integral doubles (42.0 renders "42"). For byte-identical
+# wire -> column -> wire round trips the decode path also carries the
+# attributes in the OTLP/JSON typed AnyValue encoding (the public OTLP JSON
+# protocol's representation — int64 as decimal STRING, bytes as base64
+# under "bytesValue", arrays/kvlists recursive), which encode_any_value can
+# regenerate exactly.
+
+
+def any_value_to_otlp_json(v: Any) -> dict[str, Any]:
+    """One AnyValue (natural Python form) -> OTLP/JSON object."""
+    if v is None:
+        return {}  # unset oneof == empty object
+    if isinstance(v, bool):
+        return {"boolValue": v}
+    if isinstance(v, int):
+        return {"intValue": str(v)}  # int64 rides as a decimal string
+    if isinstance(v, float):
+        return {"doubleValue": v}
+    if isinstance(v, str):
+        return {"stringValue": v}
+    if isinstance(v, (bytes, bytearray)):
+        import base64
+
+        return {"bytesValue": base64.b64encode(bytes(v)).decode("ascii")}
+    if isinstance(v, list):
+        return {"arrayValue": {"values": [any_value_to_otlp_json(x) for x in v]}}
+    if isinstance(v, dict):
+        return {
+            "kvlistValue": {
+                "values": [
+                    {"key": k, "value": any_value_to_otlp_json(x)}
+                    for k, x in v.items()
+                ]
+            }
+        }
+    raise TypeError(f"unsupported AnyValue type: {type(v).__name__}")
+
+
+def any_value_from_otlp_json(d: dict[str, Any]) -> Any:
+    """OTLP/JSON object -> natural Python AnyValue (inverse of the above:
+    decode(encode(v)) == v for all 7 types)."""
+    if not d:
+        return None
+    if "boolValue" in d:
+        return bool(d["boolValue"])
+    if "intValue" in d:
+        return int(d["intValue"])
+    if "doubleValue" in d:
+        return float(d["doubleValue"])
+    if "stringValue" in d:
+        return d["stringValue"]
+    if "bytesValue" in d:
+        import base64
+
+        return base64.b64decode(d["bytesValue"])
+    if "arrayValue" in d:
+        return [
+            any_value_from_otlp_json(x)
+            for x in d["arrayValue"].get("values", [])
+        ]
+    if "kvlistValue" in d:
+        return {
+            kv["key"]: any_value_from_otlp_json(kv["value"])
+            for kv in d["kvlistValue"].get("values", [])
+        }
+    raise ValueError(f"unrecognized OTLP/JSON AnyValue: {sorted(d)}")
+
+
+def attrs_to_wire_json(attrs: dict[str, Any]) -> str:
+    """User attributes -> OTLP/JSON typed sidecar string (sorted keys —
+    canonical, so encode->decode->encode is byte-identical and any external
+    unsorted wire becomes a fixed point after one pass)."""
+    return json.dumps(
+        {k: any_value_to_otlp_json(attrs[k]) for k in sorted(attrs)},
+        separators=(",", ":"),
+    )
+
+
+def attrs_from_wire_json(s: str) -> dict[str, Any]:
+    return {k: any_value_from_otlp_json(v) for k, v in json.loads(s).items()}
+
+
 def _none_if_na(v: Any) -> Any:
     import pandas as pd
 
@@ -119,8 +250,15 @@ def _none_if_na(v: Any) -> Any:
 
 
 def _row_to_record(row: dict[str, Any]) -> dict[str, Any]:
-    """One wire-input row (plain dict) -> protowire LogRecord dict."""
-    user = json.loads(row["attributes_json"] or "{}")
+    """One wire-input row (plain dict) -> protowire LogRecord dict. User
+    attributes come from the typed sidecar when present (wire-fidelity:
+    bool/bytes/double survive exactly); the parse stage has no sidecar and
+    uses the flat canonical JSON, whose values are scalar by construction.
+    """
+    if row.get("attributes_wire") is not None:
+        user = attrs_from_wire_json(row["attributes_wire"])
+    else:
+        user = json.loads(row["attributes_json"] or "{}")
     engine = {
         "conv_id": row["conv_id"],
         "turn_idx": row["turn_idx"],
@@ -184,6 +322,9 @@ def _record_to_row(rec: dict[str, Any]) -> dict[str, Any]:
         "status": engine.get("status"),
         "attributes_json": canonical_attrs_json(user),
         "body": rec["body"],
+        "attributes_wire": attrs_to_wire_json(
+            {k: v for k, v in user.items() if v is not None}
+        ),
     }
 
 
@@ -336,6 +477,96 @@ def from_otlp_request_protobuf(serialized: DataFrame) -> DataFrame:
 
     return serialized.select("otlp_request").mapInPandas(
         decode, DECODED_SCHEMA
+    )
+
+
+INGEST_RESPONSE_SCHEMA = (
+    "conv_id string, accepted int, rejected int, error_message string, "
+    "response_protobuf binary"
+)
+
+
+def otlp_ingest_response(serialized: DataFrame) -> DataFrame:
+    """Per-request partial-success surface for protobuf ingest — one row
+    per ExportLogsServiceRequest blob with (accepted, rejected,
+    error_message) and the wire ``ExportLogsServiceResponse`` bytes,
+    mirroring otlpreceiver's per-Export response
+    (receiver/otlpreceiver/otlp.go Export -> plogotlp/response.go
+    ExportPartialSuccess{rejected_log_records, error_message}).
+
+    A record is REJECTED when it fails the engine ingest contract at the
+    codec boundary: no ``otelcol.conv_id`` identity, or a severity token
+    the 25-level table cannot map (severity_number NULL with non-empty
+    text) — the dead-letter predicate. A blob that fails protobuf
+    unmarshal outright is a FULL reject — the reference answers that with
+    an error status, not partial success — surfaced as accepted/rejected
+    NULL plus the unmarshal message.
+
+    Scale: one mapInPandas pass over the blobs, no shuffle; pairs with
+    ``from_otlp_request_protobuf`` (same input, second action) the way the
+    receiver's response writer pairs with its consumer push.
+    """
+    from opentelemetry_collector_spark.functions.protowire import (
+        encode_logs_response,
+    )
+
+    def respond(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for conv_id, blob in zip(pdf["conv_id"], pdf["otlp_request"]):
+                try:
+                    requests = decode_logs_request(bytes(blob))
+                except Exception as e:  # malformed bytes: full reject
+                    rows.append(
+                        (conv_id, None, None, f"unmarshal: {e}", b"")
+                    )
+                    continue
+                accepted = rejected = 0
+                first_error = None
+                for res_attrs, _scope, recs in requests:
+                    for rec in recs:
+                        row = _record_to_row(rec)
+                        row["conv_id"] = res_attrs.get(
+                            "conv_id", row["conv_id"]
+                        )
+                        if row["conv_id"] is None:
+                            rejected += 1
+                            first_error = first_error or "missing conv_id"
+                        elif (
+                            row["severity_number"] is None
+                            and row["severity_text"]
+                        ):
+                            rejected += 1
+                            first_error = first_error or (
+                                "unmappable severity: "
+                                + str(row["severity_text"])
+                            )
+                        else:
+                            accepted += 1
+                rows.append(
+                    (
+                        conv_id,
+                        accepted,
+                        rejected,
+                        first_error,
+                        encode_logs_response(rejected, first_error or ""),
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "conv_id", "accepted", "rejected", "error_message",
+                    "response_protobuf",
+                ],
+            )
+            out["accepted"] = out["accepted"].astype("Int32")
+            out["rejected"] = out["rejected"].astype("Int32")
+            yield out
+
+    return serialized.select("conv_id", "otlp_request").mapInPandas(
+        respond, INGEST_RESPONSE_SCHEMA
     )
 
 
@@ -624,7 +855,9 @@ def to_otlp_metric_protobuf(parsed: DataFrame) -> DataFrame:
 def from_otlp_metric_protobuf(serialized: DataFrame) -> DataFrame:
     """Unmarshal Metric blobs back to histogram_explicit's exact columns."""
     from opentelemetry_collector_spark.functions.protowire import decode_metric
+    from opentelemetry_collector_spark.operators.metrics import HISTOGRAM_BOUNDS
 
+    engine_bounds = [float(b) for b in HISTOGRAM_BOUNDS]
     bucket_cols = _hist_bucket_cols()
     schema = _HIST_DECODED_SCHEMA_TMPL.format(
         buckets=", ".join(f"{c} bigint" for c in bucket_cols)
@@ -661,6 +894,21 @@ def from_otlp_metric_protobuf(serialized: DataFrame) -> DataFrame:
                         "max_value": None if dp.get("max") is None
                         else int(dp["max"]),
                     }
+                    # strict — this decoder's columnar schema IS the bucket
+                    # layout; silently zip-truncating (or NULL-padding) an
+                    # external point with a different bucketization would
+                    # corrupt counts, contradicting the codec's
+                    # malformed-bytes-raise posture
+                    if len(dp["bucket_counts"]) != len(bucket_cols):
+                        raise ValueError(
+                            f"histogram point has {len(dp['bucket_counts'])} "
+                            f"bucket counts, expected {len(bucket_cols)}"
+                        )
+                    if dp.get("explicit_bounds") != engine_bounds:
+                        raise ValueError(
+                            f"histogram point bounds {dp.get('explicit_bounds')} "
+                            f"!= engine bounds {engine_bounds}"
+                        )
                     for c, v in zip(bucket_cols, dp["bucket_counts"]):
                         row[c] = v
                     rows.append(row)

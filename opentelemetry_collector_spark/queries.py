@@ -286,6 +286,45 @@ def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_turns(events_to_transcripts(spark, sf_dir))
 
 
+def q_nested_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested attribute values canonicalized COLUMN-side — the map/slice
+    arm of pcommon.Value (pdata/pcommon/value.go:31-40) flowing through
+    functions.values.json_value/attributes_json_typed: per conversation,
+    ``durs`` is an array<long> attribute (sorted span durations) and
+    ``tools`` a map<string,long> attribute (per-tool span counts), both
+    rendered into one canonical sorted-key attributes_json string by pure
+    Column expressions (byte-identical to the Python wire twin,
+    tests/test_protobuf.py).
+
+    Scale shape: two stacked partial-agg groupBys — (conv_id, parsed_tool)
+    then conv_id, the table bucket key — no join, no window, no UDF.
+    """
+    from opentelemetry_collector_spark.functions.values import (
+        attributes_json_typed,
+    )
+
+    spans = _parsed(spark, sf_dir).filter(F.col("trace_id").isNotNull())
+    per_tool = spans.groupBy("conv_id", "parsed_tool").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.collect_list("dur_ms").alias("durs_t"),
+    )
+    nested = per_tool.groupBy("conv_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("parsed_tool", "c"))
+        ).alias("tools"),
+        F.sort_array(F.flatten(F.collect_list("durs_t"))).alias("durs"),
+    )
+    return nested.select(
+        "conv_id",
+        attributes_json_typed(
+            {
+                "durs": (F.col("durs"), ("array", "int")),
+                "tools": (F.col("tools"), ("map", "int")),
+            }
+        ).alias("attributes_json"),
+    )
+
+
 # --- metrics-signal queries (pmetric analog; operators/metrics.py) ----------
 
 def q_metrics_gauge_last(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -515,6 +554,7 @@ PIPELINE_QUERIES: dict[str, QueryFn] = {
     "tool_spans": q_tool_spans,
     "sessionize": q_sessionize,
     "span_stats": q_span_stats,
+    "nested_attributes": q_nested_attributes,
     "sink_counts_rollup": q_sink_counts_rollup,
     "asof_enrich": q_asof_enrich,
     # grok pattern-library parse (Arrow mapInPandas); oracle = ordered
@@ -673,6 +713,30 @@ FROM (
             PARTITION BY conv_id ORDER BY turn_idx))) AS gap_s
     FROM transcripts
 ) g""",
+    "nested_attributes": f"""{_PARSED_CTE},
+spans AS (
+    SELECT conv_id, parsed_tool, dur_ms FROM parsed
+    WHERE trace_id IS NOT NULL
+),
+counts AS (
+    SELECT conv_id, parsed_tool, count(*) AS c FROM spans GROUP BY 1, 2
+),
+tools AS (
+    SELECT conv_id,
+        '{{' || string_agg('"' || parsed_tool || '": ' || c, ', '
+                           ORDER BY parsed_tool) || '}}' AS tools_json
+    FROM counts GROUP BY 1
+),
+durs AS (
+    SELECT conv_id,
+        '[' || string_agg(cast(dur_ms AS VARCHAR), ', '
+                          ORDER BY dur_ms) || ']' AS durs_json
+    FROM spans GROUP BY 1
+)
+SELECT d.conv_id,
+    '{{"durs": ' || d.durs_json || ', "tools": ' || t.tools_json || '}}'
+        AS attributes_json
+FROM durs d JOIN tools t ON d.conv_id = t.conv_id""",
     "span_stats": f"""WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
 parsed AS ({parse_oracle_sql('transcripts')})
 SELECT parsed_tool AS tool,
@@ -803,7 +867,8 @@ FROM (
 #      code is already exercised by an earlier entry.
 # test_plumbing guards that this list stays a permutation of the registry.
 REGISTRY_ORDER: list[str] = [
-    # -- never recorded by the driver (round-2 additions) ------------------
+    # -- never recorded by the driver (round-2/3 additions) ----------------
+    "nested_attributes",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

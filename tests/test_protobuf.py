@@ -179,6 +179,152 @@ def test_canonical_attrs_json_matches_column_semantics():
     assert canonical_attrs_json({"a": None, "b": 1}) == '{"b": 1}'
 
 
+# --- nested attribute values (pcommon.Value map/slice/bytes) ------------------
+
+NESTED_ATTRS = {
+    "s": "plain",
+    "numish": "42",            # flat path renders bare
+    "n": 7,
+    "d": 2.5,
+    "b": True,                 # flat path: cast-to-string -> quoted "true"
+    "blob": b"\x00\x01\xff",
+    "arr": ["a", 1, 2.5, False, None, b"\x02"],
+    "kv": {"z": "last", "a": [1, 2], "m": {"x": b"\x03", "ok": True}},
+}
+
+
+def test_nested_attrs_canonicalize_as_json_not_repr():
+    """ADVICE r02: list/dict values must serialize as JSON arrays/objects
+    (sorted map keys, type-faithful leaves per value.go:361-395), bytes as
+    base64 — never Python repr."""
+    out = canonical_attrs_json(NESTED_ATTRS)
+    import json as _json
+
+    parsed = _json.loads(out)
+    assert parsed["arr"] == ["a", 1, 2.5, False, None, "Ag=="]
+    assert parsed["kv"] == {
+        "z": "last",
+        "a": [1, 2],
+        "m": {"x": "Aw==", "ok": True},
+    }
+    assert parsed["blob"] == "AAH/"
+    # nested map keys sorted; nested strings ALWAYS quoted (types known)
+    assert '"kv": {"a": [1, 2], "m": {"ok": true, "x": "Aw=="}, "z": "last"}' in out
+    assert '"numish": 42' in out  # top-level flat rule unchanged
+
+
+def test_nested_attrs_column_twin_byte_identical(spark):
+    """functions.values json_value/attributes_json_typed over typed nested
+    columns produces the same bytes as the Python twin."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.functions.values import (
+        attributes_json_typed,
+    )
+
+    df = spark.createDataFrame(
+        [("plain", 7, 2.5, True, b"\x00\x01\xff", ["x", None, "y"],
+          {"z": 9, "a": 1})],
+        "s string, n long, d double, b boolean, blob binary, "
+        "arr array<string>, kv map<string,long>",
+    )
+    out = df.select(
+        attributes_json_typed(
+            {
+                "s": (F.col("s"), "str"),
+                "n": (F.col("n"), "int"),
+                "d": (F.col("d"), "double"),
+                "b": (F.col("b"), "bool"),
+                "blob": (F.col("blob"), "bytes"),
+                "arr": (F.col("arr"), ("array", "str")),
+                "kv": (F.col("kv"), ("map", "int")),
+            }
+        ).alias("attrs")
+    ).collect()[0]["attrs"]
+    expected = canonical_attrs_json(
+        {
+            "s": "plain", "n": 7, "d": 2.5, "b": True,
+            "blob": b"\x00\x01\xff",
+            "arr": ["x", None, "y"], "kv": {"z": 9, "a": 1},
+        }
+    )
+    # the Python twin's flat top-level rule differs for b (quoted) and
+    # s (bare-iff-numeric) — but for these vectors both rules agree except
+    # bool, which the typed path renders bare
+    assert out == expected.replace('"b": "true"', '"b": true')
+
+
+def test_wire_roundtrip_byte_identical_all_seven_types():
+    """wire -> column row -> wire is byte-identical for all 7 AnyValue
+    types via the typed sidecar (attributes_wire), including the three the
+    flat canonical form cannot carry (bool/bytes/integral double)."""
+    from opentelemetry_collector_spark.operators.protobuf import (
+        _record_to_row,
+        _row_to_record,
+    )
+
+    rec = {
+        "time_unix_nano": 1_700_000_000_000_000_000,
+        "severity_number": 9,
+        "severity_text": "INFO",
+        "body": "hello",
+        "attributes": {
+            k: v for k, v in sorted(
+                (NESTED_ATTRS | {"intd": 42.0}).items()
+            )
+        },
+        "trace_id": bytes.fromhex("0af7651916cd43dd8448eb211c80319c"),
+        "span_id": bytes.fromhex("b7ad6b7169203331"),
+    }
+    wire1 = encode_log_record(rec)
+    row = _record_to_row(decode_log_record(wire1))
+    wire2 = encode_log_record(_row_to_record(dict(row)))
+    assert wire2 == wire1
+
+
+def test_wire_roundtrip_unsorted_external_becomes_fixed_point():
+    """External wire with UNSORTED top-level attribute order canonicalizes
+    (sorts) on the first pass; every pass after that is byte-identical."""
+    from opentelemetry_collector_spark.operators.protobuf import (
+        _record_to_row,
+        _row_to_record,
+    )
+
+    rec = {
+        "time_unix_nano": 1,
+        "severity_number": 0,
+        "severity_text": "",
+        "body": "b",
+        "attributes": {"z": 1, "a": {"q": b"\x05", "p": [True, 2.0]}},
+        "trace_id": b"",
+        "span_id": b"",
+    }
+    wire0 = encode_log_record(rec)  # dict order: z before a (unsorted)
+    row1 = _record_to_row(decode_log_record(wire0))
+    wire1 = encode_log_record(_row_to_record(dict(row1)))
+    assert wire1 != wire0  # canonicalized (sorted) on first pass
+    row2 = _record_to_row(decode_log_record(wire1))
+    wire2 = encode_log_record(_row_to_record(dict(row2)))
+    assert wire2 == wire1  # fixed point
+    # NESTED kvlist order is preserved verbatim both times
+    assert row1["attributes_json"] == row2["attributes_json"]
+
+
+def test_otlp_json_anyvalue_codec_roundtrip():
+    from opentelemetry_collector_spark.operators.protobuf import (
+        any_value_from_otlp_json,
+        any_value_to_otlp_json,
+    )
+
+    for v in ["s", 42, -(1 << 62), 2.5, 42.0, True, False, b"\x00\xff",
+              [1, "a", [True]], {"k": {"n": b"\x01"}}, []]:
+        got = any_value_from_otlp_json(any_value_to_otlp_json(v))
+        assert got == v and type(got) is type(v)
+    # int64 rides as a decimal string per OTLP/JSON
+    assert any_value_to_otlp_json(5) == {"intValue": "5"}
+    assert any_value_to_otlp_json(42.0) == {"doubleValue": 42.0}
+
+
 # --- Spark round-trips --------------------------------------------------------
 
 
@@ -208,7 +354,9 @@ def _assert_same_rows(a, b):
 def test_flat_protobuf_roundtrip_spark(spark, parsed):
     wire = to_otlp_protobuf(parsed)
     assert dict(wire.dtypes)["otlp_protobuf"] == "binary"
-    _assert_same_rows(from_otlp_protobuf(wire), parsed)
+    _assert_same_rows(
+        from_otlp_protobuf(wire).drop("attributes_wire"), parsed
+    )
 
 
 def test_document_protobuf_roundtrip_spark(spark, parsed):
@@ -216,7 +364,104 @@ def test_document_protobuf_roundtrip_spark(spark, parsed):
     assert wire.columns == ["conv_id", "otlp_request"]
     # one request per conversation
     assert wire.count() == parsed.select("conv_id").distinct().count()
-    _assert_same_rows(from_otlp_request_protobuf(wire), parsed)
+    _assert_same_rows(
+        from_otlp_request_protobuf(wire).drop("attributes_wire"), parsed
+    )
+
+
+def test_logs_response_wire_codec():
+    """ExportLogsServiceResponse: full success encodes EMPTY (the OTLP spec
+    leaves partial_success unset when nothing was rejected); partial
+    success round-trips rejected count + message."""
+    from opentelemetry_collector_spark.functions.protowire import (
+        decode_logs_response,
+        encode_logs_response,
+    )
+
+    assert encode_logs_response(0, "") == b""
+    assert decode_logs_response(b"") == {
+        "rejected_log_records": 0, "error_message": ""
+    }
+    wire = encode_logs_response(3, "bad severity")
+    assert decode_logs_response(wire) == {
+        "rejected_log_records": 3, "error_message": "bad severity"
+    }
+
+
+def test_otlp_ingest_response_partial_success(spark, parsed):
+    """VERDICT r02 task 9: the per-request (accepted, rejected,
+    first_error) surface. Clean requests accept everything; a request with
+    an unmappable-severity record reports it as partial success; a
+    corrupted blob is a full reject (NULL counts + unmarshal message)."""
+    from opentelemetry_collector_spark.functions.protowire import (
+        decode_logs_response,
+    )
+    from opentelemetry_collector_spark.operators.protobuf import (
+        otlp_ingest_response,
+    )
+
+    wire = to_otlp_request_protobuf(parsed)
+    resp = otlp_ingest_response(wire)
+    rows = {r.conv_id: r for r in resp.collect()}
+    per_conv = {
+        r.conv_id: r["count"]
+        for r in parsed.groupBy("conv_id").count().collect()
+    }
+    severities_ok = parsed.filter(
+        "severity_number IS NULL AND severity_text IS NOT NULL"
+    ).groupBy("conv_id").count().collect()
+    rejected_per_conv = {r.conv_id: r["count"] for r in severities_ok}
+    assert set(rows) == set(per_conv)
+    for conv_id, r in rows.items():
+        want_rej = rejected_per_conv.get(conv_id, 0)
+        assert r.rejected == want_rej
+        assert r.accepted == per_conv[conv_id] - want_rej
+        decoded = decode_logs_response(bytes(r.response_protobuf))
+        assert decoded["rejected_log_records"] == want_rej
+        if want_rej:
+            assert r.error_message and decoded["error_message"]
+        else:
+            assert r.error_message is None and r.response_protobuf == b""
+
+    # corrupted blob -> full reject
+    import pandas as pd
+
+    bad = spark.createDataFrame(
+        pd.DataFrame(
+            {"conv_id": ["conv-x"], "otlp_request": [b"\xff\xff\xff"]}
+        ),
+        "conv_id string, otlp_request binary",
+    )
+    (br,) = otlp_ingest_response(bad).collect()
+    assert br.accepted is None and br.rejected is None
+    assert "unmarshal" in br.error_message
+
+
+def test_ingest_otlp_jsonl_partial_success(spark, parsed, tmp_path):
+    """JSONL ingest twin: one input file == one request; malformed lines
+    count as rejected with the offending line surfaced."""
+    from opentelemetry_collector_spark.sources.jsonl import (
+        ingest_otlp_jsonl,
+        write_otlp_jsonl,
+    )
+
+    path = str(tmp_path / "wire")
+    write_otlp_jsonl(parsed, path)
+    # corrupt: add one file with a malformed line and one valid-but-no-id
+    (tmp_path / "wire" / "part-corrupt.txt").write_text(
+        'not json at all\n{"turn_idx": 1, "body": "no id"}\n'
+    )
+    decoded, responses = ingest_otlp_jsonl(spark, path)
+    rs = responses.collect()
+    corrupt = [r for r in rs if "corrupt" in r.request_file]
+    clean = [r for r in rs if "corrupt" not in r.request_file]
+    assert len(corrupt) == 1 and corrupt[0].rejected == 2
+    assert corrupt[0].accepted == 0
+    assert corrupt[0].first_error is not None
+    assert all(r.rejected == 0 and r.first_error is None for r in clean)
+    assert sum(r.accepted for r in rs) == parsed.count()
+    # decoded frame carries the rejected lines as NULL-identity rows
+    assert decoded.filter("conv_id IS NULL").count() == 2
 
 
 def test_native_protobuf_gate(spark):
