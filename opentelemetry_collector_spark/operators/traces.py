@@ -127,28 +127,37 @@ SAMPLER_PERMYRIAD = 2500  # keep 25.00% of traces
 SAMPLER_SALT = ":sampler"
 
 
-def probabilistic_sampler(parsed: DataFrame, project: bool = True) -> DataFrame:
+def probabilistic_sampler(
+    parsed: DataFrame,
+    project: bool = True,
+    permyriad: int = SAMPLER_PERMYRIAD,
+) -> DataFrame:
     """Hash-seed head sampling — the probabilistic-sampler processor
     pattern (OTel sampling spec: hash the trace id into a fixed range,
     keep when below threshold; complements ``tail_sampling``, which needs
     the whole trace, by deciding per span from the id alone).
 
-    The trace id is hashed (salted md5, first 8 hex chars -> int) into
-    [0, 10000); spans with bucket < SAMPLER_PERMYRIAD are kept. All spans
-    of a trace share the id, so the decision is trace-consistent without
-    any trace-affinity shuffle — this is a stateless, shuffle-free filter
-    that pipelines into the scan, the property that makes head sampling
-    the cheap pre-filter at 100 TB.
+    The trace-unit key is hashed (salted md5, first 8 hex chars -> int)
+    into [0, 10000); spans with bucket < SAMPLER_PERMYRIAD are kept. The
+    key is ``conv_id`` — the engine's trace unit, the SAME identity
+    tail_sampling / tail_sampling_composite evaluate whole-trace policies
+    over (parse synthesizes ``trace_id`` per TURN, so hashing it would
+    sample individual spans out of a conversation and a downstream
+    whole-trace policy would see partial traces; ADVICE r02). All spans of
+    a conversation share conv_id, so the decision is trace-consistent
+    without any trace-affinity shuffle — this is a stateless, shuffle-free
+    filter that pipelines into the scan, the property that makes head
+    sampling the cheap pre-filter at 100 TB.
     """
     from opentelemetry_collector_spark.operators.textstats import (
         _hash_bucket,
     )
 
-    bucket = _hash_bucket(F.col("trace_id"), 10000, SAMPLER_SALT)
+    bucket = _hash_bucket(F.col("conv_id"), 10000, SAMPLER_SALT)
     kept = (
         parsed.filter(F.col("trace_id").isNotNull())
         .withColumn("sample_bucket", bucket.cast("int"))
-        .filter(F.col("sample_bucket") < SAMPLER_PERMYRIAD)
+        .filter(F.col("sample_bucket") < int(permyriad))
     )
     if not project:
         return kept
@@ -168,7 +177,7 @@ def probabilistic_sampler_oracle_body() -> str:
         _hash_bucket_sql,
     )
 
-    bucket = _hash_bucket_sql("trace_id", 10000, SAMPLER_SALT)
+    bucket = _hash_bucket_sql("conv_id", 10000, SAMPLER_SALT)
     return f"""
 SELECT conv_id, turn_idx, tool, trace_id, span_id, dur_ms, sample_bucket
 FROM (

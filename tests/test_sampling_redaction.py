@@ -77,11 +77,29 @@ def test_probabilistic_sampler_is_trace_consistent(spark):
     df = PIPELINE_QUERIES["probabilistic_sampler"](spark, SF_CORRECT)
     rows = df.collect()
     assert rows
-    # deterministic: same bucket for every occurrence of a trace id
+    # deterministic: same bucket for every span of a conversation — the
+    # engine's trace unit, matching tail_sampling's whole-trace identity
+    # (ADVICE r02: hashing the per-turn trace_id would emit partial traces)
     buckets: dict[str, int] = {}
     for r in rows:
         assert r.sample_bucket < SAMPLER_PERMYRIAD
-        assert buckets.setdefault(r.trace_id, r.sample_bucket) == r.sample_bucket
+        assert buckets.setdefault(r.conv_id, r.sample_bucket) == r.sample_bucket
+    # whole conversations survive: a kept conv keeps ALL its spans, so a
+    # chained whole-trace policy (tail_sampling) never sees a partial trace
+    from opentelemetry_collector_spark.queries import _parsed as _p
+
+    all_spans = (
+        _p(spark, SF_CORRECT)
+        .filter(F.col("trace_id").isNotNull())
+        .groupBy("conv_id")
+        .count()
+        .collect()
+    )
+    totals = {r.conv_id: r["count"] for r in all_spans}
+    kept_counts: dict[str, int] = {}
+    for r in rows:
+        kept_counts[r.conv_id] = kept_counts.get(r.conv_id, 0) + 1
+    assert all(kept_counts[c] == totals[c] for c in kept_counts)
     # keep rate approximates the configured ratio (binomial tolerance)
     from opentelemetry_collector_spark.queries import _parsed
 
