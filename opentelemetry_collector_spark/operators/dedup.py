@@ -58,7 +58,12 @@ _SHINGLES_SQL = (
 )
 
 
-def _docs(spark: SparkSession, sf_dir: str, compute_dense: bool = False) -> DataFrame:
+def _docs(
+    spark: SparkSession,
+    sf_dir: str,
+    compute_dense: bool = False,
+    docs: DataFrame | None = None,
+) -> DataFrame:
     """``compute_dense=True`` re-spreads the scan across all cores: the
     shingle/hash stages cost far more CPU per byte than the scan, so a
     small file count (one file at test SFs; coarse splits at 100 TB) must
@@ -66,15 +71,19 @@ def _docs(spark: SparkSession, sf_dir: str, compute_dense: bool = False) -> Data
     one-pass shuffle of the raw docs — cheap relative to the per-doc
     compute it unlocks (measured 12.5s -> <2s for the MinHash signature
     stage at sf0.1 on local[32])."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = docs if docs is not None else spark.read.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
     if compute_dense:
         df = df.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return df
 
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingled(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     return (
-        _docs(spark, sf_dir, compute_dense=True)
+        _docs(spark, sf_dir, compute_dense=True, docs=docs)
         .select("doc_id", F.split("text", " ").alias("words"))
         .select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
     )
@@ -83,14 +92,16 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- exact dedup ------------------------------------------------------------
 
 
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_exact(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Exact dedup by content hash: canonical id = min doc_id per text-md5
     group (hash-groupBy; the canonical choice is deterministic)."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("text_md5")
     return (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, docs=docs)
         .select("doc_id", F.md5("text").alias("text_md5"))
         .withColumn("canonical_id", F.min("doc_id").over(w))
         .withColumn("group_size", F.count(F.lit(1)).over(w))
@@ -110,7 +121,9 @@ FROM documents
 # --- n-gram Jaccard ---------------------------------------------------------
 
 
-def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_pairs(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Near-dup pairs by word-{NGRAM}-gram Jaccard >= {JACCARD_THRESHOLD}.
 
     Inverted-index candidate generation: explode shingles, df-cap, self-join
@@ -118,7 +131,9 @@ def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard = co / (|A| + |B| - co) — exact, no verification join needed
     because co-occurrence counting IS the intersection size.
     """
-    sh = _shingled(spark, sf_dir).withColumn("n_sh", F.size("shingles"))
+    sh = _shingled(spark, sf_dir, docs=docs).withColumn(
+        "n_sh", F.size("shingles")
+    )
     posting = sh.select(
         "doc_id", "n_sh", F.explode("shingles").alias("shingle")
     )
@@ -223,7 +238,9 @@ _SIG_SQL = (
 _ROWS_PER_BAND = MINHASH_K // MINHASH_BANDS
 
 
-def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_pairs(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """MinHash+LSH near-dup pairs (shingle -> 16-hash signature -> 4 bands of
     4 -> band-bucket equality join -> true-Jaccard verify >= threshold).
 
@@ -232,7 +249,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching band are verified with exact Jaccard via array intersection on
     the (small) candidate set.
     """
-    sh = _shingled(spark, sf_dir)
+    sh = _shingled(spark, sf_dir, docs=docs)
     sig = sh.withColumn("lanes", F.expr(_LANES_EXPR)).withColumn(
         "sig", F.expr(_SIG_EXPR)
     )
@@ -466,7 +483,10 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}
 
 
 def dedup_clusters(
-    spark: SparkSession, sf_dir: str, max_iter: int = 20
+    spark: SparkSession,
+    sf_dir: str,
+    max_iter: int = 20,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Group near-dup pairs into clusters and pick a canonical doc per
     cluster: connected components over the ``dedup_ngram_pairs`` edge set
@@ -488,7 +508,9 @@ def dedup_clusters(
     """
     from pyspark.sql.window import Window
 
-    pairs = dedup_ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = dedup_ngram_pairs(spark, sf_dir, docs=docs).select(
+        "doc_a", "doc_b"
+    )
     edges = pairs.union(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
@@ -570,7 +592,9 @@ FROM lab
 SUBSTR_W = 8  # window width in words: runs >= W words shared anywhere dedup
 
 
-def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_substring_spans(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Exact substring deduplication, windowed: find every maximal word
     run that appears (>=2 times anywhere in the corpus, including within
     one document) and emit the per-document spans to excise — the
@@ -589,7 +613,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     stride >1 with W widened by stride to keep the guarantee).
     """
     d = (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, docs=docs)
         .select("doc_id", F.split("text", " ").alias("ws"))
         .filter(F.size("ws") >= SUBSTR_W)
     )

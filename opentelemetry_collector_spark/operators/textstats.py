@@ -32,8 +32,10 @@ FP_PREFIX_CHARS = 128  # fingerprint window (winnowing-style, first 128 chars)
 FP_SHINGLE = 8  # char-shingle width for the rolling-hash fingerprint
 
 
-def _docs(spark, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _docs(spark, sf_dir: str, docs: DataFrame | None = None) -> DataFrame:
+    return docs if docs is not None else spark.read.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
 
 
 def _n_spaces() -> Column:
@@ -356,7 +358,7 @@ def _word_positions(docs: DataFrame) -> DataFrame:
     )
 
 
-def doc_repetition(spark, sf_dir: str) -> DataFrame:
+def doc_repetition(spark, sf_dir: str, docs: DataFrame | None = None) -> DataFrame:
     """Gopher-style repetition metrics per doc: top-word fraction,
     duplicate-word fraction, top-bigram fraction, and a drop flag.
 
@@ -368,7 +370,7 @@ def doc_repetition(spark, sf_dir: str) -> DataFrame:
     sub-key) and a doc_id join — partial aggregation is map-side, keys are
     per-document so there is no skew surface; survives a 100x corpus.
     """
-    pos = _word_positions(_docs(spark, sf_dir))
+    pos = _word_positions(_docs(spark, sf_dir, docs=docs))
     uni = pos.select("doc_id", F.expr("element_at(ws, i)").alias("word"))
     uc = uni.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
     us = uc.groupBy("doc_id").agg(
@@ -530,11 +532,11 @@ UNIGRAM_MIN_COUNT = 2  # words below this corpus count are OOV (floor prob)
 VOCAB_TOPK = 50  # tokenizer-vocabulary induction: Zipf head size
 
 
-def _tokens(spark, sf_dir: str) -> DataFrame:
+def _tokens(spark, sf_dir: str, docs: DataFrame | None = None) -> DataFrame:
     """(doc_id, word) pairs: lowercase whitespace tokenization, empty
     tokens dropped — one explode over a (doc_id, text) projection."""
     return (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, docs=docs)
         .select(
             "doc_id",
             F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
@@ -543,15 +545,45 @@ def _tokens(spark, sf_dir: str) -> DataFrame:
     )
 
 
-def doc_unigram_ll(spark, sf_dir: str) -> DataFrame:
-    """Per-document unigram log-likelihood under a corpus-trained LM —
-    the CCNet/Gopher-style statistical quality filter (perplexity
-    filtering with a unigram model standing in for KenLM: the Spark plan
-    shape — broadcast model join + per-doc aggregate — is identical).
+def train_unigram_model(
+    spark, sf_dir: str, docs: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Train the unigram LM side-tables from the corpus: ``(vocab, tot)``
+    where vocab = (w, c) for words with corpus count >= UNIGRAM_MIN_COUNT
+    and tot = the 1-row total token count (double ``n``).
 
-    Model: p(w) = count(w)/N over this corpus; words with corpus count
-    < UNIGRAM_MIN_COUNT are out-of-vocabulary and score the floor prob
-    1/N (add-nothing backoff, deterministic).
+    Production shape: run once, write both to parquet, and pass the
+    reloaded frames to ``doc_unigram_ll(model=...)`` — the scoring pass is
+    then a SINGLE corpus scan (plan-guarded in tests/test_plans.py). The
+    vocab aggregate shuffles words once; map-side combine absorbs Zipf
+    skew (hot words partial-aggregate per partition)."""
+    toks = _tokens(spark, sf_dir, docs=docs)
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= UNIGRAM_MIN_COUNT)
+    )
+    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return vocab, tot
+
+
+def doc_unigram_ll(
+    spark,
+    sf_dir: str,
+    model: tuple[DataFrame, DataFrame] | None = None,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document unigram log-likelihood under a unigram LM — the
+    CCNet/Gopher-style statistical quality filter (perplexity filtering
+    with a unigram model standing in for KenLM: the Spark plan shape —
+    broadcast model join + per-doc aggregate — is identical).
+
+    Model: p(w) = count(w)/N; words absent from the vocab side-table are
+    out-of-vocabulary and score the floor prob 1/N (add-nothing backoff,
+    deterministic). ``model`` is the (vocab, tot) pair from
+    ``train_unigram_model`` (or the same tables reloaded from storage);
+    when omitted the model self-trains on the scored corpus — the oracle
+    shape, costing a second corpus scan.
 
     Cross-engine exactness: per-token log-probs are quantized to integer
     milli-nats BEFORE summing (``round(ln(c/N)*1000) -> bigint``) — each
@@ -559,20 +591,15 @@ def doc_unigram_ll(spark, sf_dir: str) -> DataFrame:
     integer sums are order-independent, so no float-accumulation-order
     hazard (the file-header parity rule).
 
-    Scale: the vocab aggregate shuffles words once (map-side combine
-    absorbs Zipf skew — hot words partial-aggregate per partition); the
-    model join is a broadcast (a count>=2 vocab is bounded by corpus
-    vocabulary, ~10M rows at 100 TB — still broadcastable at ~100 MB;
-    production would precompute it as a side table instead of rescanning);
+    Scale: with a precomputed model the scoring pass is ONE corpus scan;
+    the model join is a broadcast (a count>=2 vocab is bounded by corpus
+    vocabulary, ~10M rows at 100 TB — still broadcastable at ~100 MB);
     the per-doc aggregate shuffles on doc_id (uniform key, no skew).
     """
-    toks = _tokens(spark, sf_dir)
-    vocab = (
-        toks.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= UNIGRAM_MIN_COUNT)
+    toks = _tokens(spark, sf_dir, docs=docs)
+    vocab, tot = model if model is not None else train_unigram_model(
+        spark, sf_dir, docs=docs
     )
-    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("n"))
     logp_milli = F.round(
         F.log(F.coalesce(F.col("c"), F.lit(1)).cast("double") / F.col("n"))
         * 1000.0

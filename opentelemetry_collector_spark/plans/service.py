@@ -40,6 +40,8 @@ def _builtin_receivers() -> dict[str, Callable]:
             spark, cfg["path"]
         ),
         "otlp_jsonl": lambda spark, cfg: read_otlp_jsonl(spark, cfg["path"]),
+        # corpus-curation source: a documents table (doc_id, text, ...)
+        "documents": lambda spark, cfg: spark.read.parquet(cfg["path"]),
     }
 
 
@@ -60,8 +62,16 @@ def _builtin_processors() -> dict[str, Callable]:
 
     def sampler_factory(spark, df, cfg):
         # head sampling keeps every input column in processor position —
-        # downstream stages still need the full record
-        return probabilistic_sampler(df, project=False)
+        # downstream stages still need the full record; keep rate is
+        # configurable like the reference's sampling_percentage
+        from opentelemetry_collector_spark.operators.traces import (
+            SAMPLER_PERMYRIAD,
+        )
+
+        return probabilistic_sampler(
+            df, project=False,
+            permyriad=cfg.get("permyriad", SAMPLER_PERMYRIAD),
+        )
 
     def tail_factory(spark, df, cfg):
         fn = (
@@ -77,6 +87,79 @@ def _builtin_processors() -> dict[str, Callable]:
             project=False,
         )
 
+    # --- corpus-curation processors (documents stream) ----------------
+    # Each filters the flowing documents frame via an anti-join against a
+    # marker set computed over that SAME frame (processor position keeps
+    # every input column). Policies are the standard curation ones; the
+    # underlying operators are the oracle-gated ones in operators/dedup.py
+    # and operators/textstats.py (docs= processor-position entry).
+
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators import dedup as _dd
+    from opentelemetry_collector_spark.operators import textstats as _tx
+
+    def dedup_exact_p(spark, df, cfg):
+        dups = _dd.dedup_exact(spark, "", docs=df).filter("is_dup")
+        return df.join(dups.select("doc_id"), "doc_id", "left_anti")
+
+    def dedup_near_p(spark, df, cfg):
+        # connected components over ngram-Jaccard pairs; keep the cluster
+        # canonical (min doc_id) so chained duplicates collapse to one doc
+        clusters = _dd.dedup_clusters(
+            spark, "", max_iter=cfg.get("max_iter", 20), docs=df
+        )
+        drop = clusters.filter(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select("doc_id")
+        return df.join(drop, "doc_id", "left_anti")
+
+    def dedup_minhash_p(spark, df, cfg):
+        # keep-first policy: the larger doc_id of every verified pair drops
+        # (pairs emit doc_a < doc_b, so the smallest doc of a chain stays)
+        pairs = _dd.dedup_minhash_pairs(spark, "", docs=df)
+        drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        return df.join(drop, "doc_id", "left_anti")
+
+    def dedup_substring_p(spark, df, cfg):
+        # drop docs whose duplicated-substring spans cover more than
+        # max_dup_word_frac of their words (Lee et al. windowed dedup as a
+        # doc-level filter; span excision is the text-rewrite variant)
+        spans = _dd.dedup_substring_spans(spark, "", docs=df)
+        dup_words = spans.groupBy("doc_id").agg(
+            F.sum("n_words").alias("dup_words")
+        )
+        frac = F.col("dup_words") / (
+            F.size(F.split(F.col("text"), " "))
+        )
+        over = (
+            df.select("doc_id", "text")
+            .join(dup_words, "doc_id")
+            .filter(frac > float(cfg.get("max_dup_word_frac", 0.5)))
+            .select("doc_id")
+        )
+        return df.join(over, "doc_id", "left_anti")
+
+    def quality_filter_p(spark, df, cfg):
+        out = df
+        if cfg.get("drop_repetitive", True):
+            bad = _tx.doc_repetition(spark, "", docs=df).filter("repetitive")
+            out = out.join(bad.select("doc_id"), "doc_id", "left_anti")
+        min_ll = cfg.get("min_avg_logp_milli")
+        if min_ll is not None:
+            model = None
+            if cfg.get("model_dir"):  # precomputed LM side-tables
+                model = (
+                    spark.read.parquet(f"{cfg['model_dir']}/vocab"),
+                    spark.read.parquet(f"{cfg['model_dir']}/tot"),
+                )
+            ll = _tx.doc_unigram_ll(spark, "", model=model, docs=df)
+            bad = ll.filter(
+                F.col("avg_logp_milli") < float(min_ll)
+            ).select("doc_id")
+            out = out.join(bad, "doc_id", "left_anti")
+        return out
+
     return {
         "parse": lambda spark, df, cfg: parse_turns(df),
         "enrich": lambda spark, df, cfg: enrich(df, spark),
@@ -87,6 +170,12 @@ def _builtin_processors() -> dict[str, Callable]:
         # tail sampling with error>latency[>probabilistic] policies)
         "sampler": sampler_factory,
         "tail_sampling": tail_factory,
+        # corpus-curation processors (documents stream)
+        "dedup_exact": dedup_exact_p,
+        "dedup_near": dedup_near_p,
+        "dedup_minhash": dedup_minhash_p,
+        "dedup_substring": dedup_substring_p,
+        "quality_filter": quality_filter_p,
     }
 
 
@@ -124,6 +213,12 @@ def _builtin_exporters() -> dict[str, Callable]:
         groups = log_dedup(df, cfg.get("bucket_seconds", 300))
         groups.write.mode("overwrite").parquet(cfg["path"])
 
+    def export_parquet(spark, df, cfg):
+        writer = df.write.mode("overwrite")
+        if cfg.get("partition_by"):
+            writer = writer.partitionBy(*cfg["partition_by"])
+        writer.parquet(cfg["path"])
+
     return {
         "sinks": export_sinks,
         "sink_counts": export_counts,
@@ -131,6 +226,8 @@ def _builtin_exporters() -> dict[str, Callable]:
         "dead_letter": export_dead_letter,
         # template-identity dedup counts (log-deduplication pattern)
         "log_dedup": export_log_dedup,
+        # generic table writer (curated-corpus sink)
+        "parquet": export_parquet,
     }
 
 

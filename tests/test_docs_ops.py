@@ -178,6 +178,33 @@ def test_unigram_ll_semantics(spark):
     assert mean_avg > floor_milli
 
 
+def test_unigram_ll_precomputed_model_matches_self_trained(spark, tmp_path):
+    """VERDICT r02 task 7: the production shape — model side-tables
+    precomputed, persisted, reloaded — must score identically to the
+    self-training oracle shape."""
+    from opentelemetry_collector_spark.operators.textstats import (
+        doc_unigram_ll,
+        train_unigram_model,
+    )
+
+    vocab, tot = train_unigram_model(spark, SF_CORRECT)
+    vocab.write.mode("overwrite").parquet(str(tmp_path / "vocab"))
+    tot.write.mode("overwrite").parquet(str(tmp_path / "tot"))
+    reloaded = (
+        spark.read.parquet(str(tmp_path / "vocab")),
+        spark.read.parquet(str(tmp_path / "tot")),
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.oov_tokens, r.ll_milli)
+        for r in doc_unigram_ll(spark, SF_CORRECT, model=reloaded).collect()
+    }
+    want = {
+        r.doc_id: (r.n_tokens, r.oov_tokens, r.ll_milli)
+        for r in doc_unigram_ll(spark, SF_CORRECT).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_substring_spans_are_maximal_and_really_duplicated(spark):
     """Every emitted span (a) is at least window-width wide, (b) never
     overlaps another span of the same doc (islands merged maximally), and
@@ -322,7 +349,7 @@ def test_dedup_clusters_raises_on_non_convergence(spark, monkeypatch):
         [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
     )
     monkeypatch.setattr(
-        _d, "dedup_ngram_pairs", lambda spark, sf_dir: chain
+        _d, "dedup_ngram_pairs", lambda spark, sf_dir, docs=None: chain
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         _d.dedup_clusters(spark, SF_CORRECT, max_iter=3)

@@ -63,6 +63,43 @@ def test_sampled_example_via_cli_config_mode(tmp_path):
     assert (tmp_path / "log_dedup").exists()
 
 
+EXAMPLE_CURATION = str(
+    Path(__file__).resolve().parent.parent / "examples" / "curation_pipeline.yaml"
+)
+
+
+def test_curation_example_via_cli_config_mode(tmp_path):
+    """The corpus-curation pass runs end-to-end from a collector-style
+    --config YAML (VERDICT r02 task 8): documents receiver -> dedup_exact ->
+    dedup_minhash -> quality_filter -> parquet exporter."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, DATA_DIR=SF_SMOKE, OUT_DIR=str(tmp_path))
+    proc = subprocess.run(
+        [sys.executable, "-m", "opentelemetry_collector_spark",
+         "--config", EXAMPLE_CURATION,
+         "--master", "local[4]", "--shuffle-partitions", "4"],
+        capture_output=True, text=True, timeout=240, env=env,
+        cwd=str(Path(__file__).resolve().parent.parent),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["mode"] == "config"
+    n_curated = report["pipelines"]["curation"]
+    assert n_curated > 0
+    # the pass actually filtered something, and wrote what it kept
+    import pyarrow.parquet as pq
+
+    n_in = pq.read_table(f"{SF_SMOKE}/documents.parquet").num_rows
+    curated_files = list((tmp_path / "curated").rglob("*.parquet"))
+    assert curated_files
+    n_out = sum(pq.read_table(str(f)).num_rows for f in curated_files)
+    assert 0 < n_out == n_curated < n_in
+
+
 def test_cli_requires_source_output_without_config():
     import subprocess
     import sys

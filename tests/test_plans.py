@@ -178,6 +178,33 @@ def test_kmeans_final_plan_is_flat_in_iters(spark):
     assert _scan_count(p3) <= 2
 
 
+def test_unigram_ll_precomputed_model_is_single_corpus_scan(spark, tmp_path):
+    """With a precomputed (vocab, tot) model the scoring pass must scan the
+    documents table exactly once (VERDICT r02 task 7 plan guard); the
+    self-training shape costs two extra corpus scans (vocab + total)."""
+    from opentelemetry_collector_spark.operators.textstats import (
+        doc_unigram_ll,
+        train_unigram_model,
+    )
+
+    vocab, tot = train_unigram_model(spark, SF_SMOKE)
+    vocab.write.mode("overwrite").parquet(str(tmp_path / "vocab"))
+    tot.write.mode("overwrite").parquet(str(tmp_path / "tot"))
+    model = (
+        spark.read.parquet(str(tmp_path / "vocab")),
+        spark.read.parquet(str(tmp_path / "tot")),
+    )
+    plan = _plan(doc_unigram_ll(spark, SF_SMOKE, model=model))
+    doc_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "documents" in ln
+    ]
+    assert len(doc_scans) == 1, (
+        f"precomputed-model scoring should scan documents once, "
+        f"saw {len(doc_scans)}"
+    )
+
+
 def test_tool_spans_ranks_locally_before_the_tool_window(spark):
     """Top-k over the ~5-value parsed_tool key must be two-phase: a salted
     (parsed_tool, salt) local rank prunes to <=5*salts*k rows BEFORE the

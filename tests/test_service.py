@@ -75,6 +75,75 @@ def test_run_service_custom_factory(spark, tmp_path):
     assert captured["n"] == results["logs"].count()
 
 
+def test_run_service_curation_pipeline(spark, tmp_path):
+    """VERDICT r02 task 8: the dedup family and quality filters are
+    config-buildable — a documents -> dedup_exact -> dedup_minhash ->
+    quality_filter -> parquet pipeline equals the direct operator
+    composition (anti-join policies) and keeps every input column."""
+    from pyspark.sql import functions as SF
+
+    from opentelemetry_collector_spark.operators.dedup import (
+        dedup_exact,
+        dedup_minhash_pairs,
+    )
+    from opentelemetry_collector_spark.operators.textstats import (
+        doc_repetition,
+    )
+
+    cfg = ServiceConfig.from_sources(
+        {
+            "receivers": {
+                "documents": {"path": f"{SF_SMOKE}/documents.parquet"}
+            },
+            "processors": {
+                "dedup_exact": {},
+                "dedup_minhash": {},
+                "quality_filter": {"drop_repetitive": True},
+            },
+            "exporters": {
+                "parquet": {"path": str(tmp_path / "curated")},
+            },
+            "service": {
+                "pipelines": {
+                    "curation": {
+                        "receivers": ["documents"],
+                        "processors": [
+                            "dedup_exact", "dedup_minhash", "quality_filter"
+                        ],
+                        "exporters": ["parquet"],
+                    }
+                }
+            },
+        },
+        env={},
+    )
+    results = run_service(spark, cfg)
+    got = results["curation"]
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    d1 = docs.join(
+        dedup_exact(spark, "", docs=docs).filter("is_dup").select("doc_id"),
+        "doc_id", "left_anti",
+    )
+    d2 = d1.join(
+        dedup_minhash_pairs(spark, "", docs=d1)
+        .select(SF.col("doc_b").alias("doc_id")).distinct(),
+        "doc_id", "left_anti",
+    )
+    d3 = d2.join(
+        doc_repetition(spark, "", docs=d2).filter("repetitive")
+        .select("doc_id"),
+        "doc_id", "left_anti",
+    )
+    want_ids = sorted(r.doc_id for r in d3.select("doc_id").collect())
+    got_ids = sorted(r.doc_id for r in got.select("doc_id").collect())
+    assert got_ids == want_ids
+    assert 0 < len(got_ids) < docs.count()  # filtering actually happened
+    assert set(docs.columns) <= set(got.columns)  # full record preserved
+    written = spark.read.parquet(str(tmp_path / "curated"))
+    assert written.count() == len(got_ids)
+
+
 def test_run_service_sampling_pipeline(spark, tmp_path):
     """Sampling processors and the log_dedup exporter are config-buildable:
     a sampler -> tail_sampling(composite) pipeline built from config must
@@ -96,7 +165,11 @@ def test_run_service_sampling_pipeline(spark, tmp_path):
             "processors": {
                 "parse": {},
                 "sampler": {},
-                "tail_sampling": {"policies": "composite"},
+                # conv-keyed head sampling keeps ~4 of 15 smoke convs; the
+                # default 900ms latency policy matches none of them, so the
+                # example threshold (200ms) keeps the pipeline non-empty
+                "tail_sampling": {"policies": "composite",
+                                  "latency_threshold_ms": 200},
             },
             "exporters": {
                 "log_dedup": {"path": str(tmp_path / "dedup"),
@@ -119,7 +192,8 @@ def test_run_service_sampling_pipeline(spark, tmp_path):
 
     parsed = parse_turns(events_to_transcripts(spark, SF_SMOKE))
     want = tail_sampling_composite(
-        probabilistic_sampler(parsed, project=False), project=False
+        probabilistic_sampler(parsed, project=False),
+        latency_threshold_ms=200, project=False,
     )
     assert got.count() == want.count() > 0
     key = lambda r: (r.conv_id, r.turn_idx)  # noqa: E731
