@@ -90,6 +90,15 @@ def span_edges_stateful(parsed: DataFrame) -> DataFrame:
     aggregation composes downstream exactly as in batch (a plain streaming
     groupBy with watermark, or a batch rollup over the emitted edges).
 
+    Late data: a span whose turn_idx is <= the stored last_turn_idx arrived
+    AFTER a later turn was already processed in an earlier micro-batch —
+    appending it would emit a (src, dst) edge the batch lag-window twin
+    would never produce. Such rows are DROPPED (watermark-style late-data
+    semantics; the stored last_turn_idx is the watermark), keeping every
+    emitted edge one the batch twin also emits. Within a micro-batch,
+    rows are sorted by turn_idx first, so only cross-batch reordering is
+    ever late.
+
     Scale notes: state is O(active conversations) x (int + tool string),
     keyed on conv_id — the table's bucket key, so the state shuffle aligns
     with storage partitioning, like the sessionizer above.
@@ -106,6 +115,8 @@ def span_edges_stateful(parsed: DataFrame) -> DataFrame:
         pdf = pd.concat(chunks, ignore_index=True).sort_values("turn_idx")
         rows = []
         for r in pdf.itertuples(index=False):
+            if last_turn is not None and int(r.turn_idx) <= last_turn:
+                continue  # late arrival from a prior batch window: drop
             if last_tool is not None:
                 rows.append(
                     (

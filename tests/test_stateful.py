@@ -128,3 +128,81 @@ def test_stateful_span_edges_match_batch_across_batches(spark, tmp_path):
             parse_turns(spark.read.parquet(src))).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stateful_span_edges_drop_late_arrivals(spark, tmp_path):
+    """ADVICE r02: a turn arriving AFTER a later turn was processed in a
+    prior micro-batch (turn_idx <= stored last_turn_idx) must be dropped,
+    not appended — appending would emit (src, dst) edges the batch
+    lag-window twin never produces. Files arrive in REVERSE half order:
+    second half first, then the (now-late) first half."""
+    from opentelemetry_collector_spark.operators.parse import parse_turns
+    from opentelemetry_collector_spark.operators.traces import span_edges
+    from opentelemetry_collector_spark.streaming.stateful import (
+        span_edges_stateful,
+    )
+
+    t = events_to_transcripts(spark, SF_SMOKE)
+    src = str(tmp_path / "late_src")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id")
+    marked = t.withColumn(
+        "late",
+        (F.col("turn_idx") < F.max("turn_idx").over(w) / 2).cast("int"),
+    )
+    # second half arrives FIRST
+    marked.filter("late = 0").drop("late").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    time.sleep(1.1)
+    marked.filter("late = 1").drop("late").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        span_edges_stateful(parse_turns(stream))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("edge_late")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    raw = spark.sql("SELECT * FROM edge_late")
+    # no late row survived: every emitted turn_idx is in the on-time half
+    late_keys = {
+        (r.conv_id, r.turn_idx)
+        for r in marked.filter("late = 1")
+        .select("conv_id", "turn_idx").collect()
+    }
+    emitted_keys = {
+        (r.conv_id, r.turn_idx) for r in raw.collect()
+    }
+    assert emitted_keys and not (emitted_keys & late_keys)
+    # and the aggregate equals the batch twin over the on-time subset
+    got = {
+        (r.src_tool, r.dst_tool): (r.n_calls, r.total_dur_ms)
+        for r in raw.groupBy("src_tool", "dst_tool").agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.sum("dur_ms").cast("long").alias("total_dur_ms"),
+        ).collect()
+    }
+    ontime = parse_turns(spark.read.parquet(src)).withColumn(
+        "half_max", F.max("turn_idx").over(Window.partitionBy("conv_id"))
+    ).filter(F.col("turn_idx") >= F.col("half_max") / 2).drop("half_max")
+    want = {
+        (r.src_tool, r.dst_tool): (r.n_calls, r.total_dur_ms)
+        for r in span_edges(ontime).collect()
+    }
+    assert got == want
