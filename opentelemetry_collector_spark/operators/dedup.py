@@ -703,3 +703,102 @@ SELECT doc_id, cast(min(s) AS int) AS span_start,
     cast(max(e) - min(s) + 1 AS int) AS n_words
 FROM isl GROUP BY doc_id, island
 """
+
+
+def dedup_substring_excise(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """The text-REWRITE arm of windowed substring dedup: excise every
+    duplicated maximal span found by ``dedup_substring_spans`` and emit
+    the cleaned text — the actual "deduplicating training data" treatment
+    (Lee et al. 2021 removes the duplicated substring, it does not drop
+    the document). Docs shorter than the window or with no duplicated
+    spans pass through verbatim.
+
+    Spark shape: spans explode to covered word positions (volume = the
+    corpus's duplicated-word count, not corpus words), per-doc covered
+    count + position SET aggregate back to one row, then one
+    higher-order ``filter`` over the pre-split words array rebuilds the
+    text — no per-position shuffle join against the full corpus: the only
+    shuffles are the spans computation itself and one doc_id-keyed
+    aggregate of the (small) covered set.
+    """
+    d = _docs(spark, sf_dir, docs=docs).select("doc_id", "text")
+    spans = dedup_substring_spans(spark, sf_dir, docs=docs)
+    covered = (
+        spans.select(
+            "doc_id",
+            F.explode(
+                F.expr("sequence(span_start, span_end)")
+            ).alias("i"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.collect_set("i").alias("cov"),
+            F.count(F.lit(1)).cast("int").alias("n_words_removed"),
+        )
+    )
+    joined = d.join(covered, "doc_id", "left")
+    words = F.split("text", " ")
+    kept = F.filter(
+        F.zip_with(
+            words,
+            F.sequence(F.lit(1), F.size(words)),
+            lambda w, i: F.struct(w.alias("w"), i.alias("i")),
+        ),
+        lambda s: ~F.array_contains(F.coalesce(F.col("cov"),
+                                               F.array().cast("array<int>")),
+                                    s["i"]),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(F.transform(kept, lambda s: s["w"]), " ").alias(
+            "clean_text"
+        ),
+        F.coalesce("n_words_removed", F.lit(0)).cast("int").alias(
+            "n_words_removed"
+        ),
+    )
+
+
+DEDUP_EXCISE_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    WHERE len(string_split(text, ' ')) >= {SUBSTR_W}
+),
+w AS (
+    SELECT doc_id, i,
+        md5(array_to_string(list_slice(ws, i, i + {SUBSTR_W - 1}), ' ')) AS h
+    FROM (
+        SELECT doc_id, ws,
+            unnest(generate_series(1, len(ws) - {SUBSTR_W - 1})) AS i
+        FROM d
+    ) q
+),
+dup AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+hits AS (
+    SELECT doc_id, i AS s, i + {SUBSTR_W - 1} AS e FROM w JOIN dup USING (h)
+),
+cov AS (
+    SELECT DISTINCT doc_id, unnest(generate_series(s, e)) AS i FROM hits
+),
+pos AS (
+    SELECT doc_id, unnest(ws) AS word,
+        unnest(generate_series(1, len(ws))) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) q
+),
+cleaned AS (
+    SELECT p.doc_id,
+        string_agg(p.word, ' ' ORDER BY p.i) AS clean_text
+    FROM pos p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.i = c.i
+    WHERE c.i IS NULL
+    GROUP BY p.doc_id
+),
+removed AS (SELECT doc_id, cast(count(*) AS int) AS n FROM cov GROUP BY 1)
+SELECT d0.doc_id,
+    coalesce(cl.clean_text, '') AS clean_text,
+    coalesce(r.n, 0) AS n_words_removed
+FROM (SELECT doc_id FROM documents) d0
+LEFT JOIN cleaned cl ON d0.doc_id = cl.doc_id
+LEFT JOIN removed r ON d0.doc_id = r.doc_id
+"""

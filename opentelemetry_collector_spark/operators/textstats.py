@@ -686,6 +686,84 @@ FROM vocab ORDER BY c DESC, w LIMIT {VOCAB_TOPK}
 """
 
 
+TFIDF_TOPK = 3
+
+
+def doc_tfidf_topk(
+    spark, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Top-{TFIDF_TOPK} TF-IDF terms per document — the keyword/topic
+    extraction step of corpus analytics (used for domain tagging and
+    mixture construction). Cross-engine exact: idf is quantized to integer
+    milli-nats from two integers (``round(ln(n_docs/df)*1000)``), the
+    score is the integer product ``tf * idf_milli``, and ties break on the
+    term string — a total order, so ranks are engine-independent.
+
+    Scale: tf is one (doc_id, w) partial-agg groupBy; df is a vocab-sized
+    aggregate BROADCAST onto the tf stream (vocabulary ≪ corpus); the
+    rank window partitions on doc_id — high-cardinality uniform key, and
+    each partition holds only the doc's distinct terms.
+    """
+    from pyspark.sql.window import Window
+
+    toks = _tokens(spark, sf_dir, docs=docs)
+    tf = toks.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = _docs(spark, sf_dir, docs=docs).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    idf_milli = F.round(
+        F.log(F.col("n_docs") / F.col("df").cast("double")) * 1000.0
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score_milli", (F.col("tf") * idf_milli).cast("long"))
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("score_milli").desc(), F.col("w")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+        .select(
+            "doc_id", F.col("w").alias("term"), "tf", "df",
+            "score_milli", "rank",
+        )
+    )
+
+
+DOC_TFIDF_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents
+    ) t WHERE length(w) > 0
+),
+tf AS (
+    SELECT doc_id, w, cast(count(*) AS bigint) AS tf
+    FROM toks GROUP BY 1, 2
+),
+dfreq AS (SELECT w, cast(count(*) AS bigint) AS df FROM tf GROUP BY 1),
+n AS (SELECT cast(count(*) AS double) AS n_docs FROM documents),
+scored AS (
+    SELECT doc_id, w, tf, df,
+        tf * cast(round(ln(n_docs / cast(df AS double)) * 1000)
+                  AS bigint) AS score_milli
+    FROM tf JOIN dfreq USING (w), n
+)
+SELECT doc_id, w AS term, tf, df, score_milli,
+    cast(rank AS int) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score_milli DESC, w) AS rank
+    FROM scored
+) q WHERE rank <= {TFIDF_TOPK}
+"""
+
+
 # --- sequence packing (token-budget grouping for training batches) -----------
 
 PACK_BUDGET_TOKENS = 256  # tokens per training sequence

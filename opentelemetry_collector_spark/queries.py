@@ -618,6 +618,8 @@ DOCS_QUERIES: dict[str, QueryFn] = {
     "contamination_tag": _ts.contamination_tag,
     "dedup_clusters": _dedup.dedup_clusters,
     "dedup_substring_spans": _dedup.dedup_substring_spans,
+    "dedup_substring_excise": _dedup.dedup_substring_excise,
+    "doc_tfidf_topk": _ts.doc_tfidf_topk,
     "doc_unigram_ll": _ts.doc_unigram_ll,
     "vocab_topk": _ts.vocab_topk,
     "corpus_pack": _ts.corpus_pack,
@@ -648,6 +650,8 @@ DOCS_ORACLES: dict[str, str] = {
     "contamination_tag": _ts.CONTAMINATION_ORACLE,
     "dedup_clusters": _dedup.DEDUP_CLUSTERS_ORACLE,
     "dedup_substring_spans": _dedup.DEDUP_SUBSTRING_ORACLE,
+    "dedup_substring_excise": _dedup.DEDUP_EXCISE_ORACLE,
+    "doc_tfidf_topk": _ts.DOC_TFIDF_ORACLE,
     "doc_unigram_ll": _ts.DOC_UNIGRAM_LL_ORACLE,
     "vocab_topk": _ts.VOCAB_TOPK_ORACLE,
     "corpus_pack": _ts.CORPUS_PACK_ORACLE,
@@ -869,6 +873,8 @@ FROM (
 REGISTRY_ORDER: list[str] = [
     # -- never recorded by the driver (round-2/3 additions) ----------------
     "nested_attributes",
+    "dedup_substring_excise",
+    "doc_tfidf_topk",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -355,6 +355,61 @@ def test_dedup_clusters_raises_on_non_convergence(spark, monkeypatch):
         _d.dedup_clusters(spark, SF_CORRECT, max_iter=3)
 
 
+def test_substring_excise_removes_exactly_the_spans(spark):
+    """Cleaned text = the original words minus the duplicated-span word
+    positions; docs without spans pass through verbatim; removal counts
+    are consistent."""
+    from opentelemetry_collector_spark.operators.dedup import (
+        dedup_substring_excise,
+        dedup_substring_spans,
+    )
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id", "text").collect()
+    }
+    spans: dict[int, list[tuple[int, int]]] = {}
+    for r in dedup_substring_spans(spark, SF_CORRECT).collect():
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    rows = dedup_substring_excise(spark, SF_CORRECT).collect()
+    assert len(rows) == len(docs)
+    saw_excised = False
+    for r in rows:
+        ws = docs[r.doc_id].split(" ")
+        cov = set()
+        for s, e in spans.get(r.doc_id, []):
+            cov.update(range(s, e + 1))  # 1-based inclusive word positions
+        want = " ".join(w for i, w in enumerate(ws, 1) if i not in cov)
+        assert r.clean_text == want
+        assert r.n_words_removed == len(cov)
+        saw_excised = saw_excised or bool(cov)
+    assert saw_excised, "fixture corpus should contain duplicated spans"
+
+
+def test_tfidf_topk_ranks_by_score_then_term(spark):
+    from opentelemetry_collector_spark.operators.textstats import (
+        TFIDF_TOPK,
+        doc_tfidf_topk,
+    )
+
+    per_doc: dict[int, list] = {}
+    for r in doc_tfidf_topk(spark, SF_CORRECT).collect():
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert per_doc
+    for doc_id, rs in per_doc.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TFIDF_TOPK
+        # (score desc, term asc) total order
+        keys = [(-r.score_milli, r.term) for r in rs]
+        assert keys == sorted(keys)
+        # a corpus-universal word (df == n_docs) has idf 0 and can only
+        # appear with score 0
+        for r in rs:
+            assert r.score_milli >= 0 or r.df > 0
+
+
 def test_kmeans_assignment_is_true_argmin(spark):
     """Every vector is assigned exactly once, to the centroid that a
     python recount confirms is nearest on the integer lattice, and the
