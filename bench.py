@@ -95,7 +95,17 @@ def materialize_amplified(sf_dir: str, path: str, cores: int) -> int:
             .withColumn("conv_id",
                         F.concat_ws("-", "conv_id", F.col("replica").cast("string")))
             .drop("replica")
-            .write.mode("overwrite").parquet(path)
+            # production table layout (sources/catalog.py DDL): zstd codec,
+            # conv_id-hashed file assignment, (conv_id, turn_idx) order
+            # within files. The naive replica-adjacent snappy layout is also
+            # ~2.4x more compressible than real data (32 consecutive copies
+            # of each text), which understates scan bytes/turn; measured
+            # 2->8 pairs on the production layout run ~0.73-0.86 vs
+            # ~0.69-0.79 on the naive one in the same windows.
+            .repartition(64, "conv_id")
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .write.mode("overwrite").option("compression", "zstd")
+            .parquet(path)
         )
         return spark.read.parquet(path).count()
     finally:
