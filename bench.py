@@ -226,10 +226,15 @@ def main() -> None:
         import tempfile
 
         n_small, n_big = SCALING_N, 4 * SCALING_N
+        # 6 interleaved pairs: the host's throughput supply swings on
+        # minute timescales and the big level is the sensitive one; each
+        # extra pair samples another window and best-of-pairs keeps the
+        # cleanest (measured spread across one session: 0.68-0.86 on the
+        # same binary/layout)
         try:
-            reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "4")))
+            reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "6")))
         except ValueError:
-            reps = 4
+            reps = 6
         # the sandbox's CPU *and memory-bandwidth* supply swing on minute
         # timescales, and they hit the two levels asymmetrically (the 4N
         # level is bandwidth-sensitive, the N level is not — a throttled
