@@ -45,6 +45,10 @@ from typing import Any, Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from opentelemetry_collector_spark.functions.otlpjson import (
+    any_value_from_otlp_json,
+    any_value_to_otlp_json,
+)
 from opentelemetry_collector_spark.functions.protowire import (
     decode_log_record,
     decode_logs_request,
@@ -169,64 +173,6 @@ def canonical_attrs_json(attrs: dict[str, Any]) -> str:
 # regenerate exactly.
 
 
-def any_value_to_otlp_json(v: Any) -> dict[str, Any]:
-    """One AnyValue (natural Python form) -> OTLP/JSON object."""
-    if v is None:
-        return {}  # unset oneof == empty object
-    if isinstance(v, bool):
-        return {"boolValue": v}
-    if isinstance(v, int):
-        return {"intValue": str(v)}  # int64 rides as a decimal string
-    if isinstance(v, float):
-        return {"doubleValue": v}
-    if isinstance(v, str):
-        return {"stringValue": v}
-    if isinstance(v, (bytes, bytearray)):
-        import base64
-
-        return {"bytesValue": base64.b64encode(bytes(v)).decode("ascii")}
-    if isinstance(v, list):
-        return {"arrayValue": {"values": [any_value_to_otlp_json(x) for x in v]}}
-    if isinstance(v, dict):
-        return {
-            "kvlistValue": {
-                "values": [
-                    {"key": k, "value": any_value_to_otlp_json(x)}
-                    for k, x in v.items()
-                ]
-            }
-        }
-    raise TypeError(f"unsupported AnyValue type: {type(v).__name__}")
-
-
-def any_value_from_otlp_json(d: dict[str, Any]) -> Any:
-    """OTLP/JSON object -> natural Python AnyValue (inverse of the above:
-    decode(encode(v)) == v for all 7 types)."""
-    if not d:
-        return None
-    if "boolValue" in d:
-        return bool(d["boolValue"])
-    if "intValue" in d:
-        return int(d["intValue"])
-    if "doubleValue" in d:
-        return float(d["doubleValue"])
-    if "stringValue" in d:
-        return d["stringValue"]
-    if "bytesValue" in d:
-        import base64
-
-        return base64.b64decode(d["bytesValue"])
-    if "arrayValue" in d:
-        return [
-            any_value_from_otlp_json(x)
-            for x in d["arrayValue"].get("values", [])
-        ]
-    if "kvlistValue" in d:
-        return {
-            kv["key"]: any_value_from_otlp_json(kv["value"])
-            for kv in d["kvlistValue"].get("values", [])
-        }
-    raise ValueError(f"unrecognized OTLP/JSON AnyValue: {sorted(d)}")
 
 
 def attrs_to_wire_json(attrs: dict[str, Any]) -> str:
@@ -476,6 +422,75 @@ def from_otlp_request_protobuf(serialized: DataFrame) -> DataFrame:
             yield _rows_to_pdf(rows)
 
     return serialized.select("otlp_request").mapInPandas(
+        decode, DECODED_SCHEMA
+    )
+
+
+def to_otlp_request_json(parsed: DataFrame) -> DataFrame:
+    """One ExportLogsServiceRequest per conversation as spec-exact
+    OTLP/JSON text (plogjson JSONMarshaler analog) — the OTLP/HTTP
+    endpoint's OTHER content type (receiver/otlpreceiver/encoder.go:30-36
+    negotiates protobuf or JSON). Same grouping shuffle and record
+    assembly as to_otlp_request_protobuf; only the final serializer
+    differs (functions/otlpjson.py vs functions/protowire.py)."""
+    from opentelemetry_collector_spark.functions.otlpjson import (
+        logs_request_to_otlp_json,
+    )
+
+    rec = F.struct(*[F.col(c) for c in _WIRE_INPUT_FIELDS if c != "conv_id"])
+    grouped = (
+        _wire_input(parsed)
+        .groupBy("conv_id")
+        .agg(F.sort_array(F.collect_list(rec)).alias("records"))
+    )
+
+    def encode(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out_conv, out_json = [], []
+            for conv_id, recs in zip(pdf["conv_id"], pdf["records"]):
+                rows = [
+                    _clean_row(dict(r) | {"conv_id": conv_id}) for r in recs
+                ]
+                out_conv.append(conv_id)
+                out_json.append(
+                    logs_request_to_otlp_json(
+                        {"conv_id": conv_id},
+                        SCOPE_NAME,
+                        [_row_to_record(r) for r in rows],
+                    )
+                )
+            yield pd.DataFrame(
+                {"conv_id": out_conv, "otlp_json_request": out_json}
+            )
+
+    return grouped.mapInPandas(
+        encode, "conv_id string, otlp_json_request string"
+    )
+
+
+def from_otlp_request_json(serialized: DataFrame) -> DataFrame:
+    """Explode OTLP/JSON request documents back to one row per LogRecord —
+    the JSON twin of from_otlp_request_protobuf, landing on the SAME
+    decoded schema (conformance property: both wires decode to identical
+    rows; tests/test_protobuf.py)."""
+    from opentelemetry_collector_spark.functions.otlpjson import (
+        logs_request_from_otlp_json,
+    )
+
+    def decode(batches) -> Iterator:
+        for pdf in batches:
+            rows: list[dict[str, Any]] = []
+            for doc in pdf["otlp_json_request"]:
+                for res_attrs, _scope, recs in logs_request_from_otlp_json(doc):
+                    for rec in recs:
+                        row = _record_to_row(rec)
+                        row["conv_id"] = res_attrs.get("conv_id", row["conv_id"])
+                        rows.append(row)
+            yield _rows_to_pdf(rows)
+
+    return serialized.select("otlp_json_request").mapInPandas(
         decode, DECODED_SCHEMA
     )
 

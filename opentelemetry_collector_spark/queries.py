@@ -474,6 +474,19 @@ def q_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pb.from_otlp_protobuf(_pb.to_otlp_protobuf(parsed)).select(*_PARSED_COLS)
 
 
+def q_otlp_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse -> spec-exact OTLP/JSON ExportLogsServiceRequest text ->
+    decode (plogjson marshaler analog; the OTLP/HTTP endpoint's JSON
+    content type). Identity on the parsed columns, same oracle as the
+    protobuf document round trip."""
+    from opentelemetry_collector_spark.operators import protobuf as _pb
+
+    parsed = parse_turns(events_to_transcripts(spark, sf_dir)).select(*_PARSED_COLS)
+    return _pb.from_otlp_request_json(
+        _pb.to_otlp_request_json(parsed)
+    ).select(*_PARSED_COLS)
+
+
 def q_protobuf_document_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """parse -> one ExportLogsServiceRequest per conversation (Resource ->
     Scope -> LogRecord[] nesting) -> receiver-side unmarshal+flatten."""
@@ -565,6 +578,7 @@ PIPELINE_QUERIES: dict[str, QueryFn] = {
     ),
     "transform_pipeline": q_transform_pipeline,
     "protobuf_roundtrip": q_protobuf_roundtrip,
+    "otlp_json_roundtrip": q_otlp_json_roundtrip,
     "protobuf_document_roundtrip": q_protobuf_document_roundtrip,
     "span_events": q_span_events,
     "span_links": q_span_links,
@@ -668,6 +682,8 @@ SELECT {', '.join(_PARSED_COLS)} FROM ({parse_oracle_sql('transcripts')}) q""",
     "protobuf_roundtrip": f"""WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
 SELECT {', '.join(_PARSED_COLS)} FROM ({parse_oracle_sql('transcripts')}) q""",
     "protobuf_document_roundtrip": f"""WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+SELECT {', '.join(_PARSED_COLS)} FROM ({parse_oracle_sql('transcripts')}) q""",
+    "otlp_json_roundtrip": f"""WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
 SELECT {', '.join(_PARSED_COLS)} FROM ({parse_oracle_sql('transcripts')}) q""",
     "enrich": f"""{_ORACLE_BASE}
 SELECT {', '.join(_ENRICHED_COLS)} FROM enriched""",
@@ -875,6 +891,7 @@ REGISTRY_ORDER: list[str] = [
     "nested_attributes",
     "dedup_substring_excise",
     "doc_tfidf_topk",
+    "otlp_json_roundtrip",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

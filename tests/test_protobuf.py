@@ -369,6 +369,71 @@ def test_document_protobuf_roundtrip_spark(spark, parsed):
     )
 
 
+def test_otlp_json_wire_conformance_with_protobuf():
+    """The two wire encodings decode to the SAME record dicts (the OTLP
+    endpoint serves both; encoder.go:30-36), and the JSON form follows the
+    spec's proto3-JSON deviations: int64 as string, hex trace/span ids,
+    typed AnyValue objects, defaults omitted."""
+    import json as _json
+
+    from opentelemetry_collector_spark.functions.otlpjson import (
+        log_record_from_otlp_json,
+        log_record_to_otlp_json,
+        logs_request_from_otlp_json,
+        logs_request_to_otlp_json,
+    )
+
+    rec = {
+        "time_unix_nano": 1_700_000_000_000_000_000,
+        "severity_number": 9,
+        "severity_text": "INFO",
+        "body": "hello",
+        "attributes": {"k": "v", "n": 7, "nested": {"a": [1, True]},
+                       "blob": b"\x01\x02"},
+        "trace_id": bytes.fromhex("0af7651916cd43dd8448eb211c80319c"),
+        "span_id": bytes.fromhex("b7ad6b7169203331"),
+    }
+    j = log_record_to_otlp_json(rec)
+    assert j["timeUnixNano"] == "1700000000000000000"  # int64 as string
+    assert j["traceId"] == "0af7651916cd43dd8448eb211c80319c"  # hex, not b64
+    assert j["body"] == {"stringValue": "hello"}
+    assert {"key": "n", "value": {"intValue": "7"}} in j["attributes"]
+
+    # protobuf wire and JSON wire decode to the SAME record dict
+    pb_rec = decode_log_record(encode_log_record(rec))
+    assert log_record_from_otlp_json(j) == pb_rec
+
+    # defaults omitted on the wire, restored on decode
+    minimal = log_record_to_otlp_json(
+        {"time_unix_nano": 0, "severity_number": 0, "severity_text": "",
+         "body": None, "attributes": {}, "trace_id": b"", "span_id": b""}
+    )
+    assert minimal == {}
+    restored = log_record_from_otlp_json(minimal)
+    assert restored["flags"] == 0 and restored["trace_id"] == b""
+
+    # request document round trip is byte-stable
+    doc = logs_request_to_otlp_json({"conv_id": "c1"}, "scope/x", [rec])
+    (res, scope, recs), = logs_request_from_otlp_json(doc)
+    assert res == {"conv_id": "c1"} and scope == "scope/x"
+    assert recs == [pb_rec]
+    assert logs_request_to_otlp_json(res, scope, recs) == doc
+    _json.loads(doc)  # valid JSON
+
+
+def test_otlp_json_request_roundtrip_spark(spark, parsed):
+    from opentelemetry_collector_spark.operators.protobuf import (
+        from_otlp_request_json,
+        to_otlp_request_json,
+    )
+
+    wire = to_otlp_request_json(parsed)
+    assert wire.columns == ["conv_id", "otlp_json_request"]
+    _assert_same_rows(
+        from_otlp_request_json(wire).drop("attributes_wire"), parsed
+    )
+
+
 def test_logs_response_wire_codec():
     """ExportLogsServiceResponse: full success encodes EMPTY (the OTLP spec
     leaves partial_success unset when nothing was rejected); partial
