@@ -704,3 +704,70 @@ c0 AS (
 
 
 EMBEDDING_KMEANS_ORACLE = _kmeans_oracle()
+
+CLUSTER_SAMPLE_QUOTA = 16
+_CSAMPLE_SALT = ":csample"
+_CSAMPLE_SALTS = 64
+
+
+def cluster_balanced_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    quota: int = CLUSTER_SAMPLE_QUOTA,
+) -> DataFrame:
+    """Cluster-balanced (diversity) sampling: up to ``quota`` vectors per
+    k-means cluster, chosen by deterministic hash order — the curation
+    step that caps each semantic region's contribution so dominant
+    clusters don't swamp the training mix (the per-cluster dedup-budget
+    pattern). Order inside a cluster is md5(vec_id + salt), so the sample
+    is a pure function of ids: reproducible across runs, engines, and
+    cluster sizes.
+
+    Scale shape: the per-cluster rank reuses the two-phase top-k from
+    q_tool_spans — ``cluster`` has only k distinct values, so a single
+    row_number window would funnel every vector into k reducers; phase 1
+    ranks within (cluster, salt) and keeps <= quota rows per salted group,
+    phase 2 ranks the <= k*salts*quota survivors. The per-cluster top-k
+    by a total order is contained in the union of per-salt top-ks, so the
+    result is row-identical to the one-phase window the oracle runs.
+    """
+    from pyspark.sql.window import Window
+
+    assign = embedding_kmeans(spark, sf_dir)
+    h = F.md5(
+        F.concat(F.col("vec_id").cast("string"), F.lit(_CSAMPLE_SALT))
+    )
+    order = (F.col("h"), F.col("vec_id"))
+    ranked = assign.withColumn("h", h).withColumn(
+        "salt", F.pmod(F.xxhash64("vec_id"), F.lit(_CSAMPLE_SALTS))
+    )
+    w_local = Window.partitionBy("cluster", "salt").orderBy(*order)
+    survivors = (
+        ranked.withColumn("lrk", F.row_number().over(w_local))
+        .filter(F.col("lrk") <= quota)
+        .drop("lrk", "salt")
+    )
+    w_global = Window.partitionBy("cluster").orderBy(*order)
+    return (
+        survivors.withColumn(
+            "sample_rank", F.row_number().over(w_global).cast("int")
+        )
+        .filter(F.col("sample_rank") <= quota)
+        .select("vec_id", "cluster", "sample_rank")
+    )
+
+
+def _cluster_sample_oracle(quota: int = CLUSTER_SAMPLE_QUOTA) -> str:
+    base = _kmeans_oracle()
+    body = base[len("WITH "):base.rindex("\nSELECT")]
+    return f"""WITH {body}
+SELECT vec_id, cluster, cast(rk AS int) AS sample_rank FROM (
+    SELECT vec_id, cluster,
+        row_number() OVER (PARTITION BY cluster
+            ORDER BY md5(cast(vec_id AS string) || '{_CSAMPLE_SALT}'),
+                     vec_id) AS rk
+    FROM afinal
+) q2 WHERE rk <= {quota}"""
+
+
+CLUSTER_SAMPLE_ORACLE = _cluster_sample_oracle()

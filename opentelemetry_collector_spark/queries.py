@@ -639,6 +639,7 @@ DOCS_QUERIES: dict[str, QueryFn] = {
     "corpus_pack": _ts.corpus_pack,
     "embedding_quantize": _sim.embedding_quantize,
     "embedding_kmeans": _sim.embedding_kmeans,
+    "cluster_balanced_sample": _sim.cluster_balanced_sample,
 }
 
 DOCS_ORACLES: dict[str, str] = {
@@ -671,6 +672,7 @@ DOCS_ORACLES: dict[str, str] = {
     "corpus_pack": _ts.CORPUS_PACK_ORACLE,
     "embedding_quantize": _sim.EMBEDDING_QUANTIZE_ORACLE,
     "embedding_kmeans": _sim.EMBEDDING_KMEANS_ORACLE,
+    "cluster_balanced_sample": _sim.CLUSTER_SAMPLE_ORACLE,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -892,6 +894,7 @@ REGISTRY_ORDER: list[str] = [
     "dedup_substring_excise",
     "doc_tfidf_topk",
     "otlp_json_roundtrip",
+    "cluster_balanced_sample",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

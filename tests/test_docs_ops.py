@@ -410,6 +410,38 @@ def test_tfidf_topk_ranks_by_score_then_term(spark):
             assert r.score_milli >= 0 or r.df > 0
 
 
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    """<= quota per cluster, drawn from that cluster's own members by
+    deterministic hash order (pure function of ids: two runs identical)."""
+    from opentelemetry_collector_spark.operators.similarity import (
+        cluster_balanced_sample,
+        embedding_kmeans,
+    )
+
+    assign = {
+        r.vec_id: r.cluster
+        for r in embedding_kmeans(spark, SF_CORRECT).collect()
+    }
+    rows = cluster_balanced_sample(spark, SF_CORRECT, quota=5).collect()
+    per_cluster: dict[int, list] = {}
+    for r in rows:
+        assert assign[r.vec_id] == r.cluster
+        per_cluster.setdefault(r.cluster, []).append(r)
+    for c, rs in per_cluster.items():
+        assert len(rs) <= 5
+        assert sorted(r.sample_rank for r in rs) == list(range(1, len(rs) + 1))
+    again = {
+        (r.vec_id, r.cluster, r.sample_rank)
+        for r in cluster_balanced_sample(spark, SF_CORRECT, quota=5).collect()
+    }
+    assert again == {(r.vec_id, r.cluster, r.sample_rank) for r in rows}
+    # two-phase shape: no single window keyed on the k-value cluster column
+    plan = cluster_balanced_sample(
+        spark, SF_CORRECT, quota=5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "salt" in plan and plan.count("Window") >= 2
+
+
 def test_kmeans_assignment_is_true_argmin(spark):
     """Every vector is assigned exactly once, to the centroid that a
     python recount confirms is nearest on the integer lattice, and the
