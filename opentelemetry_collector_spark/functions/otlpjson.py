@@ -35,6 +35,15 @@ def any_value_to_otlp_json(v: Any) -> dict[str, Any]:
     if isinstance(v, int):
         return {"intValue": str(v)}  # int64 rides as a decimal string
     if isinstance(v, float):
+        # proto3 JSON maps non-finite doubles to the STRINGS "NaN" /
+        # "Infinity" / "-Infinity" — bare NaN/Infinity tokens are invalid
+        # JSON and the reference's jsoniter marshaler never emits them.
+        if v != v:  # NaN
+            return {"doubleValue": "NaN"}
+        if v == float("inf"):
+            return {"doubleValue": "Infinity"}
+        if v == float("-inf"):
+            return {"doubleValue": "-Infinity"}
         return {"doubleValue": v}
     if isinstance(v, str):
         return {"stringValue": v}
@@ -171,7 +180,10 @@ def logs_request_to_otlp_json(
             }
         ]
     }
-    return json.dumps(doc, separators=(",", ":"))
+    # allow_nan=False enforces the invariant above: non-finite doubles were
+    # already mapped to their spec string encodings, so a bare NaN/Infinity
+    # token here would be a codec bug, not valid output.
+    return json.dumps(doc, separators=(",", ":"), allow_nan=False)
 
 
 def logs_request_from_otlp_json(

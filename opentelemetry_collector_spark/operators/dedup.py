@@ -482,20 +482,19 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}
 # --- near-dup clustering (connected components) -----------------------------
 
 
-def dedup_clusters(
-    spark: SparkSession,
-    sf_dir: str,
-    max_iter: int = 20,
-    docs: DataFrame | None = None,
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20
 ) -> DataFrame:
-    """Group near-dup pairs into clusters and pick a canonical doc per
-    cluster: connected components over the ``dedup_ngram_pairs`` edge set
-    by iterative min-label propagation (cluster_id = smallest doc_id in
-    the component).
+    """Connected components over an undirected ``(doc_a, doc_b)`` edge set
+    by iterative min-label propagation: returns one row per node touched
+    by any edge — (doc_id, cluster_id, cluster_size), where cluster_id is
+    the smallest doc_id in the component.
 
-    This is the canonical-selection step after any pair-emitting dedup —
-    pairs alone can't answer "which docs do I keep" when duplicates chain
-    (A~B, B~C but not A~C).
+    This is the canonical-selection step after ANY pair-emitting dedup
+    (ngram-Jaccard, MinHash, SimHash, embedding-cosine) — pairs alone
+    can't answer "which docs do I keep" when duplicates chain (A~B, B~C
+    but not A~C): dropping doc_b of every pair over-deletes transitively
+    linked non-duplicates (ADVICE r03).
 
     Scale: label propagation converges in O(component diameter) rounds —
     near-dup components are shallow (dups of a common source), so a
@@ -508,9 +507,7 @@ def dedup_clusters(
     """
     from pyspark.sql.window import Window
 
-    pairs = dedup_ngram_pairs(spark, sf_dir, docs=docs).select(
-        "doc_a", "doc_b"
-    )
+    pairs = pairs.select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
@@ -553,8 +550,8 @@ def dedup_clusters(
         # never return silently-wrong components: a chain with diameter
         # > max_iter would split one component into several clusters
         raise RuntimeError(
-            f"dedup_clusters: min-label propagation did not converge in "
-            f"{max_iter} rounds (component diameter exceeds max_iter — "
+            f"connected_components: min-label propagation did not converge "
+            f"in {max_iter} rounds (component diameter exceeds max_iter — "
             f"raise max_iter)"
         )
     w = Window.partitionBy("label")
@@ -562,6 +559,20 @@ def dedup_clusters(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),
         F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
+def dedup_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    max_iter: int = 20,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup clusters over the ``dedup_ngram_pairs`` edge set — the
+    registry/oracle entry point for ``connected_components`` (see there
+    for semantics and the scale story)."""
+    return connected_components(
+        dedup_ngram_pairs(spark, sf_dir, docs=docs), max_iter=max_iter
     )
 
 

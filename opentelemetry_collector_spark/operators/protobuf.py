@@ -515,7 +515,8 @@ def otlp_ingest_response(serialized: DataFrame) -> DataFrame:
     text) — the dead-letter predicate. A blob that fails protobuf
     unmarshal outright is a FULL reject — the reference answers that with
     an error status, not partial success — surfaced as accepted/rejected
-    NULL plus the unmarshal message.
+    NULL, the unmarshal message, and NULL response bytes (never b"",
+    which is the wire encoding of full success).
 
     Scale: one mapInPandas pass over the blobs, no shuffle; pairs with
     ``from_otlp_request_protobuf`` (same input, second action) the way the
@@ -534,8 +535,13 @@ def otlp_ingest_response(serialized: DataFrame) -> DataFrame:
                 try:
                     requests = decode_logs_request(bytes(blob))
                 except Exception as e:  # malformed bytes: full reject
+                    # NULL wire bytes, NOT b"": an empty response encodes
+                    # FULL SUCCESS (encode_logs_response of 0 rejects), so
+                    # the wire must never claim success for a rejected
+                    # request — the reference answers unmarshal failures
+                    # with an error status and no Export response at all.
                     rows.append(
-                        (conv_id, None, None, f"unmarshal: {e}", b"")
+                        (conv_id, None, None, f"unmarshal: {e}", None)
                     )
                     continue
                 accepted = rejected = 0

@@ -115,10 +115,18 @@ def _builtin_processors() -> dict[str, Callable]:
         return df.join(drop, "doc_id", "left_anti")
 
     def dedup_minhash_p(spark, df, cfg):
-        # keep-first policy: the larger doc_id of every verified pair drops
-        # (pairs emit doc_a < doc_b, so the smallest doc of a chain stays)
+        # keep-first policy via connected components over the verified
+        # MinHash pair set: only the cluster canonical (min doc_id per
+        # component) survives. Dropping doc_b of every pair would
+        # over-delete on chains a~b, b~c (no a~c): c's only near-dup b is
+        # itself removed, so keep-first would re-keep c (ADVICE r03).
         pairs = _dd.dedup_minhash_pairs(spark, "", docs=df)
-        drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        clusters = _dd.connected_components(
+            pairs, max_iter=cfg.get("max_iter", 20)
+        )
+        drop = clusters.filter(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select("doc_id")
         return df.join(drop, "doc_id", "left_anti")
 
     def dedup_substring_p(spark, df, cfg):

@@ -323,6 +323,20 @@ def test_otlp_json_anyvalue_codec_roundtrip():
     # int64 rides as a decimal string per OTLP/JSON
     assert any_value_to_otlp_json(5) == {"intValue": "5"}
     assert any_value_to_otlp_json(42.0) == {"doubleValue": 42.0}
+    # proto3 JSON: non-finite doubles are the STRINGS "NaN"/"Infinity"/
+    # "-Infinity" — bare tokens would be invalid JSON (ADVICE r03)
+    import json as _json
+    import math
+
+    assert any_value_to_otlp_json(float("nan")) == {"doubleValue": "NaN"}
+    assert any_value_to_otlp_json(float("inf")) == {"doubleValue": "Infinity"}
+    assert any_value_to_otlp_json(float("-inf")) == {
+        "doubleValue": "-Infinity"
+    }
+    for v in [float("nan"), float("inf"), float("-inf")]:
+        text = _json.dumps(any_value_to_otlp_json(v), allow_nan=False)
+        back = any_value_from_otlp_json(_json.loads(text))
+        assert math.isnan(back) if math.isnan(v) else back == v
 
 
 # --- Spark round-trips --------------------------------------------------------
@@ -500,6 +514,9 @@ def test_otlp_ingest_response_partial_success(spark, parsed):
     (br,) = otlp_ingest_response(bad).collect()
     assert br.accepted is None and br.rejected is None
     assert "unmarshal" in br.error_message
+    # the wire bytes must NOT claim success: empty bytes decode as full
+    # success, so a full reject carries NULL instead (ADVICE r03)
+    assert br.response_protobuf is None
 
 
 def test_ingest_otlp_jsonl_partial_success(spark, parsed, tmp_path):

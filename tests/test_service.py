@@ -83,6 +83,7 @@ def test_run_service_curation_pipeline(spark, tmp_path):
     from pyspark.sql import functions as SF
 
     from opentelemetry_collector_spark.operators.dedup import (
+        connected_components,
         dedup_exact,
         dedup_minhash_pairs,
     )
@@ -125,9 +126,12 @@ def test_run_service_curation_pipeline(spark, tmp_path):
         dedup_exact(spark, "", docs=docs).filter("is_dup").select("doc_id"),
         "doc_id", "left_anti",
     )
+    # keep-first = connected-component canonicals over the MinHash pair
+    # set (ADVICE r03: dropping doc_b of every pair over-deletes chains)
     d2 = d1.join(
-        dedup_minhash_pairs(spark, "", docs=d1)
-        .select(SF.col("doc_b").alias("doc_id")).distinct(),
+        connected_components(dedup_minhash_pairs(spark, "", docs=d1))
+        .filter(SF.col("doc_id") != SF.col("cluster_id"))
+        .select("doc_id"),
         "doc_id", "left_anti",
     )
     d3 = d2.join(
