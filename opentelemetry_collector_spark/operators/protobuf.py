@@ -938,3 +938,233 @@ def from_otlp_metric_protobuf(serialized: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=col_order)
 
     return serialized.select("otlp_metric").mapInPandas(decode, schema)
+
+
+# --- OTLP/JSON twins for traces and metrics ------------------------------------
+# The OTLP/HTTP endpoint negotiates protobuf or JSON per signal
+# (receiver/otlpreceiver/encoder.go:30-36); the reference's JSON marshalers
+# are ptracejson/pmetricjson (pdata/ptrace/json.go:29-42,
+# pdata/pmetric/json.go:29-42). Same grouping shuffles and row<->wire
+# helpers as the protobuf twins above; only the serializer differs.
+
+
+def to_otlp_trace_json(parsed: DataFrame) -> DataFrame:
+    """parse -> build_spans -> one ExportTraceServiceRequest per
+    conversation as spec-exact OTLP/JSON text (ptracejson marshaler
+    analog). Identical shuffle shape to to_otlp_trace_protobuf."""
+    from opentelemetry_collector_spark.operators.observe import build_spans
+    from opentelemetry_collector_spark.functions.otlpjson import (
+        trace_request_to_otlp_json,
+    )
+
+    spans = build_spans(parsed)
+    rec = F.struct(
+        "turn_idx", *[F.col(c) for c in _SPAN_OUT_COLS if c != "turn_idx"]
+    )
+    grouped = spans.groupBy("conv_id").agg(
+        F.sort_array(F.collect_list(rec)).alias("spans")
+    )
+
+    def encode(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out_conv, out_json = [], []
+            for conv_id, rows in zip(pdf["conv_id"], pdf["spans"]):
+                out_conv.append(conv_id)
+                out_json.append(
+                    trace_request_to_otlp_json(
+                        {"conv_id": conv_id},
+                        SCOPE_NAME,
+                        [_span_row_to_wire(dict(r)) for r in rows],
+                    )
+                )
+            yield pd.DataFrame(
+                {"conv_id": out_conv, "otlp_trace_json_request": out_json}
+            )
+
+    return grouped.mapInPandas(
+        encode, "conv_id string, otlp_trace_json_request string"
+    )
+
+
+def from_otlp_trace_json(serialized: DataFrame) -> DataFrame:
+    """Unmarshal OTLP/JSON trace request documents back to one row per
+    Span with the exact build_spans schema — the JSON twin of
+    from_otlp_trace_protobuf (conformance: both wires decode to identical
+    rows; tests/test_protobuf.py)."""
+    from opentelemetry_collector_spark.functions.otlpjson import (
+        trace_request_from_otlp_json,
+    )
+
+    def decode(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[dict[str, Any]] = []
+            for doc in pdf["otlp_trace_json_request"]:
+                for res_attrs, _scope, sps in trace_request_from_otlp_json(
+                    doc
+                ):
+                    for sp in sps:
+                        row = _wire_to_span_row(sp)
+                        row["conv_id"] = res_attrs.get(
+                            "conv_id", row["conv_id"]
+                        )
+                        rows.append(row)
+            pdf_out = pd.DataFrame(
+                {c: [r[c] for r in rows] for c in _SPAN_OUT_COLS}
+            )
+            for int_col, dtype in (("kind", "Int32"), ("flags", "Int32"),
+                                   ("turn_idx", "Int32"),
+                                   ("status_code", "Int32"),
+                                   ("start_unix_micros", "Int64"),
+                                   ("end_unix_micros", "Int64")):
+                pdf_out[int_col] = pdf_out[int_col].astype(dtype)
+            yield pdf_out
+
+    return serialized.select("otlp_trace_json_request").mapInPandas(
+        decode, SPAN_DECODED_SCHEMA
+    )
+
+
+def to_otlp_metric_json(parsed: DataFrame) -> DataFrame:
+    """histogram_explicit points -> one OTLP/JSON Metric document per row
+    (pmetricjson marshaler analog of to_otlp_metric_protobuf: same
+    delta-temporality HistogramDataPoint mapping, JSON wire)."""
+    from opentelemetry_collector_spark.operators.metrics import (
+        HISTOGRAM_BOUNDS,
+        histogram_explicit,
+    )
+    from opentelemetry_collector_spark.functions.protowire import (
+        AGG_TEMPORALITY_DELTA,
+    )
+    from opentelemetry_collector_spark.functions.otlpjson import (
+        metrics_request_to_otlp_json,
+    )
+
+    hist = histogram_explicit(parsed)
+    bucket_cols = _hist_bucket_cols()
+
+    def encode(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = list(pdf.to_dict("records"))
+            docs = []
+            for r in rows:
+                dp = {
+                    "attributes": {
+                        "tool": r["tool"],
+                        ENGINE_PREFIX + "bucket_start_epoch": int(
+                            r["bucket_start_epoch"]
+                        ),
+                    },
+                    "start_time_unix_nano": int(r["bucket_start_epoch"]) * 10**9,
+                    "time_unix_nano": int(r["bucket_start_epoch"]) * 10**9,
+                    "count": int(r["n_points"]),
+                    "sum": float(r["sum_value"]),
+                    "bucket_counts": [int(r[c]) for c in bucket_cols],
+                    "explicit_bounds": [float(b) for b in HISTOGRAM_BOUNDS],
+                    "exemplars": [],
+                    "flags": 0,
+                    "min": float(r["min_value"]),
+                    "max": float(r["max_value"]),
+                }
+                docs.append(
+                    metrics_request_to_otlp_json(
+                        {"tool": r["tool"]},
+                        SCOPE_NAME,
+                        [
+                            {
+                                "name": "otelcol.span.duration",
+                                "description": "",
+                                "unit": "ms",
+                                "type": "histogram",
+                                "aggregation_temporality": (
+                                    AGG_TEMPORALITY_DELTA
+                                ),
+                                "data_points": [dp],
+                            }
+                        ],
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "tool": [r["tool"] for r in rows],
+                    "otlp_metric_json_request": docs,
+                }
+            )
+
+    return hist.mapInPandas(
+        encode, "tool string, otlp_metric_json_request string"
+    )
+
+
+def from_otlp_metric_json(serialized: DataFrame) -> DataFrame:
+    """Unmarshal OTLP/JSON metric documents back to histogram_explicit's
+    exact columns — the JSON twin of from_otlp_metric_protobuf, sharing
+    its strict bucket-layout checks."""
+    from opentelemetry_collector_spark.functions.otlpjson import (
+        metrics_request_from_otlp_json,
+    )
+    from opentelemetry_collector_spark.operators.metrics import HISTOGRAM_BOUNDS
+
+    engine_bounds = [float(b) for b in HISTOGRAM_BOUNDS]
+    bucket_cols = _hist_bucket_cols()
+    schema = _HIST_DECODED_SCHEMA_TMPL.format(
+        buckets=", ".join(f"{c} bigint" for c in bucket_cols)
+    )
+    col_order = [
+        "bucket_start_epoch", "tool", "n_points",
+        "sum_value", "min_value", "max_value", *bucket_cols,
+    ]
+
+    def decode(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc in pdf["otlp_metric_json_request"]:
+                for _res, _scope, ms in metrics_request_from_otlp_json(doc):
+                    for m in ms:
+                        if m["type"] != "histogram":
+                            raise ValueError(
+                                f"expected histogram metric, got {m['type']}"
+                            )
+                        for dp in m["data_points"]:
+                            row = {
+                                "bucket_start_epoch": int(
+                                    dp["attributes"][
+                                        ENGINE_PREFIX + "bucket_start_epoch"
+                                    ]
+                                ),
+                                "tool": dp["attributes"]["tool"],
+                                "n_points": dp["count"],
+                                "sum_value": None if dp.get("sum") is None
+                                else int(dp["sum"]),
+                                "min_value": None if dp.get("min") is None
+                                else int(dp["min"]),
+                                "max_value": None if dp.get("max") is None
+                                else int(dp["max"]),
+                            }
+                            if len(dp["bucket_counts"]) != len(bucket_cols):
+                                raise ValueError(
+                                    f"histogram point has "
+                                    f"{len(dp['bucket_counts'])} bucket "
+                                    f"counts, expected {len(bucket_cols)}"
+                                )
+                            if dp.get("explicit_bounds") != engine_bounds:
+                                raise ValueError(
+                                    f"histogram point bounds "
+                                    f"{dp.get('explicit_bounds')} != engine "
+                                    f"bounds {engine_bounds}"
+                                )
+                            for c, v in zip(bucket_cols, dp["bucket_counts"]):
+                                row[c] = v
+                            rows.append(row)
+            yield pd.DataFrame(rows, columns=col_order)
+
+    return serialized.select("otlp_metric_json_request").mapInPandas(
+        decode, schema
+    )

@@ -487,6 +487,43 @@ def q_otlp_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(*_PARSED_COLS)
 
 
+def q_otlp_span_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse -> build_spans -> spec-exact OTLP/JSON ExportTraceServiceRequest
+    text -> receiver-side unmarshal+flatten (ptracejson marshaler analog,
+    pdata/ptrace/json.go:29-42) -> Span Events exploded. Identity on the
+    build_spans schema, so the span_events oracle checks the full JSON wire
+    path (ids as hex, fixed64 nanos as strings, enum kinds as ints)."""
+    from opentelemetry_collector_spark.operators import protobuf as _pb
+
+    parsed = parse_turns(events_to_transcripts(spark, sf_dir)).select(*_PARSED_COLS)
+    spans = _pb.from_otlp_trace_json(_pb.to_otlp_trace_json(parsed))
+    return spans.select(
+        "conv_id",
+        "turn_idx",
+        "trace_id",
+        "span_id",
+        "trace_state",
+        F.explode("events").alias("e"),
+    ).select(
+        "conv_id", "turn_idx", "trace_id", "span_id", "trace_state",
+        F.col("e.name").alias("event_name"),
+        F.col("e.time_unix_micros").alias("event_time_unix_micros"),
+        F.col("e.attributes_json").alias("event_attributes_json"),
+    )
+
+
+def q_otlp_metric_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_explicit -> spec-exact OTLP/JSON ExportMetricsServiceRequest
+    text (pmetricjson marshaler analog, pdata/pmetric/json.go:29-42;
+    fixed64 count / bucketCounts as decimal strings) -> unmarshal back to
+    the exact histogram columns — the metrics_histogram oracle gates the
+    JSON metric wire end-to-end."""
+    from opentelemetry_collector_spark.operators import protobuf as _pb
+
+    parsed = _parsed(spark, sf_dir)
+    return _pb.from_otlp_metric_json(_pb.to_otlp_metric_json(parsed))
+
+
 def q_protobuf_document_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """parse -> one ExportLogsServiceRequest per conversation (Resource ->
     Scope -> LogRecord[] nesting) -> receiver-side unmarshal+flatten."""
@@ -579,6 +616,8 @@ PIPELINE_QUERIES: dict[str, QueryFn] = {
     "transform_pipeline": q_transform_pipeline,
     "protobuf_roundtrip": q_protobuf_roundtrip,
     "otlp_json_roundtrip": q_otlp_json_roundtrip,
+    "otlp_span_json_roundtrip": q_otlp_span_json_roundtrip,
+    "otlp_metric_json_roundtrip": q_otlp_metric_json_roundtrip,
     "protobuf_document_roundtrip": q_protobuf_document_roundtrip,
     "span_events": q_span_events,
     "span_links": q_span_links,
@@ -879,51 +918,57 @@ FROM (
     ),
 }
 
+# The OTLP/JSON wire round-trips are identities on their operators' outputs,
+# so the existing span-events / histogram oracles gate the JSON trace and
+# metric codecs end-to-end (any hex/string-int/enum encoding bug breaks hash).
+PIPELINE_ORACLES["otlp_span_json_roundtrip"] = PIPELINE_ORACLES["span_events"]
+PIPELINE_ORACLES["otlp_metric_json_roundtrip"] = PIPELINE_ORACLES[
+    "metrics_histogram"
+]
+
 # Registry presentation order for the driver contract. The driver's recorded
-# correctness artifact covers a bounded prefix of the registry (r02 stopped
-# at 50 entries, leaving the whole round-2 LLM-operator tail unrecorded), so
-# ordering is part of artifact discipline (VERDICT r02, task 1a):
-#   1. operators with no prior driver-artifact row (newest first),
-#   2. one representative per remaining operator family,
-#   3. demo variants of in-window operators last — each variant's operator
-#      code is already exercised by an earlier entry.
+# correctness artifact covers a bounded prefix of the registry (~50 entries),
+# so ordering is part of artifact discipline (VERDICT r02 task 1a, r03 task 2):
+#   1. queries whose freshest driver record is TWO rounds old (the r02-only
+#      set — rotated to the front so CORRECTNESS_r04 re-records them and the
+#      union of any two consecutive rounds covers the full registry),
+#   2. queries added or behavior-touched THIS round (never recorded, or their
+#      freshest record predates the change),
+#   3. r03-green representatives filling the window,
+#   4. r03-green variants last — their operator code is already exercised.
 # test_plumbing guards that this list stays a permutation of the registry.
 REGISTRY_ORDER: list[str] = [
-    # -- never recorded by the driver (round-2/3 additions) ----------------
-    "nested_attributes",
-    "dedup_substring_excise",
+    # -- freshest record is r02: re-record this round (VERDICT r03 task 2) -
+    "metrics_summary",
+    "histogram_exemplars",
+    "staleness_markers",
+    "trace_rollup",
+    "tail_sampling_composite",
+    "tail_sampling",
+    "span_edges",
+    "probabilistic_sampler",
+    "redaction",
+    "log_dedup",
+    "severity_histogram",
+    "sessionize",
+    "span_stats",
+    "sink_counts_rollup",
+    "turn_ordering",
+    "span_links",
+    "metrics_sum_delta",
+    "metrics_sum_rate",
+    "metrics_exp_histogram_neg1",
+    "metrics_exp_histogram_s2",
+    "metrics_summary_approx",
+    "protobuf_document_roundtrip",
+    # -- new or behavior-touched in round 4 ---------------------------------
+    "otlp_span_json_roundtrip",
+    "otlp_metric_json_roundtrip",
     "doc_tfidf_topk",
-    "otlp_json_roundtrip",
-    "cluster_balanced_sample",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_cosine_topk_pandas",
-    "media_features",
-    "corpus_curation",
-    "doc_split",
-    "corpus_sample",
-    "doc_repetition",
-    "contamination_tag",
+    "dedup_substring_excise",
     "dedup_clusters",
-    "dedup_substring_spans",
-    "doc_unigram_ll",
-    "vocab_topk",
-    "corpus_pack",
-    "embedding_quantize",
-    "embedding_kmeans",
-    # -- LLM-pipeline operators recorded green in r02 ----------------------
-    "doc_tokens",
-    "doc_quality",
-    "doc_langid",
-    "doc_fingerprint",
-    "dedup_exact",
-    "dedup_ngram_pairs",
-    "dedup_minhash_pairs",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_embedding_pairs",
-    # -- one representative per pipeline operator family -------------------
+    "otlp_json_roundtrip",
+    # -- r03-green representatives filling the window -----------------------
     "transcripts_source",
     "parse_turns",
     "enrich",
@@ -942,29 +987,35 @@ REGISTRY_ORDER: list[str] = [
     "metrics_histogram",
     "metrics_exp_histogram",
     "span_red_metrics",
-    "metrics_summary",
-    "histogram_exemplars",
-    "staleness_markers",
-    "trace_rollup",
-    "tail_sampling_composite",
-    # -- variants / siblings of in-window operators (all r02-green) --------
-    "tail_sampling",
-    "span_edges",
-    "probabilistic_sampler",
-    "redaction",
-    "log_dedup",
-    "severity_histogram",
-    "sessionize",
-    "span_stats",
-    "sink_counts_rollup",
-    "turn_ordering",
-    "span_links",
-    "metrics_sum_delta",
-    "metrics_sum_rate",
-    "metrics_exp_histogram_neg1",
-    "metrics_exp_histogram_s2",
-    "metrics_summary_approx",
-    "protobuf_document_roundtrip",
+    "nested_attributes",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "ann_cosine_topk",
+    # -- r03-green variants / siblings (operator code exercised above) ------
+    "cluster_balanced_sample",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_cosine_topk_pandas",
+    "media_features",
+    "corpus_curation",
+    "doc_split",
+    "corpus_sample",
+    "doc_repetition",
+    "contamination_tag",
+    "dedup_substring_spans",
+    "doc_unigram_ll",
+    "vocab_topk",
+    "corpus_pack",
+    "embedding_quantize",
+    "embedding_kmeans",
+    "doc_tokens",
+    "doc_quality",
+    "doc_langid",
+    "doc_fingerprint",
+    "dedup_ngram_pairs",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding_pairs",
 ]
 
 

@@ -328,19 +328,26 @@ def test_registry_order_is_a_permutation_of_the_registry():
     ]
 
 
-def test_never_recorded_operators_lead_the_registry():
-    """Every operator absent from CORRECTNESS_r02.json sits inside the
-    first 50 registry entries (the r02 artifact window)."""
+def test_stale_or_new_operators_lead_the_registry():
+    """Rotation discipline (VERDICT r03 task 2): every operator absent
+    from the LATEST recorded artifact sits inside the first 50 registry
+    entries, so the next driver run re-records it and the union of any two
+    consecutive rounds covers the full registry."""
     import json
+    import re
     from pathlib import Path
 
     from opentelemetry_collector_spark import queries as q
 
-    r02 = json.loads(
-        (Path(__file__).resolve().parents[1] / "CORRECTNESS_r02.json")
-        .read_text()
+    root = Path(__file__).resolve().parents[1]
+    latest = max(
+        root.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
     )
-    unrecorded = [n for n in q.REGISTRY_ORDER if n not in r02]
+    recorded = json.loads(latest.read_text())
+    stale = [n for n in q.REGISTRY_ORDER if n not in recorded]
     window = q.REGISTRY_ORDER[:50]
-    missing = [n for n in unrecorded if n not in window]
-    assert not missing, f"unrecorded operators outside the window: {missing}"
+    missing = [n for n in stale if n not in window]
+    assert not missing, (
+        f"operators absent from {latest.name} outside the window: {missing}"
+    )

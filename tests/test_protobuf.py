@@ -847,3 +847,235 @@ def test_metric_protobuf_roundtrip_spark(spark, parsed):
     pd.testing.assert_frame_equal(
         pa[sorted(pa.columns)], pb[sorted(pb.columns)], check_dtype=False
     )
+
+
+# --- OTLP/JSON trace + metric wire (ptracejson/pmetricjson analogs) ----------
+
+
+def test_otlp_span_json_wire_conformance_with_protobuf():
+    """The JSON and protobuf trace wires decode to the SAME span dicts
+    (pdata/ptrace/json.go:29-42 is jsonpb EnumsAsInts=true OrigName=false:
+    ids hex, fixed64 nanos as strings, kind/status enums as ints,
+    defaults omitted)."""
+    from opentelemetry_collector_spark.functions.otlpjson import (
+        span_from_otlp_json,
+        span_to_otlp_json,
+        trace_request_from_otlp_json,
+        trace_request_to_otlp_json,
+    )
+    from opentelemetry_collector_spark.functions.protowire import (
+        decode_span,
+        decode_trace_request,
+        encode_span,
+        encode_trace_request,
+    )
+
+    span = {
+        "trace_id": bytes.fromhex("0af7651916cd43dd8448eb211c80319c"),
+        "span_id": bytes.fromhex("b7ad6b7169203331"),
+        "trace_state": "otelcol=0af76519",
+        "parent_span_id": bytes.fromhex("00f067aa0ba902b7"),
+        "name": "tool.call",
+        "kind": 3,
+        "start_time_unix_nano": 1_581_452_772_000_000_321,
+        "end_time_unix_nano": 1_581_452_773_000_000_789,
+        "attributes": {"a": 1, "b": "s", "c": [True, 2.5]},
+        "events": [
+            {"time_unix_nano": 7, "name": "ev", "attributes": {"x": 1}}
+        ],
+        "links": [
+            {
+                "trace_id": b"\x01" * 16,
+                "span_id": b"\x02" * 8,
+                "trace_state": "ts",
+                "attributes": {},
+            }
+        ],
+        "status_code": 2,
+        "status_message": "boom",
+    }
+    j = span_to_otlp_json(span)
+    assert j["traceId"] == "0af7651916cd43dd8448eb211c80319c"  # hex
+    assert j["startTimeUnixNano"] == "1581452772000000321"  # fixed64 string
+    assert j["kind"] == 3  # enum as INT (jsonpb EnumsAsInts)
+    assert j["status"] == {"message": "boom", "code": 2}
+    assert j["links"][0]["spanId"] == "02" * 8
+    assert span_from_otlp_json(j) == decode_span(encode_span(span))
+
+    # defaults omitted, restored on decode
+    empty = span_to_otlp_json(decode_span(b""))
+    assert empty == {}
+    assert span_from_otlp_json({}) == decode_span(b"")
+
+    # request docs: both wires flatten identically, JSON is byte-stable
+    doc = trace_request_to_otlp_json({"conv_id": "c1"}, "scope/x", [span])
+    pb = encode_trace_request({"conv_id": "c1"}, "scope/x", [span])
+    assert trace_request_from_otlp_json(doc) == decode_trace_request(pb)
+    (res, scope, spans), = trace_request_from_otlp_json(doc)
+    assert trace_request_to_otlp_json(res, scope, spans) == doc
+
+
+def test_otlp_metric_json_wire_conformance_with_protobuf():
+    """All five metric data types decode identically off both wires;
+    JSON carries fixed64 count/bucketCounts as decimal strings, sint32
+    scale/offset as numbers, aggregationTemporality as an INT, and
+    non-finite doubles as the proto3 spec strings."""
+    import math
+
+    from opentelemetry_collector_spark.functions.otlpjson import (
+        metric_from_otlp_json,
+        metric_to_otlp_json,
+        metrics_request_from_otlp_json,
+        metrics_request_to_otlp_json,
+    )
+    from opentelemetry_collector_spark.functions.protowire import (
+        decode_metric,
+        decode_metrics_request,
+        encode_metric,
+        encode_metrics_request,
+    )
+
+    metrics = [
+        {
+            "name": "g", "description": "d", "unit": "1", "type": "gauge",
+            "data_points": [
+                {"attributes": {"t": "a"}, "start_time_unix_nano": 0,
+                 "time_unix_nano": 5, "as_double": 0.0, "as_int": None,
+                 "exemplars": [], "flags": 0},
+                {"attributes": {}, "start_time_unix_nano": 1,
+                 "time_unix_nano": 6, "as_double": None, "as_int": -7,
+                 "exemplars": [
+                     {"filtered_attributes": {"f": 1}, "time_unix_nano": 3,
+                      "as_double": None, "as_int": 9,
+                      "span_id": b"\x02" * 8, "trace_id": b"\x03" * 16}
+                 ],
+                 "flags": 1},
+            ],
+            "aggregation_temporality": 0, "is_monotonic": False,
+        },
+        {
+            "name": "s", "description": "", "unit": "", "type": "sum",
+            "data_points": [
+                {"attributes": {}, "start_time_unix_nano": 1,
+                 "time_unix_nano": 2, "as_double": math.inf, "as_int": None,
+                 "exemplars": [], "flags": 0}
+            ],
+            "aggregation_temporality": 2, "is_monotonic": True,
+        },
+        {
+            "name": "h", "description": "", "unit": "ms",
+            "type": "histogram",
+            "data_points": [
+                {"attributes": {"tool": "bash"}, "start_time_unix_nano": 1,
+                 "time_unix_nano": 2, "count": 10, "sum": 55.5,
+                 "bucket_counts": [1, 2, 3, 4],
+                 "explicit_bounds": [0.5, 1.0, 5.0], "exemplars": [],
+                 "flags": 0, "min": 0.1, "max": 9.0}
+            ],
+            "aggregation_temporality": 1, "is_monotonic": False,
+        },
+        {
+            "name": "e", "description": "", "unit": "",
+            "type": "exponential_histogram",
+            "data_points": [
+                {"attributes": {}, "start_time_unix_nano": 1,
+                 "time_unix_nano": 2, "count": 5, "sum": 1.5, "scale": -1,
+                 "zero_count": 2,
+                 "positive": {"offset": -3, "bucket_counts": [1, 0, 2]},
+                 "negative": {"offset": 0, "bucket_counts": []},
+                 "exemplars": [], "flags": 0, "min": None, "max": None}
+            ],
+            "aggregation_temporality": 2, "is_monotonic": False,
+        },
+        {
+            "name": "q", "description": "", "unit": "", "type": "summary",
+            "data_points": [
+                {"attributes": {}, "start_time_unix_nano": 1,
+                 "time_unix_nano": 2, "count": 4, "sum": 8.0,
+                 "quantile_values": [
+                     {"quantile": 0.5, "value": 2.0},
+                     {"quantile": 0.99, "value": 7.5},
+                 ],
+                 "flags": 0}
+            ],
+            "aggregation_temporality": 0, "is_monotonic": False,
+        },
+    ]
+    for m in metrics:
+        j = metric_to_otlp_json(m)
+        assert metric_from_otlp_json(j) == decode_metric(encode_metric(m))
+    jh = metric_to_otlp_json(metrics[2])
+    assert jh["histogram"]["dataPoints"][0]["count"] == "10"  # fixed64 str
+    assert jh["histogram"]["dataPoints"][0]["bucketCounts"] == [
+        "1", "2", "3", "4",
+    ]
+    assert jh["histogram"]["aggregationTemporality"] == 1  # enum as int
+    js = metric_to_otlp_json(metrics[1])
+    assert js["sum"]["dataPoints"][0]["asDouble"] == "Infinity"
+    assert js["sum"]["isMonotonic"] is True
+    je = metric_to_otlp_json(metrics[3])
+    assert je["exponentialHistogram"]["dataPoints"][0]["scale"] == -1
+    assert je["exponentialHistogram"]["dataPoints"][0]["positive"] == {
+        "offset": -3, "bucketCounts": ["1", "0", "2"],
+    }
+    jg = metric_to_otlp_json(metrics[0])
+    assert jg["gauge"]["dataPoints"][1]["asInt"] == "-7"  # sfixed64 string
+    assert jg["gauge"]["dataPoints"][0]["asDouble"] == 0.0  # set oneof at 0
+
+    doc = metrics_request_to_otlp_json({"conv_id": "c1"}, "scope", metrics)
+    pb = encode_metrics_request({"conv_id": "c1"}, "scope", metrics)
+    assert metrics_request_from_otlp_json(doc) == decode_metrics_request(pb)
+    (res, scope, ms), = metrics_request_from_otlp_json(doc)
+    assert metrics_request_to_otlp_json(res, scope, ms) == doc
+
+
+def test_trace_json_roundtrip_spark(spark, parsed):
+    """JSON trace wire round trip lands on the exact build_spans rows —
+    and on the SAME rows as the protobuf wire (conformance on Spark)."""
+    from opentelemetry_collector_spark.operators.observe import build_spans
+    from opentelemetry_collector_spark.operators.protobuf import (
+        from_otlp_trace_json,
+        to_otlp_trace_json,
+    )
+
+    spans = build_spans(parsed)
+    wire = to_otlp_trace_json(parsed)
+    assert dict(wire.dtypes)["otlp_trace_json_request"] == "string"
+    assert wire.count() == spans.select("conv_id").distinct().count()
+    decoded = from_otlp_trace_json(wire)
+
+    import pandas as pd
+
+    key = ["conv_id", "turn_idx"]
+    pa = spans.toPandas().sort_values(key).reset_index(drop=True)
+    pb = decoded.toPandas().sort_values(key).reset_index(drop=True)
+    pa, pb = pa[sorted(pa.columns)], pb[sorted(pb.columns)]
+    norm = lambda cell: [tuple(dict(e).items()) for e in cell]  # noqa: E731
+    for c in ("events", "links"):
+        pa[c] = pa[c].map(norm)
+        pb[c] = pb[c].map(norm)
+    pd.testing.assert_frame_equal(pa, pb, check_dtype=False)
+
+
+def test_metric_json_roundtrip_spark(spark, parsed):
+    from opentelemetry_collector_spark.operators.metrics import (
+        histogram_explicit,
+    )
+    from opentelemetry_collector_spark.operators.protobuf import (
+        from_otlp_metric_json,
+        to_otlp_metric_json,
+    )
+
+    hist = histogram_explicit(parsed)
+    wire = to_otlp_metric_json(parsed)
+    assert dict(wire.dtypes)["otlp_metric_json_request"] == "string"
+    decoded = from_otlp_metric_json(wire)
+
+    import pandas as pd
+
+    key = ["bucket_start_epoch", "tool"]
+    pa = hist.toPandas().sort_values(key).reset_index(drop=True)
+    pb = decoded.toPandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        pa[sorted(pa.columns)], pb[sorted(pb.columns)], check_dtype=False
+    )
