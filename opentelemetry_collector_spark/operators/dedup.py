@@ -726,46 +726,56 @@ def dedup_substring_excise(
     the document). Docs shorter than the window or with no duplicated
     spans pass through verbatim.
 
-    Spark shape: spans explode to covered word positions (volume = the
-    corpus's duplicated-word count, not corpus words), per-doc covered
-    count + position SET aggregate back to one row, then one
-    higher-order ``filter`` over the pre-split words array rebuilds the
-    text — no per-position shuffle join against the full corpus: the only
-    shuffles are the spans computation itself and one doc_id-keyed
-    aggregate of the (small) covered set.
+    Spark shape: ``dedup_substring_spans`` already returns MERGED maximal
+    islands (disjoint, separated by >= 1 kept word), so the rebuild never
+    needs a per-position membership set: one doc_id-keyed aggregate
+    collects the sorted (start, end) interval list — O(islands) cells per
+    doc, not O(covered positions) — and one higher-order ``aggregate``
+    over that list stitches the kept text from ``slice`` calls on the
+    pre-split words array. Per-doc cost is LINEAR in the doc's words
+    (each word is copied by exactly one slice; VERDICT r03 fixed the
+    previous ``array_contains(cov, i)``-per-word rebuild, O(words x
+    covered) on a heavily duplicated doc). No per-position shuffle join
+    against the full corpus: the only shuffles are the spans computation
+    itself and the interval-list aggregate.
     """
     d = _docs(spark, sf_dir, docs=docs).select("doc_id", "text")
     spans = dedup_substring_spans(spark, sf_dir, docs=docs)
-    covered = (
-        spans.select(
-            "doc_id",
-            F.explode(
-                F.expr("sequence(span_start, span_end)")
-            ).alias("i"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.collect_set("i").alias("cov"),
-            F.count(F.lit(1)).cast("int").alias("n_words_removed"),
-        )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("int")
+        .alias("n_words_removed"),
     )
-    joined = d.join(covered, "doc_id", "left")
+    joined = d.join(per_doc, "doc_id", "left")
     words = F.split("text", " ")
-    kept = F.filter(
-        F.zip_with(
-            words,
-            F.sequence(F.lit(1), F.size(words)),
-            lambda w, i: F.struct(w.alias("w"), i.alias("i")),
+    no_spans = F.array().cast(
+        "array<struct<span_start:int,span_end:int>>"
+    )
+    # fold over the disjoint sorted islands: acc carries (next unkept
+    # position, kept words so far); each step appends the gap before the
+    # island and skips the island; finish appends the tail after the last
+    kept = F.aggregate(
+        F.coalesce("spans", no_spans),
+        F.struct(
+            F.lit(1).alias("pos"),
+            F.array().cast("array<string>").alias("acc"),
         ),
-        lambda s: ~F.array_contains(F.coalesce(F.col("cov"),
-                                               F.array().cast("array<int>")),
-                                    s["i"]),
+        lambda a, sp: F.struct(
+            (sp["span_end"] + 1).alias("pos"),
+            F.concat(
+                a["acc"], F.slice(words, a["pos"], sp["span_start"] - a["pos"])
+            ).alias("acc"),
+        ),
+        lambda a: F.concat(
+            a["acc"], F.slice(words, a["pos"], F.size(words) - a["pos"] + 1)
+        ),
     )
     return joined.select(
         "doc_id",
-        F.array_join(F.transform(kept, lambda s: s["w"]), " ").alias(
-            "clean_text"
-        ),
+        F.array_join(kept, " ").alias("clean_text"),
         F.coalesce("n_words_removed", F.lit(0)).cast("int").alias(
             "n_words_removed"
         ),

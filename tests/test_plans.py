@@ -223,3 +223,44 @@ def test_gauge_last_is_a_partial_aggregate_not_a_window(spark):
     # (user_id-keyed); the gauge itself must not window on parsed_tool
     assert "windowspecdefinition(parsed_tool" not in plan
     assert "partial_max(struct" in plan, "arg-max must map-side combine"
+
+
+def test_tfidf_has_no_forced_vocab_broadcast(spark):
+    """The document-frequency side of the tf-idf term join is the corpus
+    VOCABULARY — unbounded over web-scale text — so it must never carry an
+    explicit broadcast hint (round-3 scale-audit finding #1). The only
+    allowed hint is the 1-row corpus-count literal; the w-key join is left
+    to the planner (AQE picks shuffle vs broadcast from runtime stats)."""
+    from opentelemetry_collector_spark.operators.textstats import (
+        doc_tfidf_topk,
+    )
+
+    df = doc_tfidf_topk(spark, SF_SMOKE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    hints = analyzed.count("ResolvedHint")
+    assert hints == 1, (
+        f"expected exactly one broadcast hint (the 1-row corpus count), "
+        f"saw {hints} — a hint on the vocabulary side would OOM the "
+        f"driver at 100 TB"
+    )
+    # and the query still matches its oracle without the hint (correctness
+    # is the driver artifact's job; here just assert it executes)
+    assert df.limit(1).count() >= 0
+
+
+def test_excise_rebuild_is_linear_not_membership_scan(spark):
+    """The excision rebuild must stitch kept text from interval slices —
+    per-doc cost linear in words — not probe a covered-position set per
+    word (round-3 scale-audit finding #2: array_contains(cov, i) per word
+    is O(words x covered), quadratic on a heavily duplicated doc)."""
+    from opentelemetry_collector_spark.operators.dedup import (
+        dedup_substring_excise,
+    )
+
+    df = dedup_substring_excise(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "array_contains" not in plan, (
+        "per-word membership probe reintroduced into the excise rebuild"
+    )
+    # interval list, not exploded covered positions, feeds the rebuild
+    assert "span_start" in plan and "slice" in plan
