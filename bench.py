@@ -112,6 +112,105 @@ def materialize_amplified(sf_dir: str, path: str, cores: int) -> int:
         spark.stop()
 
 
+LLMOPS_AMP = int(os.environ.get("SPARK_GRAFT_LLMOPS_AMP", "10"))
+# the dedup/ANN ops whose "cost is linear in candidates, not pairs" claims
+# carry a measured two-scale data point (VERDICT r03 task 6)
+LLMOPS_QUERIES = [
+    "dedup_minhash_pairs",
+    "dedup_substring_spans",
+    "dedup_substring_excise",
+    "ann_ivf_topk",
+    "embedding_kmeans",
+]
+
+
+def materialize_amplified_docs(sf_dir: str, out_dir: str, cores: int,
+                               amp: int) -> tuple[int, int]:
+    """Write amp× documents/embeddings tables. Copies must be DISSIMILAR
+    across replicas — naive duplication makes every doc amp near-identical
+    twins, so pair-emitting dedup would grow O(amp^2), measuring candidate
+    explosion instead of corpus scaling. Each copy r suffixes every word
+    with its replica index (within-copy duplicate structure preserved
+    exactly; zero cross-copy shingle collisions) and offsets ids past the
+    base id range."""
+    from pyspark.sql import functions as F
+
+    spark = make_spark(cores)
+    try:
+        reps = F.broadcast(
+            spark.range(amp).select(F.col("id").alias("r"))
+        )
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        (
+            docs.crossJoin(reps)
+            .withColumn("doc_id", F.col("doc_id") + F.col("r") * 10_000_000)
+            .withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda w: F.concat(
+                            w, F.lit("_"), F.col("r").cast("string")
+                        ),
+                    ),
+                    " ",
+                ),
+            )
+            .drop("r")
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/documents.parquet")
+        )
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        (
+            emb.crossJoin(reps)
+            .withColumn("vec_id", F.col("vec_id") + F.col("r") * 10_000_000)
+            .drop("r")
+            .repartition(16)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/embeddings.parquet")
+        )
+        return (
+            spark.read.parquet(f"{out_dir}/documents.parquet").count(),
+            spark.read.parquet(f"{out_dir}/embeddings.parquet").count(),
+        )
+    finally:
+        spark.stop()
+
+
+def llm_ops_two_scale(qs, amp: int) -> dict:
+    """Wall-times for the dedup/ANN family at 1x and amp× corpus size on
+    the same session shape — the scaling evidence that candidate volume,
+    not pair volume, drives cost (ratio ≈ amp for linear ops)."""
+    import tempfile
+
+    out: dict = {"amplification": amp, "ops": {}}
+    with tempfile.TemporaryDirectory(prefix="otelcol_llmops_") as tmp:
+        spark = make_spark(CPUS)
+        try:
+            times: dict[str, dict[str, float]] = {}
+            for name in LLMOPS_QUERIES:
+                time_query(qs[name], spark, SF_DIR)  # warm-up
+                times[name] = {
+                    "sec_1x": round(time_query(qs[name], spark, SF_DIR), 3)
+                }
+        finally:
+            spark.stop()
+        n_docs, n_vecs = materialize_amplified_docs(SF_DIR, tmp, CPUS, amp)
+        out["docs_amplified"] = n_docs
+        out["vectors_amplified"] = n_vecs
+        spark = make_spark(CPUS)
+        try:
+            for name in LLMOPS_QUERIES:
+                t = time_query(qs[name], spark, tmp)
+                times[name]["sec_ampx"] = round(t, 3)
+                times[name]["ratio"] = round(t / times[name]["sec_1x"], 2)
+        finally:
+            spark.stop()
+        out["ops"] = times
+    return out
+
+
 def _build_engine_zip() -> str:
     """Package the engine for --py-files (the deployed artifact shape)."""
     import zipfile
@@ -222,14 +321,17 @@ def main() -> None:
         "cpus": CPUS,
     }
 
+    if not os.environ.get("SPARK_GRAFT_NO_LLMOPS"):
+        out["llm_ops"] = llm_ops_two_scale(qs, LLMOPS_AMP)
+
     if not os.environ.get("SPARK_GRAFT_NO_SCALING"):
         import tempfile
 
         n_small, n_big = SCALING_N, 4 * SCALING_N
         # 6 interleaved pairs: the host's throughput supply swings on
         # minute timescales and the big level is the sensitive one; each
-        # extra pair samples another window and best-of-pairs keeps the
-        # cleanest (measured spread across one session: 0.68-0.86 on the
+        # extra pair samples another window and the median tightens the
+        # estimate (measured spread across one session: 0.68-0.86 on the
         # same binary/layout)
         try:
             reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "6")))
@@ -239,9 +341,10 @@ def main() -> None:
         # timescales, and they hit the two levels asymmetrically (the 4N
         # level is bandwidth-sensitive, the N level is not — a throttled
         # window collapses only the big level). Each interleaved pair is
-        # adjacent in time, so its ratio is internally consistent; report
-        # the best pair (= the cleanest window), not best-of-each-level,
-        # which could mix a fast small with a slow big.
+        # adjacent in time, so its ratio is internally consistent; the
+        # HEADLINE is the MEDIAN pair ratio (robust to both throttled and
+        # lucky windows; VERDICT r03 task 5 — best-of-pairs overstated),
+        # with every pair plus the best pair kept as disclosure fields.
         def measure_pairs(n_lo: int, n_reps: int, table: str):
             ps: list[tuple[float, float]] = []
             for _ in range(n_reps):
@@ -253,12 +356,24 @@ def main() -> None:
                 )
             return ps
 
+        def median_eff(ps: list[tuple[float, float]]) -> float:
+            import statistics
+
+            return statistics.median(b / s / 4 for s, b in ps)
+
+        def median_pair(ps: list[tuple[float, float]]):
+            """The measured pair whose ratio sits closest to the median —
+            so the reported throughputs are a real adjacent-in-time pair,
+            not a synthetic mix of levels from different windows."""
+            med = median_eff(ps)
+            return min(ps, key=lambda p: abs(p[1] / p[0] / 4 - med))
+
         with tempfile.TemporaryDirectory(prefix="otelcol_bench_") as tmp:
             table = f"{tmp}/amplified_transcripts"
             n_turns = materialize_amplified(SF_DIR, table, CPUS)
             pairs = measure_pairs(n_small, reps, table)
-            thr_small, thr_big = max(pairs, key=lambda p: p[1] / p[0])
-            job_eff = (thr_big / thr_small) / 4
+            thr_small, thr_big = median_pair(pairs)
+            job_eff = median_eff(pairs)
             # fallback level: in host-degraded windows the shared-bandwidth
             # ceiling drops low enough that even 4N=8 cores saturates it —
             # a smaller N→4N pair (1→4) stays under the degraded ceiling and
@@ -273,13 +388,13 @@ def main() -> None:
             }
             if job_eff < 0.8 and n_small > 1:
                 alt = measure_pairs(1, max(2, reps // 2), table)
-                a_s, a_b = max(alt, key=lambda p: p[1] / p[0])
-                if (a_b / a_s) / 4 > job_eff:
+                alt_eff = median_eff(alt)
+                if alt_eff > job_eff:
                     fallback_pair = True
                     n_small, n_big = 1, 4
                     pairs = alt
-                    thr_small, thr_big = a_s, a_b
-                    job_eff = (a_b / a_s) / 4
+                    thr_small, thr_big = median_pair(alt)
+                    job_eff = alt_eff
         # the control can measure >1.0 when the box speeds up mid-measurement;
         # a hardware ceiling cannot exceed 1, so clamp before normalizing
         ctrl_eff = min(1.0, cpu_control_efficiency(n_small))
@@ -289,11 +404,15 @@ def main() -> None:
             f"turns_per_sec_{n_small}_executors": round(thr_small, 1),
             f"turns_per_sec_{n_big}_executors": round(thr_big, 1),
             "efficiency_N_to_4N": round(job_eff, 3),
+            "headline_statistic": "median of interleaved pairs",
             # every interleaved pair's ratio, for transparency about the
-            # sandbox's time-varying supply (headline = best pair)
+            # sandbox's time-varying supply
             "pair_efficiencies": [
                 round((b / s) / (n_big / n_small), 3) for s, b in pairs
             ],
+            "best_pair_efficiency": round(
+                max((b / s) / (n_big / n_small) for s, b in pairs), 3
+            ),
             "cpu_control_efficiency_N_to_4N": round(ctrl_eff, 3),
             "efficiency_normalized_to_hw_ceiling": round(job_eff / ctrl_eff, 3),
             # explicit disclosure when the 1->4 fallback replaced the

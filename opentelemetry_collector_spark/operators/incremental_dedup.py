@@ -118,3 +118,109 @@ class IncrementalDeduper:
         n = led.count()
         ticks = led.select("tick_id").distinct().count()
         return {"accepted_docs": n, "ticks": ticks}
+
+
+# --- cross-tick curation (streaming twin of corpus_curation) ------------------
+
+CURATION_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("prefix_fp", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tick_id", T.StringType(), False),
+    ]
+)
+
+
+class IncrementalCurator:
+    """Cross-tick twin of ``textstats.corpus_curation`` (quality gate ->
+    near-dup canonical -> class tag) for corpora that arrive in batches:
+    each tick quality-gates its docs, collapses in-tick near-dups to the
+    min doc_id per prefix fingerprint, anti-joins fingerprints already
+    ACCEPTED by earlier ticks, and commits the survivors' fingerprints to
+    a persistent ledger — first-accepted-wins across ticks.
+
+    Parity contract (tested): when ticks arrive in doc_id order — the
+    natural shape for append-only corpus ingest — the union of per-tick
+    outputs equals the one-shot batch ``corpus_curation`` over the same
+    corpus, because each fingerprint group's global-min passing doc_id
+    lives in the earliest tick that contains the group. Same crash-safety
+    protocol as ``IncrementalDeduper`` (pure ``curate``, tick-partition
+    dynamic-overwrite ``commit``; persistent_storage.go:268-348 analog).
+
+    Scale: the ledger holds one 32-char fingerprint + doc_id per accepted
+    doc; the per-tick anti-join shuffles only (prefix_fp) pairs — md5-
+    uniform, no skew. Bucket the ledger by prefix_fp at 10^9+ docs for a
+    shuffle-free co-located anti-join (sources/catalog.py layout note).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        ledger_path: str,
+        quality_min: float = 0.55,
+        ledger_write_partitions: int = 8,
+    ):
+        self.spark = spark
+        self.ledger_path = ledger_path
+        self.quality_min = quality_min
+        self.ledger_write_partitions = ledger_write_partitions
+
+    def seen(self) -> DataFrame:
+        from opentelemetry_collector_spark.sources.incremental import (
+            list_data_files,
+        )
+
+        if not list_data_files(self.spark, self.ledger_path):
+            return self.spark.createDataFrame([], CURATION_FP_SCHEMA)
+        return self.spark.read.schema(CURATION_FP_SCHEMA).parquet(
+            self.ledger_path
+        )
+
+    def curate(self, docs: DataFrame) -> DataFrame:
+        """The tick's accepted docs with corpus_curation's exact columns
+        (doc_id, quality_score, prefix_fp, pred_class). Pure — safe to
+        recompute on a crash retry."""
+        from pyspark.sql.window import Window
+
+        from opentelemetry_collector_spark.operators.textstats import (
+            doc_fingerprint,
+            doc_langid,
+            doc_quality,
+        )
+
+        q = doc_quality(self.spark, "", docs=docs).select(
+            "doc_id", "quality_score"
+        )
+        fp = doc_fingerprint(self.spark, "", docs=docs).select(
+            "doc_id", "prefix_fp"
+        )
+        lang = doc_langid(self.spark, "", docs=docs).select(
+            "doc_id", "pred_class"
+        )
+        kept = (
+            q.filter(F.col("quality_score") >= self.quality_min)
+            .join(fp, "doc_id")
+            .join(lang, "doc_id")
+        )
+        w = Window.partitionBy("prefix_fp")
+        in_tick = (
+            kept.withColumn("canonical_id", F.min("doc_id").over(w))
+            .filter(F.col("doc_id") == F.col("canonical_id"))
+            .select("doc_id", "quality_score", "prefix_fp", "pred_class")
+        )
+        return in_tick.join(
+            self.seen().select("prefix_fp"), "prefix_fp", "left_anti"
+        ).select("doc_id", "quality_score", "prefix_fp", "pred_class")
+
+    def commit(self, accepted: DataFrame, tick_id: str) -> None:
+        """Record the tick's accepted fingerprints idempotently (dynamic
+        tick-partition overwrite — a retried tick never duplicates)."""
+        (
+            accepted.select("prefix_fp", "doc_id")
+            .withColumn("tick_id", F.lit(tick_id))
+            .coalesce(self.ledger_write_partitions)
+            .write.mode("overwrite")
+            .partitionBy("tick_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self.ledger_path)
+        )

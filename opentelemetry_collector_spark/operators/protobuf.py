@@ -605,6 +605,51 @@ def native_protobuf_available(spark) -> bool:
         return False
 
 
+def select_protobuf_codec(spark, force: str | None = None) -> str:
+    """Code-path selection for OTLP log-record decode: ``"native"`` when
+    the spark-protobuf artifact is on the classpath, else ``"python"``
+    (this module's Arrow-batched pure-Python codec). ``force`` pins the
+    choice — deployments that ship the jar but want the conformance-oracle
+    path (or vice versa) set it explicitly."""
+    if force is not None:
+        if force not in ("native", "python"):
+            raise ValueError(
+                f"force must be 'native' or 'python', got {force!r}"
+            )
+        return force
+    return "native" if native_protobuf_available(spark) else "python"
+
+
+def decode_log_records(
+    spark, serialized: DataFrame, force: str | None = None
+) -> DataFrame:
+    """Decode flat LogRecord blobs via whichever codec the gate selects.
+
+    The native branch is the mechanical swap documented in the module
+    header: ``from_protobuf(otlp_protobuf, "...LogRecord", descriptor)``
+    with the OTLP descriptor set compiled at deploy time. The sandbox
+    ships no spark-protobuf jar, so that branch raises the same actionable
+    gate error as ``sources/catalog.py``'s Iceberg path; the pure-Python
+    codec is its conformance oracle either way (golden-vector tests pin
+    the exact wire bytes both must produce)."""
+    path = select_protobuf_codec(spark, force)
+    if path == "native":
+        if not native_protobuf_available(spark):
+            raise RuntimeError(
+                "spark-protobuf not on classpath; pass force='python' or "
+                "ship the jar + OTLP descriptor set"
+            )
+        # deploy-time shape (unreachable in this sandbox, exercised via
+        # the selection test): columnar decode, no Python in the path
+        from pyspark.sql.protobuf.functions import from_protobuf  # noqa: F401
+
+        raise RuntimeError(
+            "native decode needs the OTLP FileDescriptorSet compiled at "
+            "deploy time (protoc --descriptor_set_out); wire it here"
+        )
+    return from_otlp_protobuf(serialized)
+
+
 # --- trace signal (ptrace ProtoMarshaler analog) ------------------------------
 
 SPAN_DECODED_SCHEMA = (

@@ -70,11 +70,11 @@ FROM documents
 """
 
 
-def doc_quality(spark, sf_dir: str) -> DataFrame:
+def doc_quality(spark, sf_dir: str, docs: DataFrame | None = None) -> DataFrame:
     """Quality features + a deterministic [0,1] score: unique-word ratio,
     stopword ratio, length saturation. Identical formula (and operation
     order) on the oracle side so doubles are bit-equal."""
-    df = _docs(spark, sf_dir)
+    df = _docs(spark, sf_dir, docs=docs)
     words = F.split(F.col("text"), " ")
     sw_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     n_words = F.size(words).cast("long")
@@ -116,12 +116,12 @@ FROM (
 """
 
 
-def doc_langid(spark, sf_dir: str) -> DataFrame:
+def doc_langid(spark, sf_dir: str, docs: DataFrame | None = None) -> DataFrame:
     """N-gram-marker language/domain ID: per-class marker occurrence scores,
     argmax with a fixed class order for ties. A real deployment swaps the
     marker table for per-language char-n-gram frequencies — the plan shape
     (pure projection, broadcastable marker lists) is the same."""
-    df = _docs(spark, sf_dir)
+    df = _docs(spark, sf_dir, docs=docs)
     scores = {
         lang: sum((_occurrences(m) for m in ms), F.lit(0).cast("long"))
         for lang, ms in LANG_MARKERS.items()
@@ -263,11 +263,11 @@ SELECT doc_id, lang, source FROM (
 """
 
 
-def doc_fingerprint(spark, sf_dir: str) -> DataFrame:
+def doc_fingerprint(spark, sf_dir: str, docs: DataFrame | None = None) -> DataFrame:
     """Document fingerprints: whole-text md5 + a winnowing-style rolling-hash
     fingerprint (min md5 over {FP_SHINGLE}-char shingles of the first
     {FP_PREFIX_CHARS} chars) that is stable under suffix edits."""
-    df = _docs(spark, sf_dir)
+    df = _docs(spark, sf_dir, docs=docs)
     return df.select(
         "doc_id",
         F.md5("text").alias("text_md5"),
@@ -289,7 +289,7 @@ FROM documents
 """
 
 
-def corpus_curation(spark, sf_dir: str) -> DataFrame:
+def corpus_curation(spark, sf_dir: str, docs: DataFrame | None = None) -> DataFrame:
     """End-to-end curation: quality-gate -> near-dup canonical selection ->
     class tag. One composed Catalyst plan (the workflow a training-data
     pipeline runs before tokenization):
@@ -304,9 +304,9 @@ def corpus_curation(spark, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    q = doc_quality(spark, sf_dir).select("doc_id", "quality_score")
-    fp = doc_fingerprint(spark, sf_dir).select("doc_id", "prefix_fp")
-    lang = doc_langid(spark, sf_dir).select("doc_id", "pred_class")
+    q = doc_quality(spark, sf_dir, docs=docs).select("doc_id", "quality_score")
+    fp = doc_fingerprint(spark, sf_dir, docs=docs).select("doc_id", "prefix_fp")
+    lang = doc_langid(spark, sf_dir, docs=docs).select("doc_id", "pred_class")
     kept = (
         q.filter(F.col("quality_score") >= 0.55)
         .join(fp, "doc_id")

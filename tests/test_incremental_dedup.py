@@ -61,3 +61,81 @@ def test_double_commit_does_not_duplicate(spark, deduper):
     led = deduper.seen().collect()
     assert len(led) == 2
     assert deduper.metrics() == {"accepted_docs": 2, "ticks": 1}
+
+
+# --- cross-tick curation (streaming twin of corpus_curation) ------------------
+
+
+def test_tick_by_tick_curation_equals_batch(spark, tmp_path):
+    """VERDICT r03 task 7: the curation pipeline (quality gate -> near-dup
+    canonical -> class tag) run tick-by-tick over IncrementalSource equals
+    the one-shot batch corpus_curation on the same corpus, when ticks
+    arrive in doc_id order (append-only ingest)."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.incremental_dedup import (
+        IncrementalCurator,
+    )
+    from opentelemetry_collector_spark.operators.textstats import (
+        corpus_curation,
+    )
+    from opentelemetry_collector_spark.sources.incremental import (
+        IncrementalSource,
+    )
+    from tests.conftest import SF_CORRECT
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    batch = corpus_curation(spark, SF_CORRECT).toPandas()
+
+    # three doc_id-ordered tick files landing one at a time
+    data_path = str(tmp_path / "incoming")
+    splits = [(0, 160), (160, 320), (320, 10**9)]
+    src = IncrementalSource(
+        spark, data_path, str(tmp_path / "file_ledger")
+    )
+    curator = IncrementalCurator(spark, str(tmp_path / "fp_ledger"))
+    out_path = str(tmp_path / "accepted")
+
+    for k, (lo, hi) in enumerate(splits):
+        (
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{data_path}/part{k}")
+        )
+        pending = src.pending()
+        assert pending is not None
+
+        def action(df, _tick=pending.tick_id):
+            accepted = curator.curate(df)
+            accepted.write.mode("append").parquet(out_path)
+            curator.commit(accepted, _tick)
+
+        src.process_new(action, pending=pending)
+
+    import pandas as pd
+
+    streamed = spark.read.parquet(out_path).toPandas()
+    cols = sorted(batch.columns)
+    pd.testing.assert_frame_equal(
+        streamed[cols].sort_values("doc_id").reset_index(drop=True),
+        batch[cols].sort_values("doc_id").reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_curation_retry_is_deterministic(spark, tmp_path):
+    """Crash-before-commit: re-running curate over the same tick yields
+    the same accepted set (the ledger only moves at commit)."""
+    from opentelemetry_collector_spark.operators.incremental_dedup import (
+        IncrementalCurator,
+    )
+    from tests.conftest import SF_CORRECT
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").limit(100)
+    curator = IncrementalCurator(spark, str(tmp_path / "fp_ledger"))
+    a1 = curator.curate(docs)
+    curator.commit(a1, "t1")
+    first = {r.doc_id for r in curator.curate(docs).collect()}
+    retry = {r.doc_id for r in curator.curate(docs).collect()}
+    assert first == retry == set()  # everything already accepted in t1
