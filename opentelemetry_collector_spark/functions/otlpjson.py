@@ -210,6 +210,38 @@ def logs_request_from_otlp_json(
     return out
 
 
+def logs_response_to_otlp_json(
+    rejected_log_records: int = 0, error_message: str = ""
+) -> str:
+    """ExportLogsServiceResponse as OTLP/JSON text — the JSON twin of
+    protowire.encode_logs_response (the HTTP receiver answers JSON
+    requests with JSON responses, receiver/otlpreceiver/encoder.go:30-36).
+    Full success is the empty object: the OTLP spec says servers MUST
+    leave partialSuccess unset when nothing was rejected; the int64
+    rejected count rides as a decimal string per proto3 JSON."""
+    if not rejected_log_records and not error_message:
+        return "{}"
+    ps: dict[str, Any] = {}
+    if rejected_log_records:
+        ps["rejectedLogRecords"] = str(rejected_log_records)
+    if error_message:
+        ps["errorMessage"] = error_message
+    return json.dumps(
+        {"partialSuccess": ps}, separators=(",", ":"), allow_nan=False
+    )
+
+
+def logs_response_from_otlp_json(s: str) -> dict[str, Any]:
+    """Inverse of logs_response_to_otlp_json — the same dict shape as
+    protowire.decode_logs_response, so both wires decode identically."""
+    doc = json.loads(s)
+    ps = doc.get("partialSuccess", {})
+    return {
+        "rejected_log_records": int(ps.get("rejectedLogRecords", "0")),
+        "error_message": ps.get("errorMessage", ""),
+    }
+
+
 # --- trace signal (ptracejson analog) -----------------------------------------
 
 

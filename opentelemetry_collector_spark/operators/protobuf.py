@@ -1213,3 +1213,88 @@ def from_otlp_metric_json(serialized: DataFrame) -> DataFrame:
     return serialized.select("otlp_metric_json_request").mapInPandas(
         decode, schema
     )
+
+
+INGEST_RESPONSE_JSON_SCHEMA = (
+    "conv_id string, accepted int, rejected int, error_message string, "
+    "response_json string"
+)
+
+
+def otlp_ingest_response_json(serialized: DataFrame) -> DataFrame:
+    """Partial-success surface for the JSON wire: one row per OTLP/JSON
+    request document with (accepted, rejected, error_message) and the
+    ``ExportLogsServiceResponse`` OTLP/JSON text — the HTTP receiver
+    answers JSON requests with JSON responses
+    (receiver/otlpreceiver/encoder.go:30-36; otlp.go Export). Same reject
+    predicates as the protobuf twin ``otlp_ingest_response`` (missing
+    conv_id identity, unmappable severity); a document that fails JSON
+    unmarshal is a full reject — NULL response (never "{}", which is the
+    wire encoding of full success)."""
+    from opentelemetry_collector_spark.functions.otlpjson import (
+        logs_request_from_otlp_json,
+        logs_response_to_otlp_json,
+    )
+
+    def respond(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for conv_id, doc in zip(
+                pdf["conv_id"], pdf["otlp_json_request"]
+            ):
+                try:
+                    requests = logs_request_from_otlp_json(doc)
+                except Exception as e:  # malformed JSON: full reject
+                    rows.append(
+                        (conv_id, None, None, f"unmarshal: {e}", None)
+                    )
+                    continue
+                accepted = rejected = 0
+                first_error = None
+                for res_attrs, _scope, recs in requests:
+                    for rec in recs:
+                        row = _record_to_row(rec)
+                        row["conv_id"] = res_attrs.get(
+                            "conv_id", row["conv_id"]
+                        )
+                        if row["conv_id"] is None:
+                            rejected += 1
+                            first_error = first_error or "missing conv_id"
+                        elif (
+                            row["severity_number"] is None
+                            and row["severity_text"]
+                        ):
+                            rejected += 1
+                            first_error = first_error or (
+                                "unmappable severity: "
+                                + str(row["severity_text"])
+                            )
+                        else:
+                            accepted += 1
+                rows.append(
+                    (
+                        conv_id,
+                        accepted,
+                        rejected,
+                        first_error,
+                        logs_response_to_otlp_json(
+                            rejected, first_error or ""
+                        ),
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "conv_id", "accepted", "rejected", "error_message",
+                    "response_json",
+                ],
+            )
+            out["accepted"] = out["accepted"].astype("Int32")
+            out["rejected"] = out["rejected"].astype("Int32")
+            yield out
+
+    return serialized.select("conv_id", "otlp_json_request").mapInPandas(
+        respond, INGEST_RESPONSE_JSON_SCHEMA
+    )

@@ -1112,3 +1112,75 @@ def test_protobuf_codec_selection_both_ways(spark, parsed, monkeypatch):
     # native branch in this sandbox: actionable gate error, not a crash
     with pytest.raises(RuntimeError, match="spark-protobuf|descriptor"):
         pb.decode_log_records(spark, wire, force="native")
+
+
+def test_logs_response_json_wire_codec():
+    """The JSON response twin: full success is the empty object (spec:
+    partialSuccess unset when nothing rejected), int64 count rides as a
+    decimal string, and both wires decode to the same dict."""
+    from opentelemetry_collector_spark.functions.otlpjson import (
+        logs_response_from_otlp_json,
+        logs_response_to_otlp_json,
+    )
+    from opentelemetry_collector_spark.functions.protowire import (
+        decode_logs_response,
+        encode_logs_response,
+    )
+
+    assert logs_response_to_otlp_json(0, "") == "{}"
+    assert logs_response_from_otlp_json("{}") == decode_logs_response(b"")
+    doc = logs_response_to_otlp_json(3, "bad severity")
+    assert (
+        doc
+        == '{"partialSuccess":{"rejectedLogRecords":"3",'
+        '"errorMessage":"bad severity"}}'
+    )
+    assert logs_response_from_otlp_json(doc) == decode_logs_response(
+        encode_logs_response(3, "bad severity")
+    )
+
+
+def test_otlp_ingest_response_json_partial_success(spark, parsed):
+    """JSON-wire partial success mirrors the protobuf twin row for row
+    (the HTTP receiver answers JSON requests with JSON responses)."""
+    import pandas as pd
+
+    from opentelemetry_collector_spark.functions.otlpjson import (
+        logs_response_from_otlp_json,
+    )
+    from opentelemetry_collector_spark.operators.protobuf import (
+        otlp_ingest_response,
+        otlp_ingest_response_json,
+        to_otlp_request_json,
+    )
+
+    wire = to_otlp_request_json(parsed)
+    resp = {r.conv_id: r for r in otlp_ingest_response_json(wire).collect()}
+    pb_resp = {
+        r.conv_id: r
+        for r in otlp_ingest_response(
+            to_otlp_request_protobuf(parsed)
+        ).collect()
+    }
+    assert set(resp) == set(pb_resp)
+    for conv_id, r in resp.items():
+        pr = pb_resp[conv_id]
+        assert (r.accepted, r.rejected, r.error_message) == (
+            pr.accepted, pr.rejected, pr.error_message,
+        )
+        decoded = logs_response_from_otlp_json(r.response_json)
+        assert decoded["rejected_log_records"] == r.rejected
+        if not r.rejected:
+            assert r.response_json == "{}"
+
+    # malformed document -> full reject with NULL response text
+    bad = spark.createDataFrame(
+        pd.DataFrame(
+            {"conv_id": ["conv-x"], "otlp_json_request": ["{not json"]}
+        ),
+        "conv_id string, otlp_json_request string",
+    )
+    (br,) = otlp_ingest_response_json(bad).collect()
+    assert br.accepted is None and br.rejected is None
+    assert "unmarshal" in br.error_message
+    assert br.response_json is None
