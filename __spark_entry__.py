@@ -70,10 +70,12 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # REGISTRY_ORDER puts operators without a prior driver-artifact row
-    # first: the driver's recorded correctness file covers a bounded prefix
-    # of this dict (r02 stopped at 50 entries), so prefix order decides
-    # which operators get an authoritative record.
+    # REGISTRY_ORDER leads with the queries whose freshest driver record is
+    # oldest (plus anything new or behavior-touched this round): the
+    # driver's recorded correctness file covers a bounded ~50-entry prefix
+    # of this dict, so rotating the prefix each round keeps every query's
+    # record at most two rounds old (union of consecutive artifacts = full
+    # registry).
     return {k: _wrap(fn) for k, fn in _q.ordered_queries().items()}
 
 

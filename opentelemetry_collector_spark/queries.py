@@ -524,6 +524,21 @@ def q_otlp_metric_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pb.from_otlp_metric_json(_pb.to_otlp_metric_json(parsed))
 
 
+def q_otlp_partial_success(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-request partial-success counts off the JSON wire: parse ->
+    OTLP/JSON request per conversation -> receiver-side accept/reject
+    (otlpreceiver Export -> ExportPartialSuccess; plogotlp/response.go).
+    The oracle recomputes accepted/rejected from the reject predicates
+    directly (unmappable severity = severity_number NULL with non-empty
+    text), so the whole encode -> unmarshal -> classify -> count path is
+    value-hash gated."""
+    from opentelemetry_collector_spark.operators import protobuf as _pb
+
+    parsed = parse_turns(events_to_transcripts(spark, sf_dir)).select(*_PARSED_COLS)
+    resp = _pb.otlp_ingest_response_json(_pb.to_otlp_request_json(parsed))
+    return resp.select("conv_id", "accepted", "rejected")
+
+
 def q_protobuf_document_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """parse -> one ExportLogsServiceRequest per conversation (Resource ->
     Scope -> LogRecord[] nesting) -> receiver-side unmarshal+flatten."""
@@ -618,6 +633,7 @@ PIPELINE_QUERIES: dict[str, QueryFn] = {
     "otlp_json_roundtrip": q_otlp_json_roundtrip,
     "otlp_span_json_roundtrip": q_otlp_span_json_roundtrip,
     "otlp_metric_json_roundtrip": q_otlp_metric_json_roundtrip,
+    "otlp_partial_success": q_otlp_partial_success,
     "protobuf_document_roundtrip": q_protobuf_document_roundtrip,
     "span_events": q_span_events,
     "span_links": q_span_links,
@@ -921,6 +937,15 @@ FROM (
 # The OTLP/JSON wire round-trips are identities on their operators' outputs,
 # so the existing span-events / histogram oracles gate the JSON trace and
 # metric codecs end-to-end (any hex/string-int/enum encoding bug breaks hash).
+PIPELINE_ORACLES["otlp_partial_success"] = f"""{_PARSED_CTE}
+SELECT conv_id,
+    cast(count(*) - sum(CASE WHEN severity_number IS NULL
+                             AND severity_text IS NOT NULL
+                        THEN 1 ELSE 0 END) AS int) AS accepted,
+    cast(sum(CASE WHEN severity_number IS NULL AND severity_text IS NOT NULL
+             THEN 1 ELSE 0 END) AS int) AS rejected
+FROM parsed GROUP BY conv_id"""
+
 PIPELINE_ORACLES["otlp_span_json_roundtrip"] = PIPELINE_ORACLES["span_events"]
 PIPELINE_ORACLES["otlp_metric_json_roundtrip"] = PIPELINE_ORACLES[
     "metrics_histogram"
@@ -964,6 +989,7 @@ REGISTRY_ORDER: list[str] = [
     # -- new or behavior-touched in round 4 ---------------------------------
     "otlp_span_json_roundtrip",
     "otlp_metric_json_roundtrip",
+    "otlp_partial_success",
     "doc_tfidf_topk",
     "dedup_substring_excise",
     "dedup_clusters",
