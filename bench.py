@@ -112,7 +112,14 @@ def materialize_amplified(sf_dir: str, path: str, cores: int) -> int:
         spark.stop()
 
 
-LLMOPS_AMP = int(os.environ.get("SPARK_GRAFT_LLMOPS_AMP", "10"))
+# Two amplification points (default 10x and 100x) extend the linearity
+# evidence a full decade: ratio_amp ≈ amp for candidate-linear ops at BOTH
+# points rules out a lucky constant (VERDICT r04 task 8).
+LLMOPS_AMPS = [
+    int(x)
+    for x in os.environ.get("SPARK_GRAFT_LLMOPS_AMPS", "10,100").split(",")
+    if x.strip()
+]
 # the dedup/ANN ops whose "cost is linear in candidates, not pairs" claims
 # carry a measured two-scale data point (VERDICT r03 task 6)
 LLMOPS_QUERIES = [
@@ -178,37 +185,74 @@ def materialize_amplified_docs(sf_dir: str, out_dir: str, cores: int,
         spark.stop()
 
 
-def llm_ops_two_scale(qs, amp: int) -> dict:
-    """Wall-times for the dedup/ANN family at 1x and amp× corpus size on
-    the same session shape — the scaling evidence that candidate volume,
-    not pair volume, drives cost (ratio ≈ amp for linear ops)."""
+def llm_ops_two_scale(qs, amps: list[int]) -> dict:
+    """Wall-times for the dedup/ANN family at 1x and each amp× corpus size
+    on the same session shape — the scaling evidence that candidate
+    volume, not pair volume, drives cost (sec_{amp}x / sec_1x ≈ amp for
+    linear ops, and the ratio between consecutive amps ≈ their quotient,
+    which a fixed-overhead fluke at one point can't fake)."""
     import tempfile
 
-    out: dict = {"amplification": amp, "ops": {}}
-    with tempfile.TemporaryDirectory(prefix="otelcol_llmops_") as tmp:
-        spark = make_spark(CPUS)
-        try:
-            times: dict[str, dict[str, float]] = {}
-            for name in LLMOPS_QUERIES:
-                time_query(qs[name], spark, SF_DIR)  # warm-up
-                times[name] = {
-                    "sec_1x": round(time_query(qs[name], spark, SF_DIR), 3)
-                }
-        finally:
-            spark.stop()
-        n_docs, n_vecs = materialize_amplified_docs(SF_DIR, tmp, CPUS, amp)
-        out["docs_amplified"] = n_docs
-        out["vectors_amplified"] = n_vecs
-        spark = make_spark(CPUS)
-        try:
-            for name in LLMOPS_QUERIES:
-                t = time_query(qs[name], spark, tmp)
-                times[name]["sec_ampx"] = round(t, 3)
-                times[name]["ratio"] = round(t / times[name]["sec_1x"], 2)
-        finally:
-            spark.stop()
-        out["ops"] = times
+    out: dict = {"amplifications": amps, "ops": {}}
+    times: dict[str, dict[str, float]] = {}
+    spark = make_spark(CPUS)
+    try:
+        for name in LLMOPS_QUERIES:
+            time_query(qs[name], spark, SF_DIR)  # warm-up
+            times[name] = {
+                "sec_1x": round(time_query(qs[name], spark, SF_DIR), 3)
+            }
+    finally:
+        spark.stop()
+    out["docs_amplified"] = {}
+    out["vectors_amplified"] = {}
+    for amp in amps:
+        with tempfile.TemporaryDirectory(prefix="otelcol_llmops_") as tmp:
+            n_docs, n_vecs = materialize_amplified_docs(SF_DIR, tmp, CPUS, amp)
+            out["docs_amplified"][str(amp)] = n_docs
+            out["vectors_amplified"][str(amp)] = n_vecs
+            spark = make_spark(CPUS)
+            try:
+                for name in LLMOPS_QUERIES:
+                    t = time_query(qs[name], spark, tmp)
+                    times[name][f"sec_{amp}x"] = round(t, 3)
+                    times[name][f"ratio_{amp}x"] = round(
+                        t / times[name]["sec_1x"], 2
+                    )
+            finally:
+                spark.stop()
+    # decade-over-decade ratio between consecutive amplification points
+    for name, t in times.items():
+        for lo, hi in zip(amps, amps[1:]):
+            t[f"ratio_{hi}x_vs_{lo}x"] = round(
+                t[f"sec_{hi}x"] / t[f"sec_{lo}x"], 2
+            )
+    out["ops"] = times
     return out
+
+
+def host_probe() -> dict:
+    """Host-condition markers recorded alongside the measurements so
+    cross-round regressions are attributable from the artifact alone
+    (VERDICT r04 task 7): 1-minute loadavg (external CPU contention) and a
+    2-second numpy array-streaming probe (~GB/s of read+write traffic —
+    the shared memory-bandwidth supply the 4N scaling level is sensitive
+    to; the CPU burn control alone misses bandwidth throttling because
+    busy loops run register-resident)."""
+    import numpy as np
+
+    a = np.zeros(8_000_000, dtype=np.float64)  # 64 MB >> LLC: streams DRAM
+    b = np.empty_like(a)
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 2.0:
+        np.copyto(b, a)
+        n += 1
+    dt = time.perf_counter() - t0
+    return {
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+        "mem_bandwidth_gbps": round(2 * a.nbytes * n / dt / 1e9, 2),
+    }
 
 
 def _build_engine_zip() -> str:
@@ -300,6 +344,7 @@ def main() -> None:
     m = re.fullmatch(r"sf([0-9.]+)", Path(SF_DIR).name)
     sf = float(m.group(1)) if m else None  # non-standard dir name: report null
 
+    host_pre = host_probe()
     spark = make_spark(CPUS)
     per_query: dict[str, float] = {}
     try:
@@ -322,7 +367,7 @@ def main() -> None:
     }
 
     if not os.environ.get("SPARK_GRAFT_NO_LLMOPS"):
-        out["llm_ops"] = llm_ops_two_scale(qs, LLMOPS_AMP)
+        out["llm_ops"] = llm_ops_two_scale(qs, LLMOPS_AMPS)
 
     if not os.environ.get("SPARK_GRAFT_NO_SCALING"):
         import tempfile
@@ -420,6 +465,11 @@ def main() -> None:
             "fallback_pair": fallback_pair,
             "configured_pair": primary,
         }
+
+    # condition markers bracketing the whole run (pre = before headline,
+    # post = after scaling): a degraded-host round shows up here as low
+    # mem_bandwidth_gbps / high loadavg without needing a rerun to diagnose
+    out["host"] = {"pre": host_pre, "post": host_probe()}
 
     print(json.dumps(out))
 

@@ -366,9 +366,10 @@ def q_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_metrics_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """t-digest path (engine.approxQuantiles) — rows-only oracle: the
-    sketch is not bit-reproducible in DuckDB; closeness to the exact path
-    is pytest-gated (tests/test_metrics_traces.py)."""
+    """t-digest path (engine.approxQuantiles) — pytest-only surface, NOT in
+    the driver registry: the sketch is not bit-reproducible in DuckDB, so
+    closeness to the exact twin (q_metrics_summary) is gated by
+    tests/test_metrics_traces.py instead of a driver oracle slot."""
     return _met.summary_quantiles(_parsed(spark, sf_dir), approx=True)
 
 
@@ -646,7 +647,11 @@ PIPELINE_QUERIES: dict[str, QueryFn] = {
     "metrics_exp_histogram_s2": q_metrics_exp_histogram_s2,
     "span_red_metrics": q_span_red_metrics,
     "metrics_summary": q_metrics_summary,
-    "metrics_summary_approx": q_metrics_summary_approx,
+    # metrics_summary_approx is deliberately NOT registered: the t-digest
+    # sketch (engine.approxQuantiles) is not bit-reproducible in DuckDB, so
+    # a driver oracle slot would permanently record `err: no_oracle`
+    # (VERDICT r04 task 3). Its contract — closeness to the exact twin
+    # above — is gated by tests/test_metrics_traces.py instead.
     "histogram_exemplars": q_histogram_exemplars,
     "staleness_markers": q_staleness_markers,
     "trace_rollup": q_trace_rollup,
@@ -954,70 +959,18 @@ PIPELINE_ORACLES["otlp_metric_json_roundtrip"] = PIPELINE_ORACLES[
 # Registry presentation order for the driver contract. The driver's recorded
 # correctness artifact covers a bounded prefix of the registry (~50 entries),
 # so ordering is part of artifact discipline (VERDICT r02 task 1a, r03 task 2):
-#   1. queries whose freshest driver record is TWO rounds old (the r02-only
-#      set — rotated to the front so CORRECTNESS_r04 re-records them and the
-#      union of any two consecutive rounds covers the full registry),
+#   1. queries whose freshest driver record is TWO rounds old (the set absent
+#      from CORRECTNESS_r04.json — rotated to the front so CORRECTNESS_r05
+#      re-records them and the union of any two consecutive rounds covers the
+#      full registry),
 #   2. queries added or behavior-touched THIS round (never recorded, or their
 #      freshest record predates the change),
-#   3. r03-green representatives filling the window,
-#   4. r03-green variants last — their operator code is already exercised.
+#   3. r04-green representatives filling the window,
+#   4. r04-green variants last — their operator code is already exercised.
 # test_plumbing guards that this list stays a permutation of the registry.
 REGISTRY_ORDER: list[str] = [
-    # -- freshest record is r02: re-record this round (VERDICT r03 task 2) -
-    "metrics_summary",
-    "histogram_exemplars",
-    "staleness_markers",
-    "trace_rollup",
-    "tail_sampling_composite",
-    "tail_sampling",
-    "span_edges",
-    "probabilistic_sampler",
-    "redaction",
-    "log_dedup",
-    "severity_histogram",
-    "sessionize",
-    "span_stats",
-    "sink_counts_rollup",
-    "turn_ordering",
-    "span_links",
-    "metrics_sum_delta",
-    "metrics_sum_rate",
-    "metrics_exp_histogram_neg1",
-    "metrics_exp_histogram_s2",
-    "metrics_summary_approx",
-    "protobuf_document_roundtrip",
-    # -- new or behavior-touched in round 4 ---------------------------------
-    "otlp_span_json_roundtrip",
-    "otlp_metric_json_roundtrip",
-    "otlp_partial_success",
-    "doc_tfidf_topk",
-    "dedup_substring_excise",
-    "dedup_clusters",
-    "otlp_json_roundtrip",
-    # -- r03-green representatives filling the window -----------------------
-    "transcripts_source",
-    "parse_turns",
-    "enrich",
-    "route",
-    "dead_letter",
-    "sink_counts",
-    "count_conservation",
-    "tool_spans",
-    "grok_parse",
-    "transform_pipeline",
-    "asof_enrich",
-    "protobuf_roundtrip",
-    "span_events",
-    "metrics_gauge_last",
-    "metrics_sum_cumulative",
-    "metrics_histogram",
-    "metrics_exp_histogram",
-    "span_red_metrics",
-    "nested_attributes",
-    "dedup_exact",
-    "dedup_minhash_pairs",
+    # -- freshest record is r03: re-record this round (VERDICT r04 task 2) -
     "ann_cosine_topk",
-    # -- r03-green variants / siblings (operator code exercised above) ------
     "cluster_balanced_sample",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -1042,6 +995,58 @@ REGISTRY_ORDER: list[str] = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_embedding_pairs",
+    # -- new or behavior-touched in round 5 (none registered so far) --------
+    # -- r04-green representatives filling the window -----------------------
+    "transcripts_source",
+    "parse_turns",
+    "enrich",
+    "route",
+    "dead_letter",
+    "sink_counts",
+    "count_conservation",
+    "tool_spans",
+    "grok_parse",
+    "transform_pipeline",
+    "asof_enrich",
+    "protobuf_roundtrip",
+    "span_events",
+    "metrics_gauge_last",
+    "metrics_sum_cumulative",
+    "metrics_histogram",
+    "metrics_exp_histogram",
+    "span_red_metrics",
+    "nested_attributes",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "otlp_json_roundtrip",
+    "otlp_partial_success",
+    "doc_tfidf_topk",
+    "dedup_clusters",
+    # -- r04-green variants / siblings (operator code exercised above) ------
+    "metrics_summary",
+    "histogram_exemplars",
+    "staleness_markers",
+    "trace_rollup",
+    "tail_sampling_composite",
+    "tail_sampling",
+    "span_edges",
+    "probabilistic_sampler",
+    "redaction",
+    "log_dedup",
+    "severity_histogram",
+    "sessionize",
+    "span_stats",
+    "sink_counts_rollup",
+    "turn_ordering",
+    "span_links",
+    "metrics_sum_delta",
+    "metrics_sum_rate",
+    "metrics_exp_histogram_neg1",
+    "metrics_exp_histogram_s2",
+    "protobuf_document_roundtrip",
+    "otlp_span_json_roundtrip",
+    "otlp_metric_json_roundtrip",
+    "dedup_substring_excise",
 ]
 
 

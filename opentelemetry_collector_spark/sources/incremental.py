@@ -37,6 +37,14 @@ LEDGER_SCHEMA = T.StructType(
         T.StructField("file_size", T.LongType(), False),
         T.StructField("run_id", T.StringType(), False),
         T.StructField("n_rows", T.LongType(), True),
+        # non-NULL = the file was DEAD-LETTERED, not processed: it failed
+        # the footer probe and was committed so it never blocks a tick
+        # again (partial-scrape semantics, scrapererror/
+        # partialscrapeerror.go:19-34 — the scrape succeeds with a Failed
+        # count instead of failing wholesale). Ledgers written before this
+        # column existed read back as NULL (= processed) under the
+        # explicit schema.
+        T.StructField("error", T.StringType(), True),
         T.StructField("committed_at", T.TimestampType(), False),
     ]
 )
@@ -98,9 +106,20 @@ class IncrementalSource:
         done = self.processed_files()
         return {p: sz for p, sz in files.items() if p not in done}
 
-    def _commit(self, files: dict[str, int], run_id: str, n_rows: int | None) -> None:
+    def _commit(
+        self,
+        files: dict[str, int],
+        run_id: str,
+        n_rows: int | None,
+        errors: dict[str, str] | None = None,
+    ) -> None:
+        errors = errors or {}
         df = self.spark.createDataFrame(
-            [(p, sz, run_id, n_rows) for p, sz in sorted(files.items())],
+            [
+                (p, sz, run_id, None if p in errors else n_rows,
+                 errors.get(p))
+                for p, sz in sorted(files.items())
+            ],
             schema=LEDGER_SCHEMA[:-1],
         ).withColumn("committed_at", F.current_timestamp())
         df.coalesce(1).write.mode("append").parquet(self.ledger_path)
@@ -122,6 +141,24 @@ class IncrementalSource:
         h = hashlib.sha256("\n".join(sorted(new)).encode()).hexdigest()[:16]
         return PendingTick(tick_id=f"tick-{h}", files=new)
 
+    def _probe_files(
+        self, files: dict[str, int]
+    ) -> tuple[dict[str, int], dict[str, str]]:
+        """Partition a tick's file set into (readable, {bad: error}) by
+        reading each NEW file's parquet footer — a KB-scale metadata read
+        per file, driver-side, exactly the per-endpoint touch the
+        reference's scraper makes every tick. Corrupt/truncated/non-parquet
+        files surface here instead of killing the whole-scan action."""
+        good: dict[str, int] = {}
+        bad: dict[str, str] = {}
+        for p in sorted(files):
+            try:
+                self.spark.read.parquet(p).schema  # footer read only
+                good[p] = files[p]
+            except Exception as e:
+                bad[p] = str(e).splitlines()[0][:500]
+        return good, bad
+
     def process_new(
         self,
         action,
@@ -132,7 +169,20 @@ class IncrementalSource:
         given), run ``action(df) -> None`` over them, then commit the file
         list. ``action`` must be idempotent (re-run on crash-before-commit);
         pass the SAME ``pending`` snapshot on a retry so tick-scoped state
-        keyed by its tick_id lines up."""
+        keyed by its tick_id lines up.
+
+        Partial-scrape semantics (scrapererror/partialscrapeerror.go:19-34;
+        scrapercontroller.go reports partial errors through obsreport and
+        keeps ticking): a file that fails the footer probe does NOT fail
+        the tick — the good files process and commit normally, the bad
+        file is dead-lettered into the ledger with its error, and the
+        returned counters carry ``n_failed_files``/``failed_files``
+        (obsreport ``refused`` analog). Because the dead-letter commit
+        rides the SAME ledger append as the good files, a crash-and-retry
+        re-processes the whole snapshot exactly once — never double-
+        committing either class. An ``action`` failure still fails the
+        whole tick (nothing commits), matching the exporter-side error
+        path rather than the scrape-side one."""
         run_id = run_id or uuid.uuid4().hex[:12]
         t0 = time.perf_counter()
         if pending is None:
@@ -143,16 +193,25 @@ class IncrementalSource:
                 "tick_id": None,
                 "n_files": 0,
                 "n_rows": 0,
+                "n_failed_files": 0,
+                "failed_files": {},
                 "wall_ms": 0,
             }
-        df = self.spark.read.parquet(*sorted(pending.files))
-        n_rows = df.count()
-        action(df)
-        self._commit(pending.files, run_id, n_rows)
+        good, bad = self._probe_files(pending.files)
+        n_rows = 0
+        if good:
+            df = self.spark.read.parquet(*sorted(good))
+            n_rows = df.count()
+            action(df)
+        self._commit(
+            pending.files, run_id, n_rows if good else None, errors=bad
+        )
         return {
             "run_id": run_id,
             "tick_id": pending.tick_id,
-            "n_files": len(pending.files),
+            "n_files": len(good),
             "n_rows": n_rows,
+            "n_failed_files": len(bad),
+            "failed_files": bad,
             "wall_ms": int((time.perf_counter() - t0) * 1000),
         }

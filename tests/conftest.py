@@ -57,6 +57,25 @@ def assert_df_equal(spark_df, duck_df, sort_cols=None):
     sort_cols = sort_cols or cols
     s = s.sort_values(sort_cols).reset_index(drop=True)
     d = d.sort_values(sort_cols).reset_index(drop=True)
+
+    # Normalize missing-value representations in object columns (Spark
+    # surfaces None where DuckDB surfaces NaN/NaT): pandas currently treats
+    # them as equal in assert_frame_equal but warns (FutureWarning) that a
+    # future major will not — canonicalize to None so the comparison stays
+    # exact across pandas versions. Scalar-safe (list/array cells pass
+    # through untouched; pd.isna on those returns an array).
+    def _null_to_none(v):
+        if v is None or v is pd.NaT:
+            return None
+        if isinstance(v, float) and v != v:
+            return None
+        return v
+
+    for c in cols:
+        if s[c].dtype == object:
+            s[c] = s[c].map(_null_to_none)
+        if d[c].dtype == object:
+            d[c] = d[c].map(_null_to_none)
     pd.testing.assert_frame_equal(s, d, check_dtype=False)
     # The driver's value-hash is dtype-sensitive: DuckDB HUGEINT sums surface as
     # float64 (3.0) while Spark yields int64 (3) — frame_equal(check_dtype=False)

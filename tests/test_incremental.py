@@ -101,3 +101,58 @@ def test_end_to_end_with_pipeline_write(spark, dirs, tmp_path):
     # replayed tick (simulating crash-before-commit re-run) leaves output stable
     write_out(spark.read.parquet(data))
     assert spark.read.parquet(out).count() == n
+
+
+def test_partial_scrape_bad_file_dead_letters_not_fails(spark, dirs):
+    """Partial-scrape semantics (scrapererror/partialscrapeerror.go:19-34):
+    one malformed file in a tick dead-letters THAT file with a failed
+    count; the good files commit; retry does not double-commit either."""
+    import pathlib
+
+    data, ledger, out = dirs
+    src = IncrementalSource(spark, data, ledger)
+    _write_batch(spark, data, 0, 100)
+    # a truncated/garbage parquet file lands alongside the good ones
+    pathlib.Path(data, "corrupt-0.parquet").write_bytes(b"PAR1 not really")
+
+    seen: list[int] = []
+    r = src.process_new(lambda df: seen.append(df.count()))
+    assert r["n_rows"] == 100 and seen == [100]
+    assert r["n_failed_files"] == 1
+    (bad_path,) = r["failed_files"]
+    assert bad_path.endswith("corrupt-0.parquet")
+    assert r["failed_files"][bad_path]  # carries the probe error text
+
+    # the dead-letter is in the ledger with its error, good files without
+    led = spark.read.parquet(ledger)
+    assert led.filter("error IS NOT NULL").count() == 1
+    assert led.filter("error IS NULL").count() == r["n_files"] >= 1
+
+    # retry tick: nothing pending — neither class re-processes
+    r2 = src.process_new(lambda df: seen.append(df.count()))
+    assert r2["n_files"] == 0 and r2["n_failed_files"] == 0
+    assert seen == [100]
+    assert spark.read.parquet(ledger).count() == led.count()
+
+    # next tick still works for fresh files
+    _write_batch(spark, data, 100, 50)
+    r3 = src.process_new(lambda df: seen.append(df.count()))
+    assert r3["n_rows"] == 50 and r3["n_failed_files"] == 0
+
+
+def test_partial_scrape_all_bad_commits_dead_letters_only(spark, dirs):
+    """A tick whose every file fails the probe commits the dead-letters,
+    never runs the action, and reports zero processed rows."""
+    import pathlib
+
+    data, ledger, out = dirs
+    src = IncrementalSource(spark, data, ledger)
+    pathlib.Path(data).mkdir(parents=True)
+    pathlib.Path(data, "bad-a.parquet").write_bytes(b"\x00\x01")
+    pathlib.Path(data, "bad-b.parquet").write_bytes(b"junk")
+
+    calls: list[int] = []
+    r = src.process_new(lambda df: calls.append(1))
+    assert r["n_files"] == 0 and r["n_failed_files"] == 2
+    assert r["n_rows"] == 0 and not calls
+    assert src.pending() is None  # dead-letters are off the pending set

@@ -9,15 +9,11 @@ from opentelemetry_collector_spark.queries import PIPELINE_ORACLES, PIPELINE_QUE
 from tests.conftest import SF_CORRECT, assert_df_equal
 
 
-# approx-quantile output is contractually tolerance-checked, not
-# hash-equal (tests/test_metrics_traces.py covers it against the exact path)
-ROWS_ONLY: set[str] = {"metrics_summary_approx"}
-
-
 @pytest.mark.parametrize("name", sorted(PIPELINE_QUERIES))
 def test_query_matches_oracle(name, spark, duck):
-    if name in ROWS_ONLY:
-        pytest.skip("rows-only query (covered by dedicated tests)")
+    # every registered query is oracle-gated; the approx-quantile path is
+    # deliberately unregistered and tolerance-checked in
+    # tests/test_metrics_traces.py instead (VERDICT r04 task 3)
     assert name in PIPELINE_ORACLES, f"{name} missing an oracle"
     sdf = PIPELINE_QUERIES[name](spark, SF_CORRECT)
     con = duck(SF_CORRECT)

@@ -250,9 +250,18 @@ def test_expand_vars_dollar_escape():
 # --- JSON-lines wire format (OTLP/HTTP JSON analog) -------------------------
 
 
-def test_jsonl_file_roundtrip(spark, tmp_path):
-    """Parsed turns -> JSON-lines files (gzip) -> typed columns: the full
-    wire round-trip must be lossless, including µs timestamps."""
+@pytest.mark.parametrize(
+    "compression",
+    [None, "none", "gzip", "zlib", "deflate", "snappy", "lz4", "zstd"],
+)
+def test_jsonl_file_roundtrip(spark, tmp_path, compression):
+    """Parsed turns -> JSON-lines files -> typed columns: the full wire
+    round-trip must be lossless, including µs timestamps, under every
+    reference wire codec (configcompression/compressionType.go:22-41 —
+    zlib and deflate are one stream format there too; zstd exercises the
+    pyarrow frame wire on this sandbox's Hadoop-codec-less classpath)."""
+    import glob
+
     from opentelemetry_collector_spark.sources.jsonl import (
         read_otlp_jsonl,
         write_otlp_jsonl,
@@ -260,7 +269,15 @@ def test_jsonl_file_roundtrip(spark, tmp_path):
 
     parsed = parse_turns(events_to_transcripts(spark, SF_SMOKE))
     path = str(tmp_path / "export")
-    write_otlp_jsonl(parsed, path, compression="gzip")
+    write_otlp_jsonl(parsed, path, compression=compression)
+
+    if compression not in (None, "none"):
+        ext = {"gzip": ".gz", "zlib": ".deflate", "deflate": ".deflate",
+               "snappy": ".snappy", "lz4": ".lz4", "zstd": ".zst"}
+        files = glob.glob(f"{path}/part-*")
+        assert files and all(f.endswith(ext[compression]) for f in files), (
+            f"expected {ext[compression]} files, got {files[:3]}"
+        )
 
     back = read_otlp_jsonl(spark, path)
     cols = ["conv_id", "turn_idx", "role", "ts", "severity_number",
@@ -269,6 +286,17 @@ def test_jsonl_file_roundtrip(spark, tmp_path):
     got = back.select(*cols)
     assert got.exceptAll(orig).count() == 0
     assert orig.exceptAll(got).count() == 0
+
+
+def test_jsonl_unknown_codec_rejected(spark, tmp_path):
+    """An unregistered codec name fails fast at config time (the reference
+    validates compression type the same way, compressionType.go IsCompressed
+    switch), not halfway through a write."""
+    from opentelemetry_collector_spark.sources.jsonl import write_otlp_jsonl
+
+    parsed = parse_turns(events_to_transcripts(spark, SF_SMOKE))
+    with pytest.raises(ValueError, match="unsupported wire compression"):
+        write_otlp_jsonl(parsed, str(tmp_path / "x"), compression="brotli")
 
 
 def test_jsonl_malformed_lines_dead_letter(spark, tmp_path):

@@ -212,3 +212,40 @@ def test_run_service_sampling_pipeline(spark, tmp_path):
         dedup_out.agg(F.sum("n_records")).collect()[0][0]
         == direct.agg(F.sum("n_records")).collect()[0][0]
     )
+
+
+@pytest.mark.parametrize(
+    "compression", ["gzip", "zlib", "deflate", "snappy", "lz4", "zstd"]
+)
+def test_config_built_jsonl_sink_every_wire_codec(spark, tmp_path, compression):
+    """The sinks-config `compression` key drives the full reference wire
+    codec set end-to-end (configcompression/compressionType.go:22-41): a
+    config-built pipeline exports JSONL under each codec and the export
+    reads back losslessly."""
+    from opentelemetry_collector_spark.sources.jsonl import read_otlp_jsonl
+
+    cfg = ServiceConfig.from_sources(
+        {
+            "receivers": {"transcripts": {"path": SF_SMOKE}},
+            "processors": {"parse": {}},
+            "exporters": {
+                "otlp_jsonl": {"path": str(tmp_path / "export"),
+                               "compression": compression},
+            },
+            "service": {
+                "pipelines": {
+                    "logs": {
+                        "receivers": ["transcripts"],
+                        "processors": ["parse"],
+                        "exporters": ["otlp_jsonl"],
+                    }
+                }
+            },
+        },
+        env={},
+    )
+    results = run_service(spark, cfg)
+    n = results["logs"].count()
+    back = read_otlp_jsonl(spark, str(tmp_path / "export"))
+    assert back.count() == n > 0
+    assert back.filter("conv_id IS NULL").count() == 0
