@@ -65,15 +65,18 @@ def time_query(fn, spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-# 64x amplification (6.4M turns). Sized so the BIG level's timed run is
-# ~25s: per-run fixed costs (job submission, DAG scheduling, noop stage
+# 128x amplification (12.8M turns). Sized so the BIG level's timed run is
+# ~25-30s: per-run fixed costs (job submission, DAG scheduling, noop stage
 # commit — ~1.5s across the two actions) must be noise at BOTH levels. At
 # 32x the 4N level's ~13s runs carried ~10% fixed overhead and the
-# measured 2->8 efficiency pinned at 0.78-0.80 even on quiet hosts
-# (r04's recorded 0.754); at 64x the same binary/host measured 0.93-0.94
-# across two windows. The 100 TB regime has no such overhead share, so
-# the bigger table is the faithful shape, not a flattering one.
-SCALING_AMP = int(os.environ.get("SPARK_GRAFT_SCALING_AMP", "64"))
+# measured 2->8 efficiency pinned at 0.78-0.80 even on quiet hosts (r04's
+# recorded 0.754); at 64x the same binary measured 0.93-0.94. The round-5
+# expression-duplication fixes (PLANS.md) then nearly doubled the
+# pipeline's turns/sec, shrinking big-level runs back under 15s — 128x
+# restores the ~25s shape for the faster engine. The 100 TB regime has no
+# such overhead share, so the bigger table is the faithful shape, not a
+# flattering one.
+SCALING_AMP = int(os.environ.get("SPARK_GRAFT_SCALING_AMP", "128"))
 # N vs 4N EXECUTORS (local-cluster, 1 core each). Default 2 -> 8: 8 total
 # cores stays below this host's memory-bandwidth ceiling (~330k turns/s,
 # BENCH.md), so the pair measures executor scaling, not host saturation.

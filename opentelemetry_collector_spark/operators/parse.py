@@ -20,7 +20,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from opentelemetry_collector_spark.functions.values import attributes_json
-from opentelemetry_collector_spark.severity import severity_case_sql
+from opentelemetry_collector_spark.severity import (
+    severity_case_sql,
+    severity_number_column,
+)
 
 # Regex patterns — RE2-compatible so the DuckDB oracle runs the same ones.
 SEV_PATTERN = r"^\[([A-Z]+[0-9]?)\] "
@@ -38,33 +41,60 @@ def _extract(col: Column, pattern: str) -> Column:
 
 
 def parse_turns(transcripts: DataFrame) -> DataFrame:
-    """transcripts -> parsed turns (PARSED_SCHEMA). Narrow op: no shuffle."""
-    sev_text = _extract(F.col("text"), SEV_PATTERN)
-    parsed_tool = _extract(F.col("text"), TOOL_PATTERN)
-    dur_ms = _extract(F.col("text"), DUR_PATTERN).cast("long")
-    status = _extract(F.col("text"), STATUS_PATTERN)
-    return (
-        transcripts.withColumn("severity_text", sev_text)
-        .withColumn(
-            "severity_number",
-            F.expr(severity_case_sql("severity_text")).cast("int"),
-        )
-        .withColumn("parsed_tool", parsed_tool)
-        .withColumn("trace_id", _extract(F.col("text"), TRACE_PATTERN))
-        .withColumn("span_id", _extract(F.col("text"), SPAN_PATTERN))
-        .withColumn("dur_ms", dur_ms)
-        .withColumn("status", status)
-        .withColumn(
-            "attributes_json",
-            attributes_json(
+    """transcripts -> parsed turns (PARSED_SCHEMA). Narrow op: no shuffle.
+
+    Plan shape: each regexp_extract is planned EXACTLY ONCE, staged
+    through attribute references. Reusing the Column trees directly (the
+    obvious construction) bakes expression-level duplicates into single
+    projections — nullif(re, '') copies the regex twice, attributes_json
+    embeds the same trees again — and Catalyst's CollapseProject then
+    multiplies them further through the downstream single-reference merge
+    cascade (measured: 33 regex evaluations/row in the parse projection
+    alone, 83 after a 9-statement transform; 6 and ~10 staged). Catalyst
+    does NOT inline a non-cheap expression referenced more than once, so
+    attribute indirection is the stable way to pin evaluation counts.
+    """
+    raw = transcripts.withColumns(
+        {
+            "__sev_raw": F.regexp_extract(F.col("text"), SEV_PATTERN, 1),
+            "__tool_raw": F.regexp_extract(F.col("text"), TOOL_PATTERN, 1),
+            "__trace_raw": F.regexp_extract(F.col("text"), TRACE_PATTERN, 1),
+            "__span_raw": F.regexp_extract(F.col("text"), SPAN_PATTERN, 1),
+            "__dur_raw": F.regexp_extract(F.col("text"), DUR_PATTERN, 1),
+            "__status_raw": F.regexp_extract(F.col("text"), STATUS_PATTERN, 1),
+        }
+    )
+    typed = raw.withColumns(
+        {
+            "severity_text": F.nullif(F.col("__sev_raw"), F.lit("")),
+            "parsed_tool": F.nullif(F.col("__tool_raw"), F.lit("")),
+            "trace_id": F.nullif(F.col("__trace_raw"), F.lit("")),
+            "span_id": F.nullif(F.col("__span_raw"), F.lit("")),
+            "dur_ms": F.nullif(F.col("__dur_raw"), F.lit("")).cast("long"),
+            "status": F.nullif(F.col("__status_raw"), F.lit("")),
+        }
+    )
+    derived = typed.withColumns(
+        {
+            "severity_number": severity_number_column(
+                F.col("severity_text")
+            ).cast("int"),
+            "attributes_json": attributes_json(
                 {
-                    "dur_ms": dur_ms,
-                    "status": status,
-                    "tool": parsed_tool,
+                    "dur_ms": F.col("dur_ms"),
+                    "status": F.col("status"),
+                    "tool": F.col("parsed_tool"),
                 }
             ),
-        )
-        .withColumn("body", F.col("text"))
+            "body": F.col("text"),
+        }
+    )
+    # canonical output order (PARSED_SCHEMA) — the withColumns staging
+    # above appends in dependency order, not presentation order
+    return derived.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        "severity_text", "severity_number", "parsed_tool", "trace_id",
+        "span_id", "dur_ms", "status", "attributes_json", "body",
     )
 
 

@@ -39,15 +39,22 @@ def _error_reason() -> Column:
 
 
 def route(enriched: DataFrame) -> DataFrame:
-    """Add (error_reason, sink_id); sink_id NULL iff dead-lettered."""
-    reason = _error_reason()
-    return enriched.withColumn("error_reason", reason).withColumn(
+    """Add (error_reason, sink_id); sink_id NULL iff dead-lettered.
+
+    sink_id reads error_reason through the ATTRIBUTE, not a second copy of
+    the Column tree: the reason CASE chains through severity_number's
+    25-branch mapping down to the parse regexes, and a duplicated tree
+    re-evaluates that whole chain per row (operators/parse.py plan-shape
+    note — Catalyst won't inline a non-cheap expression referenced twice,
+    but it can't dedupe two copies it was handed)."""
+    routed = enriched.withColumn("error_reason", _error_reason())
+    return routed.withColumn(
         "sink_id",
         # NULL-propagating concat (matches the oracle's `||`): concat_ws
         # would silently SKIP a null role/tool_family and emit a partial
         # sink id on the Spark side only
         F.when(
-            reason.isNull(),
+            F.col("error_reason").isNull(),
             F.concat(F.col("role"), F.lit("/"), F.col("tool_family")),
         ),
     )

@@ -79,10 +79,11 @@ def _serialize(map_col_name: str) -> Column:
     return F.concat(F.lit("{"), F.array_join(parts, ", "), F.lit("}"))
 
 
-def _guard(new: Column, old: Column, where: str | None) -> Column:
+def _guard(new: Column, old: Column, where: "str | Column | None") -> Column:
     if where is None:
         return new
-    return F.when(F.expr(where), new).otherwise(old)
+    cond = F.expr(where) if isinstance(where, str) else where
+    return F.when(cond, new).otherwise(old)
 
 
 
@@ -116,6 +117,38 @@ def compile_statements(
         if missing:
             raise ValueError(f"statement {i} ({op}): missing {sorted(missing)}")
 
+    # --- where-predicate hoisting (plan-shape, not semantics) -------------
+    # Catalyst's CollapseProject merges the per-statement projections one
+    # pair at a time; each merge references upstream attributes only once,
+    # so it inlines them — and a guard like "severity_number >= 17" ends
+    # up re-evaluating the parse stage's regexp_extract at every reference
+    # (measured: 83 regex copies / 5.6s for the 9-statement demo at sf0.1,
+    # vs 8 copies / 0.7s hoisted). Multi-references from a SINGLE
+    # projection are NOT inlined (the rule's non-cheap multi-use check),
+    # so computing each distinct predicate once as a temp boolean column
+    # up front collapses the cascade. Ordering semantics are preserved: a
+    # predicate is hoisted only when no EARLIER statement modified any
+    # field it mentions (conservative word-match; a predicate reading a
+    # modified field keeps evaluating inline against the current state).
+    import re as _re
+
+    hoist: dict[str, str] = {}  # where-string -> temp column name
+    use_hoisted: list[str | None] = []
+    modified: set[str] = set()
+    for st in statements:
+        w = st.get("where")
+        if w is None or any(
+            _re.search(rf"\b{_re.escape(f)}\b", w) for f in modified
+        ):
+            use_hoisted.append(None)
+        else:
+            use_hoisted.append(hoist.setdefault(w, f"__w{len(hoist)}"))
+        op = st["op"]
+        if op in ("set", "hash", "set_flag", "clear_flag", "redact"):
+            modified.add(st["field"])
+        elif op in ("set_attribute", "delete_attribute"):
+            modified.add("attributes_json")
+
     def apply(df: DataFrame) -> DataFrame:
         # Consecutive attribute statements fuse into ONE
         # parse -> map-ops -> serialize pipeline: `pending` holds the
@@ -125,6 +158,10 @@ def compile_statements(
         # attributes_json). parse(serialize(m)) == m for map<string,string>
         # (the digits convention only drops quotes, from_json restores the
         # same string), so fusing is semantics-preserving.
+        if hoist:
+            df = df.select(
+                "*", *[F.expr(w).alias(n) for w, n in hoist.items()]
+            )
         pending: Column | None = None
 
         def cur_map() -> Column:
@@ -140,9 +177,11 @@ def compile_statements(
             pending = None
             return d
 
-        for st in statements:
+        for i, st in enumerate(statements):
             op = st["op"]
-            where = st.get("where")
+            where: str | Column | None = st.get("where")
+            if use_hoisted[i] is not None:
+                where = F.col(use_hoisted[i])
             if op in ("set_attribute", "delete_attribute"):
                 # flush if this statement can READ the serialized column —
                 # through its guard or its value expression (an expr like
@@ -191,15 +230,26 @@ def compile_statements(
                     without_flag,
                 )
 
-                fn = with_flag if op == "set_flag" else without_flag
-                df = df.withColumn(
-                    st["field"],
-                    _guard(
-                        fn(F.col(st["field"]), st["mask"]),
-                        F.col(st["field"]),
-                        where,
-                    ),
-                )
+                old = F.col(st["field"])
+                if where is None:
+                    fn = with_flag if op == "set_flag" else without_flag
+                    new = fn(old, st["mask"])
+                elif op == "set_flag":
+                    # single-reference form of CASE WHEN cond THEN f|m
+                    # ELSE f END: guarded flag CHAINS otherwise duplicate
+                    # `old` 2x per level, and CollapseProject inlines the
+                    # single-use copies — exponential expression growth
+                    # (same cascade as the hoisting note above)
+                    cond = F.expr(where) if isinstance(where, str) else where
+                    new = old.bitwiseOR(
+                        F.when(cond, F.lit(st["mask"])).otherwise(F.lit(0))
+                    )
+                else:
+                    cond = F.expr(where) if isinstance(where, str) else where
+                    new = old.bitwiseAND(
+                        F.when(cond, F.lit(~st["mask"])).otherwise(F.lit(-1))
+                    )
+                df = df.withColumn(st["field"], new)
             elif op == "redact":
                 # PII-masking pattern (redaction-processor analog): replace
                 # every regex match in the field — regexp_replace is global
@@ -217,10 +267,13 @@ def compile_statements(
                     ),
                 )
             elif op == "drop":
-                df = df.filter(~F.coalesce(F.expr(where), F.lit(False)))
+                cond = F.expr(where) if isinstance(where, str) else where
+                df = df.filter(~F.coalesce(cond, F.lit(False)))
             elif op == "keep":
-                df = df.filter(F.coalesce(F.expr(where), F.lit(False)))
-        return flush(df)
+                cond = F.expr(where) if isinstance(where, str) else where
+                df = df.filter(F.coalesce(cond, F.lit(False)))
+        df = flush(df)
+        return df.drop(*hoist.values()) if hoist else df
 
     return apply
 

@@ -35,6 +35,31 @@ SEVERITY_UNSPECIFIED = 0
 ERROR_THRESHOLD = SEVERITY_NUMBER["ERROR"]
 
 
+def severity_number_column(col):
+    """Column form of the token->number mapping for the Spark engine: ONE
+    lookup into a constant-folded literal map instead of the 25-branch
+    CASE. Identical semantics to severity_case_sql (NULL token -> 0,
+    unknown token -> NULL via try_element_at's missing-key NULL), but the
+    expression references the token column twice instead of 25 times —
+    when Catalyst pushes a severity predicate down through the parse
+    projection it inlines the column's defining expression per reference,
+    and the CASE form multiplied the severity regex ~25x into every pushed
+    filter (operators/parse.py plan-shape note). The SQL CASE remains the
+    oracle-side form (DuckDB has no map literals)."""
+    from pyspark.sql import functions as F
+
+    lookup = F.create_map(
+        *[
+            lit
+            for name, num in SEVERITY_NUMBER.items()
+            for lit in (F.lit(name), F.lit(num))
+        ]
+    )
+    return F.when(col.isNull(), F.lit(0)).otherwise(
+        F.try_element_at(lookup, col)
+    )
+
+
 def severity_case_sql(col: str = "sev_text") -> str:
     """CASE expression mapping a severity token column to its number.
 

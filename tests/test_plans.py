@@ -264,3 +264,26 @@ def test_excise_rebuild_is_linear_not_membership_scan(spark):
     )
     # interval list, not exploded covered positions, feeds the rebuild
     assert "span_start" in plan and "slice" in plan
+
+
+def test_regex_evaluation_counts_are_pinned(spark):
+    """Expression-duplication guard (PLANS.md round-5 audit): parse plans
+    each of its 6 regexes exactly once, and the downstream pipelines stay
+    within a small constant of that — CollapseProject's single-reference
+    merge cascade once multiplied them to 83 copies/row (5.6s -> 1.7s for
+    the transform demo at sf0.1 when fixed)."""
+    counts = {
+        "parse_turns": 6,
+        "route": 8,           # +pushdown copies of the dead-letter predicate
+        "sink_counts": 10,
+        "transform_pipeline": 12,
+        "tail_sampling": 10,
+    }
+    for name, bound in counts.items():
+        plan = _plan(PIPELINE_QUERIES[name](spark, SF_SMOKE))
+        n = plan.count("regexp_extract")
+        assert n <= bound, (
+            f"{name}: {n} regexp_extract evaluations in the physical plan "
+            f"(bound {bound}) — expression duplication is back, see "
+            "PLANS.md 'Expression-duplication audit'"
+        )
