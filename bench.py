@@ -343,6 +343,37 @@ def _burn(_arg) -> int:
     return x
 
 
+def bandwidth_control_efficiency(n: int) -> float:
+    """Streaming-bandwidth ceiling control: aggregate array-streaming
+    iterations with n vs 4n concurrent processes, ratio/4. The CPU burn
+    control runs register-resident and reads ~1.0 even when the shared
+    memory bus is throttled (r04's failure mode was invisible to it);
+    this control saturates the bus the way the scan-heavy 4N level does.
+    The job's honest ceiling lies BETWEEN the two controls (it is partly
+    compute, partly streaming); both are disclosure, never the headline."""
+    import multiprocessing as mp
+
+    def measure(workers: int) -> int:
+        with mp.Pool(workers) as p:
+            return sum(p.map(_stream, range(workers)))
+
+    small, big = measure(n), measure(4 * n)
+    return (big / small) / 4
+
+
+def _stream(_arg) -> int:
+    import numpy as np
+
+    a = np.zeros(8_000_000, dtype=np.float64)  # 64 MB >> LLC
+    b = np.empty_like(a)
+    t0 = time.perf_counter()
+    x = 0
+    while time.perf_counter() - t0 < 2.0:
+        np.copyto(b, a)
+        x += 1
+    return x
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
 
@@ -451,6 +482,7 @@ def main() -> None:
         # the control can measure >1.0 when the box speeds up mid-measurement;
         # a hardware ceiling cannot exceed 1, so clamp before normalizing
         ctrl_eff = min(1.0, cpu_control_efficiency(n_small))
+        bw_ctrl_eff = min(1.0, bandwidth_control_efficiency(n_small))
         out["scaling"] = {
             "shape": "spark-submit --py-files, local-cluster 1-core executors",
             "turns": n_turns,
@@ -467,6 +499,9 @@ def main() -> None:
                 max((b / s) / (n_big / n_small) for s, b in pairs), 3
             ),
             "cpu_control_efficiency_N_to_4N": round(ctrl_eff, 3),
+            # streaming twin of the CPU control: the bus ceiling the
+            # scan-heavy big level is sensitive to (disclosure only)
+            "bandwidth_control_efficiency_N_to_4N": round(bw_ctrl_eff, 3),
             "efficiency_normalized_to_hw_ceiling": round(job_eff / ctrl_eff, 3),
             # explicit disclosure when the 1->4 fallback replaced the
             # configured pair, with the configured pair's numbers kept
