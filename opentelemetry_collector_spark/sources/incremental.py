@@ -146,17 +146,29 @@ class IncrementalSource:
     ) -> tuple[dict[str, int], dict[str, str]]:
         """Partition a tick's file set into (readable, {bad: error}) by
         reading each NEW file's parquet footer — a KB-scale metadata read
-        per file, driver-side, exactly the per-endpoint touch the
-        reference's scraper makes every tick. Corrupt/truncated/non-parquet
-        files surface here instead of killing the whole-scan action."""
-        good: dict[str, int] = {}
-        bad: dict[str, str] = {}
-        for p in sorted(files):
+        per file, exactly the per-endpoint touch the reference's scraper
+        makes every tick. Corrupt/truncated/non-parquet files surface here
+        instead of killing the whole-scan action.
+
+        Probes run on a driver thread pool (footer reads are IO-bound and
+        Spark's read-path schema resolution is safe to issue concurrently),
+        so a 10k-new-file tick probes in seconds, not minutes — the same
+        driver-side-but-parallel shape as Spark's own file-source listing.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        def probe(p: str) -> str | None:
             try:
                 self.spark.read.parquet(p).schema  # footer read only
-                good[p] = files[p]
+                return None
             except Exception as e:
-                bad[p] = str(e).splitlines()[0][:500]
+                return str(e).splitlines()[0][:500]
+
+        paths = sorted(files)
+        with ThreadPoolExecutor(max_workers=min(16, max(1, len(paths)))) as ex:
+            errs = list(ex.map(probe, paths))
+        good = {p: files[p] for p, e in zip(paths, errs) if e is None}
+        bad = {p: e for p, e in zip(paths, errs) if e is not None}
         return good, bad
 
     def process_new(
