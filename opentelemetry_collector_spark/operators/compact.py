@@ -114,3 +114,78 @@ def compact_sinks(
         "files_before": files_before,
         "files_after": len(after.inputFiles()),
     }
+
+
+def compact_flat_dir(
+    spark: SparkSession,
+    base_path: str,
+    schema=None,
+    max_records_per_file: int = 1_000_000,
+) -> dict:
+    """Rewrite an append-accumulated FLAT parquet dir (no partition
+    columns) into O(rows / max_records_per_file) bin-packed files — the
+    ledger twin of compact_sinks.
+
+    Every ledger commit appends one tiny ``coalesce(1)`` file
+    (sources/incremental.py _commit, plans/checkpoint.py _commit), so a
+    long-lived deployment's bookmark scan opens one parquet footer per
+    historical tick — after 10^5 ticks the metadata read dwarfs the data.
+    The reference's persistent queue has the same maintenance need on its
+    storage backend (exporterhelper's queue bounds itself by deleting
+    delivered items, persistent_storage.go:268-296); the batch ledger is
+    append-only for auditability, so it compacts instead of deleting.
+    Rows are preserved exactly (no dedup — processed_files()/
+    committed_buckets() already read through duplicates), under the same
+    crash-safe rewrite-then-swap protocol as compact_sinks: any crash
+    point is healed by the next call's preamble.
+
+    ``schema`` (optional StructType) pins the read schema so a ledger
+    written before a nullable-column addition compacts to the CURRENT
+    schema rather than its historical one. Missing dir is a no-op (a
+    fresh deployment's maintenance cron must not fail before first
+    commit)."""
+    if "://" in base_path:
+        raise ValueError(
+            "compact_flat_dir operates on driver-local paths; for "
+            "object-store tables use Iceberg rewrite_data_files"
+        )
+    staging = base_path.rstrip("/") + ".compacting"
+    backup = base_path.rstrip("/") + ".pre-compact"
+    _heal(base_path, staging, backup)
+    if not os.path.exists(base_path):
+        return {"rows": 0, "files_before": 0, "files_after": 0}
+
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    df = reader.parquet(base_path)
+    rows = df.count()
+    files_before = len(df.inputFiles())
+    n_out = max(1, -(-rows // max_records_per_file))
+    try:
+        (
+            df.coalesce(n_out)
+            .write.option("maxRecordsPerFile", max_records_per_file)
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        staged = (
+            spark.read.schema(schema) if schema is not None else spark.read
+        ).parquet(staging)
+        if staged.count() != rows:
+            raise RuntimeError(
+                f"compaction would lose rows ({staged.count()} != {rows}); "
+                "original left untouched"
+            )
+    except Exception:
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        raise
+
+    os.rename(base_path, backup)
+    os.rename(staging, base_path)
+    shutil.rmtree(backup)
+
+    return {
+        "rows": rows,
+        "files_before": files_before,
+        "files_after": len(spark.read.parquet(base_path).inputFiles()),
+    }

@@ -282,3 +282,20 @@ class CheckpointedRunner:
                 1,
             ),
         )
+
+    def compact_ledger(self, max_records_per_file: int = 1_000_000) -> dict:
+        """Merge the per-wave ledger appends (one coalesce(1) file per
+        _commit) into a handful of files; committed_buckets()/metrics()
+        read through unchanged. Crash-safe and re-runnable (rewrite-then-
+        swap, operators/compact.py). Run between runs, never concurrently
+        with one — the swap renames the live dir."""
+        from opentelemetry_collector_spark.operators.compact import (
+            compact_flat_dir,
+        )
+
+        return compact_flat_dir(
+            self.spark,
+            self.config.ledger_path,
+            schema=CHECKPOINT_SCHEMA,
+            max_records_per_file=max_records_per_file,
+        )

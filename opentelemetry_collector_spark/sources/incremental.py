@@ -227,3 +227,21 @@ class IncrementalSource:
             "failed_files": bad,
             "wall_ms": int((time.perf_counter() - t0) * 1000),
         }
+
+    def compact_ledger(self, max_records_per_file: int = 1_000_000) -> dict:
+        """Merge the per-tick ledger appends (one coalesce(1) file each)
+        into a handful of files — maintenance for long-lived deployments,
+        where the bookmark anti-join otherwise opens one parquet footer
+        per historical tick. Crash-safe and re-runnable (rewrite-then-swap,
+        operators/compact.py); call it from the same cron that ticks, any
+        time between ticks."""
+        from opentelemetry_collector_spark.operators.compact import (
+            compact_flat_dir,
+        )
+
+        return compact_flat_dir(
+            self.spark,
+            self.ledger_path,
+            schema=LEDGER_SCHEMA,
+            max_records_per_file=max_records_per_file,
+        )

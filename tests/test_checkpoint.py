@@ -260,3 +260,24 @@ def test_retry_zero_max_elapsed_means_no_limit():
     assert with_retry(fn, cfg, sleep=fake_sleep,
                       clock=lambda: clock["t"]) == "ok"
     assert len(calls) == 50  # far beyond any finite max_elapsed budget
+
+
+def test_checkpoint_ledger_compaction_preserves_resume(spark, routed, tmp_path):
+    """compact_ledger on the checkpoint ledger: committed_buckets() and
+    metrics() read through unchanged, and a resumed run is still a no-op."""
+    cfg = CheckpointConfig(base_path=str(tmp_path / "out"), n_buckets=8,
+                           buckets_per_wave=2)
+    CheckpointedRunner(spark, cfg).run(routed, run_id="first")
+
+    runner = CheckpointedRunner(spark, cfg)
+    committed = runner.committed_buckets()
+    rows = runner.metrics().count()
+    stats = runner.compact_ledger()
+    assert stats["files_before"] == 4  # one append per 2-bucket wave
+    assert stats["files_after"] == 1
+    assert runner.committed_buckets() == committed
+    assert runner.metrics().count() == rows
+
+    totals = CheckpointedRunner(spark, cfg).run(routed, run_id="second")
+    assert totals["processed_buckets"] == []
+    assert sorted(totals["skipped_buckets"]) == list(range(8))

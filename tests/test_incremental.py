@@ -156,3 +156,60 @@ def test_partial_scrape_all_bad_commits_dead_letters_only(spark, dirs):
     assert r["n_files"] == 0 and r["n_failed_files"] == 2
     assert r["n_rows"] == 0 and not calls
     assert src.pending() is None  # dead-letters are off the pending set
+
+
+def test_ledger_compaction_preserves_bookmark(spark, dirs):
+    """compact_ledger merges the one-file-per-tick appends without moving
+    the bookmark: processed_files() identical before/after, the next tick
+    still sees only genuinely-new files, and row lineage is conserved."""
+    data, ledger, _ = dirs
+    src = IncrementalSource(spark, data, ledger)
+    for i in range(4):
+        _write_batch(spark, data, i * 10, 10)
+        src.process_new(lambda df: None, run_id=f"tick-{i}")
+
+    before = src.processed_files()
+    rows_before = spark.read.parquet(ledger).count()
+    stats = src.compact_ledger()
+    assert stats["files_before"] == 4
+    assert stats["files_after"] == 1
+    assert stats["rows"] == rows_before
+    assert src.processed_files() == before
+
+    # bookmark still advances correctly: only the post-compaction file is new
+    _write_batch(spark, data, 100, 7)
+    r = src.process_new(lambda df: None)
+    assert r["n_rows"] == 7
+
+    # re-running compaction is a cheap no-op shape (already 2 files now)
+    stats2 = src.compact_ledger()
+    assert stats2["rows"] == rows_before + 1
+    assert stats2["files_after"] == 1
+
+
+def test_ledger_compaction_heals_mid_swap_crash(spark, dirs):
+    """A crash between the two swap renames (live gone, backup present) is
+    healed by the next compact_ledger call — the protocol's recovery
+    preamble restores the backup before rewriting."""
+    import os
+
+    data, ledger, _ = dirs
+    src = IncrementalSource(spark, data, ledger)
+    _write_batch(spark, data, 0, 10)
+    src.process_new(lambda df: None)
+    _write_batch(spark, data, 10, 10)
+    src.process_new(lambda df: None)
+
+    before = src.processed_files()
+    os.rename(ledger, ledger + ".pre-compact")  # simulate mid-swap crash
+    stats = src.compact_ledger()
+    assert stats["files_after"] == 1
+    assert src.processed_files() == before
+
+
+def test_ledger_compaction_missing_dir_is_noop(spark, dirs):
+    data, ledger, _ = dirs
+    src = IncrementalSource(spark, data, ledger)
+    assert src.compact_ledger() == {
+        "rows": 0, "files_before": 0, "files_after": 0,
+    }
