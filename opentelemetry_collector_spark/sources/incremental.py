@@ -228,6 +228,28 @@ class IncrementalSource:
             "wall_ms": int((time.perf_counter() - t0) * 1000),
         }
 
+    def metrics(self) -> DataFrame:
+        """The tick ledger as obsreport-style scraper counters — one row
+        per run_id with the scraped/errored split the reference records
+        per scrape (obsreport/obsreport_scraper.go:159-160,175-176:
+        ScrapedMetricPoints vs ErroredMetricPoints; here whole files are
+        the scrape unit, so files_committed vs files_failed plus the
+        tick's row count). The checkpoint runner's metrics() is the
+        queue-gauge twin of this scrape-counter surface."""
+        ledger = self.spark.read.schema(LEDGER_SCHEMA).parquet(
+            self.ledger_path
+        )
+        return ledger.groupBy("run_id").agg(
+            F.count(F.when(F.col("error").isNull(), True)).alias(
+                "files_committed"
+            ),
+            F.count("error").alias("files_failed"),
+            # n_rows is the tick total replicated onto each good file row
+            # (NULL on dead-letter rows) — max recovers the tick total
+            F.max("n_rows").alias("n_rows"),
+            F.max("committed_at").alias("committed_at"),
+        )
+
     def compact_ledger(self, max_records_per_file: int = 1_000_000) -> dict:
         """Merge the per-tick ledger appends (one coalesce(1) file each)
         into a handful of files — maintenance for long-lived deployments,

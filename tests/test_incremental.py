@@ -213,3 +213,21 @@ def test_ledger_compaction_missing_dir_is_noop(spark, dirs):
     assert src.compact_ledger() == {
         "rows": 0, "files_before": 0, "files_after": 0,
     }
+
+
+def test_ledger_metrics_scraped_vs_errored_split(spark, dirs):
+    """metrics() surfaces the per-run scraped/errored file split and the
+    tick row count (obsreport scraper-counter analog)."""
+    import pathlib
+
+    data, ledger, _ = dirs
+    src = IncrementalSource(spark, data, ledger)
+    _write_batch(spark, data, 0, 20)
+    pathlib.Path(data, "bad.parquet").write_bytes(b"not parquet")
+    src.process_new(lambda df: None, run_id="mixed-tick")
+
+    m = {r.run_id: r for r in src.metrics().collect()}
+    row = m["mixed-tick"]
+    assert row.files_committed == 1
+    assert row.files_failed == 1
+    assert row.n_rows == 20
