@@ -1184,3 +1184,40 @@ def test_otlp_ingest_response_json_partial_success(spark, parsed):
     assert br.accepted is None and br.rejected is None
     assert "unmarshal" in br.error_message
     assert br.response_json is None
+
+
+@settings(max_examples=100)
+@given(
+    st.recursive(
+        st.one_of(
+            st.booleans(),
+            st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+            st.floats(allow_nan=False),
+            st.text(max_size=40),
+            st.binary(max_size=40),
+        ),
+        lambda leaf: st.one_of(
+            st.lists(leaf, max_size=4),
+            st.dictionaries(st.text(max_size=8), leaf, max_size=4),
+        ),
+        max_leaves=8,
+    )
+)
+def test_any_value_json_wire_roundtrip_and_codec_agreement(v):
+    """Property twin of test_any_value_roundtrip for the OTLP/JSON wire:
+    any AnyValue survives encode -> actual JSON serialization
+    (allow_nan=False proves the wire is valid strict JSON) -> decode, and
+    the two wire codecs (protobuf, JSON) agree on every value."""
+    import json
+
+    from opentelemetry_collector_spark.operators.protobuf import (
+        any_value_from_otlp_json,
+        any_value_to_otlp_json,
+    )
+
+    wire = json.loads(
+        json.dumps(any_value_to_otlp_json(v), allow_nan=False)
+    )
+    got_json = any_value_from_otlp_json(wire)
+    assert got_json == v
+    assert got_json == decode_any_value(encode_any_value(v))
