@@ -131,3 +131,70 @@ def with_retry(
                 delay = max(delay, err.delay_s)
             sleep(delay)
             interval = min(interval * cfg.multiplier, cfg.max_interval_s)
+
+
+class AttemptTimeout(Exception):
+    """One attempt exceeded its deadline — RETRYABLE by design: the
+    reference's timeout sender makes the push fail with a context-deadline
+    error that the retry sender then backs off on
+    (exporterhelper/common.go:194-209; the chain is
+    queue -> retry -> timeout -> push, common.go:159-186)."""
+
+
+def with_timeout(
+    fn: Callable[[], T],
+    timeout_s: float,
+    spark=None,
+    group_id: str | None = None,
+) -> T:
+    """Timeout sender analog: run ``fn`` under a per-attempt deadline
+    (exporterhelper/common.go:194-209; TimeoutSettings default 5s there —
+    a batch sink write warrants minutes, so no default is imposed here).
+
+    ``timeout_s <= 0`` disables the deadline (the reference's
+    ``Timeout > 0`` guard). On expiry the attempt's Spark job group is
+    cancelled (when ``spark`` is given) so a hung action's tasks actually
+    stop — Python has no context cancellation, and without the job-group
+    cancel a "timed out" write would keep burning executors behind the
+    retry. Raises AttemptTimeout (retryable); compose under with_retry for
+    the full chain:
+
+        with_retry(lambda: with_timeout(write_attempt, 300, spark))
+
+    The deadline is PER ATTEMPT, like the reference (each send() call gets
+    a fresh context.WithTimeout); with_retry's max_elapsed_s bounds the
+    whole chain. The job group is set inside the worker thread because
+    Spark job-group properties are thread-local.
+    """
+    if timeout_s <= 0:
+        return fn()
+    import concurrent.futures
+    import uuid
+
+    gid = group_id or f"timeout-sender-{uuid.uuid4().hex[:8]}"
+
+    def attempt() -> T:
+        if spark is not None:
+            spark.sparkContext.setJobGroup(
+                gid, f"with_timeout({timeout_s}s) attempt",
+                interruptOnCancel=True,
+            )
+        try:
+            return fn()
+        finally:
+            if spark is not None:
+                spark.sparkContext.clearJobGroup()
+
+    ex = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    try:
+        fut = ex.submit(attempt)
+        try:
+            return fut.result(timeout=timeout_s)
+        except concurrent.futures.TimeoutError:
+            if spark is not None:
+                spark.sparkContext.cancelJobGroup(gid)
+            raise AttemptTimeout(
+                f"attempt exceeded {timeout_s}s deadline"
+            ) from None
+    finally:
+        ex.shutdown(wait=False)

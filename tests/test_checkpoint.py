@@ -281,3 +281,70 @@ def test_checkpoint_ledger_compaction_preserves_resume(spark, routed, tmp_path):
     totals = CheckpointedRunner(spark, cfg).run(routed, run_id="second")
     assert totals["processed_buckets"] == []
     assert sorted(totals["skipped_buckets"]) == list(range(8))
+
+
+# --- timeout sender semantics (exporterhelper/common.go:194-209) ------------
+
+
+def test_timeout_sender_passes_fast_results_through():
+    from opentelemetry_collector_spark.plans.retry import with_timeout
+
+    assert with_timeout(lambda: 42, timeout_s=5.0) == 42
+    # <= 0 disables the deadline entirely (the reference's Timeout > 0 guard)
+    assert with_timeout(lambda: 7, timeout_s=0) == 7
+
+
+def test_timeout_sender_expiry_is_retryable():
+    import time as _time
+
+    from opentelemetry_collector_spark.plans.retry import (
+        AttemptTimeout,
+        RetryConfig,
+        with_retry,
+        with_timeout,
+    )
+
+    with pytest.raises(AttemptTimeout):
+        with_timeout(lambda: _time.sleep(10), timeout_s=0.2)
+
+    # composes under with_retry: first attempt times out, second succeeds
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            _time.sleep(10)
+        return "ok"
+
+    slept: list[float] = []
+    out = with_retry(
+        lambda: with_timeout(flaky, timeout_s=0.2),
+        RetryConfig(initial_interval_s=0.01, max_elapsed_s=0),
+        sleep=slept.append,
+    )
+    assert out == "ok" and calls["n"] == 2 and len(slept) == 1
+
+
+def test_timeout_sender_cancels_hung_spark_action(spark):
+    """A hung Spark action times out AND its job group is cancelled so the
+    tasks stop burning executors; the session stays usable afterwards."""
+    import time as _time
+
+    from opentelemetry_collector_spark.plans.retry import (
+        AttemptTimeout,
+        with_timeout,
+    )
+
+    def hung():
+        return (
+            spark.range(8)
+            .rdd.mapPartitions(lambda it: (_time.sleep(120), iter(it))[1])
+            .count()
+        )
+
+    t0 = _time.monotonic()
+    with pytest.raises(AttemptTimeout):
+        with_timeout(hung, timeout_s=3.0, spark=spark)
+    assert _time.monotonic() - t0 < 30  # deadline, not the 120s sleep
+    # cancellation reached the scheduler: the session still answers
+    assert spark.range(5).count() == 5
