@@ -38,6 +38,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--buckets-per-wave", type=int, default=4)
     p.add_argument("--bucket-seconds", type=int, default=300)
     p.add_argument("--max-records-per-file", type=int, default=8192)
+    p.add_argument("--attempt-timeout", type=float, default=0.0,
+                   help="per-attempt deadline (s) on each wave's sink write;"
+                        " 0 disables (timeout sender analog)")
     p.add_argument("--salt-buckets", type=int, default=0,
                    help="static hot-conv_id salting factor (0 = off)")
     p.add_argument("--adaptive-salting", action="store_true",
@@ -157,6 +160,7 @@ def main(argv: list[str] | None = None) -> int:
                 n_buckets=args.n_buckets,
                 buckets_per_wave=args.buckets_per_wave,
                 max_records_per_file=cfg.max_records_per_file,
+                attempt_timeout_s=args.attempt_timeout,
             ),
         )
         if not args.resume:

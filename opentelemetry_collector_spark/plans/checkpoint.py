@@ -37,7 +37,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from opentelemetry_collector_spark.plans.retry import RetryConfig, with_retry
+from opentelemetry_collector_spark.plans.retry import (
+    RetryConfig,
+    with_retry,
+    with_timeout,
+)
 
 CHECKPOINT_SCHEMA = T.StructType(
     [
@@ -77,12 +81,19 @@ class CheckpointConfig:
     n_buckets: int = 16
     buckets_per_wave: int = 4
     max_records_per_file: int = 8192  # batchprocessor/factory.go:31
+    # per-ATTEMPT deadline on each wave's sink write; 0 disables (the
+    # reference's Timeout > 0 guard). On expiry the attempt's tagged jobs
+    # are cancelled and the retry sender backs off — the full
+    # queue -> retry -> timeout -> push chain (exporterhelper/common.go:159-209)
+    attempt_timeout_s: float = 0.0
 
     def validate(self) -> None:
         if self.n_buckets <= 0 or self.buckets_per_wave <= 0:
             raise ValueError("n_buckets and buckets_per_wave must be positive")
         if not self.base_path:
             raise ValueError("base_path required")
+        if self.attempt_timeout_s < 0:
+            raise ValueError("attempt_timeout_s must be >= 0 (0 = no deadline)")
 
     @property
     def sinks_path(self) -> str:
@@ -207,9 +218,13 @@ class CheckpointedRunner:
                 ).persist()
 
                 with_retry(
-                    lambda df=wave_df: write_sinks(
-                        df, cfg.sinks_path, cfg.max_records_per_file,
-                        extra_partition_cols=["part_bucket"],
+                    lambda df=wave_df: with_timeout(
+                        lambda: write_sinks(
+                            df, cfg.sinks_path, cfg.max_records_per_file,
+                            extra_partition_cols=["part_bucket"],
+                        ),
+                        cfg.attempt_timeout_s,
+                        spark=self.spark,
                     ),
                     self.retry,
                 )

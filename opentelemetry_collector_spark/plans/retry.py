@@ -152,9 +152,9 @@ def with_timeout(
     a batch sink write warrants minutes, so no default is imposed here).
 
     ``timeout_s <= 0`` disables the deadline (the reference's
-    ``Timeout > 0`` guard). On expiry the attempt's Spark job group is
-    cancelled (when ``spark`` is given) so a hung action's tasks actually
-    stop — Python has no context cancellation, and without the job-group
+    ``Timeout > 0`` guard). On expiry every job carrying the attempt's job
+    TAG is cancelled (when ``spark`` is given) so a hung action's tasks
+    actually stop — Python has no context cancellation, and without the
     cancel a "timed out" write would keep burning executors behind the
     retry. Raises AttemptTimeout (retryable); compose under with_retry for
     the full chain:
@@ -163,27 +163,26 @@ def with_timeout(
 
     The deadline is PER ATTEMPT, like the reference (each send() call gets
     a fresh context.WithTimeout); with_retry's max_elapsed_s bounds the
-    whole chain. The job group is set inside the worker thread because
-    Spark job-group properties are thread-local.
+    whole chain. The tag is added inside the worker thread because Spark
+    job tags are thread-local (tags, not setJobGroup: a group id would
+    OVERWRITE any group the caller had set, while tags stack).
     """
     if timeout_s <= 0:
         return fn()
     import concurrent.futures
     import uuid
 
-    gid = group_id or f"timeout-sender-{uuid.uuid4().hex[:8]}"
+    tag = group_id or f"timeout-sender-{uuid.uuid4().hex[:8]}"
 
     def attempt() -> T:
         if spark is not None:
-            spark.sparkContext.setJobGroup(
-                gid, f"with_timeout({timeout_s}s) attempt",
-                interruptOnCancel=True,
-            )
+            spark.sparkContext.addJobTag(tag)
+            spark.sparkContext.setInterruptOnCancel(True)
         try:
             return fn()
         finally:
             if spark is not None:
-                spark.sparkContext.clearJobGroup()
+                spark.sparkContext.removeJobTag(tag)
 
     ex = concurrent.futures.ThreadPoolExecutor(max_workers=1)
     try:
@@ -192,7 +191,7 @@ def with_timeout(
             return fut.result(timeout=timeout_s)
         except concurrent.futures.TimeoutError:
             if spark is not None:
-                spark.sparkContext.cancelJobGroup(gid)
+                spark.sparkContext.cancelJobsWithTag(tag)
             raise AttemptTimeout(
                 f"attempt exceeded {timeout_s}s deadline"
             ) from None

@@ -348,3 +348,13 @@ def test_timeout_sender_cancels_hung_spark_action(spark):
     assert _time.monotonic() - t0 < 30  # deadline, not the 120s sleep
     # cancellation reached the scheduler: the session still answers
     assert spark.range(5).count() == 5
+
+
+def test_run_with_attempt_timeout_happy_path(spark, routed, tmp_path):
+    """A generous attempt_timeout_s routes every wave write through the
+    timeout sender without changing results."""
+    cfg = CheckpointConfig(base_path=str(tmp_path / "out"), n_buckets=4,
+                           attempt_timeout_s=600.0)
+    totals = CheckpointedRunner(spark, cfg).run(routed, run_id="deadline")
+    assert sorted(totals["processed_buckets"]) == [0, 1, 2, 3]
+    assert _read_sinks(spark, cfg).count() == routed.count()
