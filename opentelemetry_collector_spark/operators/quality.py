@@ -1,0 +1,267 @@
+"""Corpus-quality rule filters, canonical normalization, and weighted
+source mixing — three curation stages a training-data pipeline runs
+between ingest and dedup.
+
+The reference collector has no corpus operators; these extend the engine's
+training-data family (SURVEY §2 LLM ops) with the standard public
+heuristics:
+
+* ``doc_gopher_rules`` — the Gopher quality-rule set (Rae et al. 2021,
+  arXiv:2112.11446 §A1.1): word-count bounds, mean-word-length bounds,
+  minimum alphabetic-word fraction, minimum stop-word presence, maximum
+  symbol ratio. Every rule is a per-doc boolean plus the conjunction
+  ``keep`` — filters are kept inspectable, never silent.
+* ``doc_normalize`` — the canonical text form near-dedup pipelines hash
+  (lowercase, strip non-alphanumerics, collapse whitespace) plus its md5,
+  so MinHash/SimHash stages upstream can key on ``norm_hash`` instead of
+  raw text.
+* ``corpus_mix`` — deterministic weighted source mixing: given integer
+  source weights, compute the largest feasible mixed corpus hitting those
+  proportions and keep each doc by a salted hash threshold — reproducible
+  across runs, engines, and cluster sizes (no ``rand()``).
+
+Scale notes (100 TB): all three are single-scan. The Gopher rules and the
+normalizer are pure codegen projections (the only higher-order function is
+one ``filter`` for the alphabetic-word count; mean word length uses the
+identity ``sum(len(w)) == length(text) - (n_words - 1)`` for
+single-space-joined text instead of an interpreted fold). ``corpus_mix``
+adds one partial aggregate over ~#sources rows and broadcasts the ≤#sources
+rate table back — no wide shuffle of the corpus itself.
+
+Exact-arithmetic discipline: every rule threshold is compared in INTEGER
+form (``3*n <= s`` instead of ``s/n >= 3.0``) so the DuckDB oracle is
+bit-identical with no float formatting hazards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators.textstats import (
+    STOPWORDS,
+    _docs,
+    _hash_bucket,
+    _hash_bucket_sql,
+    _occ_sql,
+    _occurrences,
+)
+
+# --- Gopher rule constants (Rae et al. 2021 §A1.1) --------------------------
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3  # inclusive lower bound on mean word length
+GOPHER_MAX_MEAN_WORD_LEN = 10  # inclusive upper bound
+# >= 80% of words must contain at least one alphabetic character: 5*a >= 4*n
+GOPHER_ALPHA_NUM, GOPHER_ALPHA_DEN = 4, 5
+GOPHER_MIN_STOPWORDS = 2  # distinct stop words present
+# symbol-to-word ratio (hash marks + ellipses) <= 10%: 10*s <= n
+GOPHER_SYMBOL_DEN = 10
+GOPHER_SYMBOLS = ("#", "...")
+
+
+def doc_gopher_rules(
+    spark, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Per-document Gopher rule booleans + the conjunction ``keep``.
+
+    One projection, no shuffle: counts are derived from ``split(text, ' ')``
+    and length arithmetic; the mean-word-length rule compares
+    ``lo*n <= sum_word_len <= hi*n`` in integers.
+    """
+    df = _docs(spark, sf_dir, docs=docs)
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("long")
+    # single-space-joined text: sum of word lengths == len - (n_words - 1)
+    sum_len = (F.length("text") - n_words + F.lit(1)).cast("long")
+    n_alpha = F.expr(
+        "cast(size(filter(split(text, ' '), w -> w rlike '[a-zA-Z]')) AS bigint)"
+    )
+    n_stop = sum(
+        (
+            F.array_contains(words, w).cast("long")
+            for w in STOPWORDS
+        ),
+        F.lit(0).cast("long"),
+    )
+    n_sym = sum(
+        (_occurrences(s) for s in GOPHER_SYMBOLS), F.lit(0).cast("long")
+    )
+    r_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_mean = (sum_len >= GOPHER_MIN_MEAN_WORD_LEN * n_words) & (
+        sum_len <= GOPHER_MAX_MEAN_WORD_LEN * n_words
+    )
+    r_alpha = n_alpha * GOPHER_ALPHA_DEN >= n_words * GOPHER_ALPHA_NUM
+    r_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    r_sym = n_sym * GOPHER_SYMBOL_DEN <= n_words
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        sum_len.alias("sum_word_len"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stopwords_distinct"),
+        n_sym.alias("n_symbols"),
+        r_words.alias("r_word_count"),
+        r_mean.alias("r_mean_word_len"),
+        r_alpha.alias("r_alpha_words"),
+        r_stop.alias("r_stopwords"),
+        r_sym.alias("r_symbol_ratio"),
+        (r_words & r_mean & r_alpha & r_stop & r_sym).alias("keep"),
+    )
+
+
+_STOP_SUM_SQL = " + ".join(
+    f"(CASE WHEN list_contains(string_split(text, ' '), '{w}') THEN 1 ELSE 0 END)"
+    for w in STOPWORDS
+)
+_SYM_SUM_SQL = " + ".join(_occ_sql(s) for s in GOPHER_SYMBOLS)
+
+DOC_GOPHER_ORACLE = f"""
+SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_stopwords_distinct,
+    n_symbols,
+    (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+        AS r_word_count,
+    (sum_word_len >= {GOPHER_MIN_MEAN_WORD_LEN} * n_words
+     AND sum_word_len <= {GOPHER_MAX_MEAN_WORD_LEN} * n_words)
+        AS r_mean_word_len,
+    (n_alpha_words * {GOPHER_ALPHA_DEN} >= n_words * {GOPHER_ALPHA_NUM})
+        AS r_alpha_words,
+    (n_stopwords_distinct >= {GOPHER_MIN_STOPWORDS}) AS r_stopwords,
+    (n_symbols * {GOPHER_SYMBOL_DEN} <= n_words) AS r_symbol_ratio,
+    ((n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+     AND (sum_word_len >= {GOPHER_MIN_MEAN_WORD_LEN} * n_words
+          AND sum_word_len <= {GOPHER_MAX_MEAN_WORD_LEN} * n_words)
+     AND (n_alpha_words * {GOPHER_ALPHA_DEN} >= n_words * {GOPHER_ALPHA_NUM})
+     AND (n_stopwords_distinct >= {GOPHER_MIN_STOPWORDS})
+     AND (n_symbols * {GOPHER_SYMBOL_DEN} <= n_words)) AS keep
+FROM (
+    SELECT doc_id,
+        cast(len(string_split(text, ' ')) AS bigint) AS n_words,
+        cast(length(text) - len(string_split(text, ' ')) + 1 AS bigint)
+            AS sum_word_len,
+        cast(len(list_filter(string_split(text, ' '),
+                             w -> regexp_matches(w, '[a-zA-Z]'))) AS bigint)
+            AS n_alpha_words,
+        cast({_STOP_SUM_SQL} AS bigint) AS n_stopwords_distinct,
+        cast({_SYM_SUM_SQL} AS bigint) AS n_symbols
+    FROM documents
+) q
+"""
+
+
+def doc_normalize(
+    spark, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Canonical text form for near-dedup keying: lowercase, map every
+    non-[a-z0-9 ] rune to space, collapse runs of spaces, trim; plus its
+    md5 (``norm_hash``) and normalized length. Pure codegen projection."""
+    df = _docs(spark, sf_dir, docs=docs)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return df.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        F.md5(norm).alias("norm_hash"),
+    )
+
+
+DOC_NORMALIZE_ORACLE = """
+SELECT doc_id, norm_text,
+    cast(length(norm_text) AS bigint) AS n_chars_norm,
+    md5(norm_text) AS norm_hash
+FROM (
+    SELECT doc_id,
+        trim(regexp_replace(
+            regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+            ' +', ' ', 'g')) AS norm_text
+    FROM documents
+) q
+"""
+
+
+# --- deterministic weighted source mixing -----------------------------------
+#
+# Integer weights per source family; the mix targets proportions
+# w_s / sum(w). The largest feasible mixed corpus is T = min_s(n_s * W / w_s)
+# (the scarcest source binds); each source then keeps
+# rate_s = (w_s * T * 1000) / (W * n_s) per-mille of its docs by salted
+# doc_id hash. All arithmetic is integer (floor division), so the oracle is
+# exact.
+
+MIX_SALT = "mix"
+MIX_WEIGHT_CASE = (
+    "CASE WHEN source IN ('src0', 'src1', 'src2', 'src3') THEN 3 "
+    "WHEN source IN ('src4', 'src5') THEN 2 ELSE 1 END"
+)
+
+
+def _mix_weight() -> Column:
+    return F.expr(MIX_WEIGHT_CASE).cast("long")
+
+
+def corpus_mix(spark, sf_dir: str, docs: DataFrame | None = None) -> DataFrame:
+    """Weighted source mix: per-source keep rates derived from integer
+    target weights, applied as a deterministic salted-hash filter.
+
+    Plan shape at 10^12 docs: one partial aggregate to ~#sources rows, a
+    driver-free scalar reduction on that tiny frame, and one broadcast join
+    of the ≤#sources rate table back onto the scan — the corpus itself is
+    never shuffled.
+    """
+    df = _docs(spark, sf_dir, docs=docs)
+    counts = (
+        df.groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_s"))
+        .withColumn("wgt", _mix_weight())
+    )
+    totals = counts.agg(F.sum("wgt").cast("long").alias("w_total"))
+    t_max = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(F.expr("n_s * w_total div wgt").alias("cand"))
+        .agg(F.min("cand").cast("long").alias("t_mix"))
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(t_max))
+        .select(
+            "source",
+            F.expr(
+                "least(1000L, (wgt * t_mix * 1000) div (w_total * n_s))"
+            ).alias("rate_permille"),
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), "source")
+        .where(_hash_bucket(F.col("doc_id"), 1000, MIX_SALT)
+               < F.col("rate_permille"))
+        .select("doc_id", "source", "rate_permille")
+    )
+
+
+CORPUS_MIX_ORACLE = f"""
+WITH cnt AS (
+    SELECT source, any_value({MIX_WEIGHT_CASE}) AS wgt,
+           count(*) AS n_s
+    FROM documents GROUP BY source
+),
+tot AS (SELECT sum(wgt) AS w_total FROM cnt),
+tmin AS (
+    SELECT min(n_s * (SELECT w_total FROM tot) // wgt) AS t_mix FROM cnt
+),
+rates AS (
+    SELECT source,
+        least(1000, (wgt * (SELECT t_mix FROM tmin) * 1000)
+                    // ((SELECT w_total FROM tot) * n_s))
+            AS rate_permille
+    FROM cnt
+)
+SELECT d.doc_id, d.source, cast(r.rate_permille AS bigint) AS rate_permille
+FROM documents d JOIN rates r USING (source)
+WHERE {_hash_bucket_sql('d.doc_id', 1000, MIX_SALT)} < r.rate_permille
+"""

@@ -27,6 +27,7 @@ from opentelemetry_collector_spark.operators.route import dead_letter, route, ro
 from opentelemetry_collector_spark.operators import aggregate as _agg
 from opentelemetry_collector_spark.operators import dedup as _dedup
 from opentelemetry_collector_spark.operators import multimodal as _mm
+from opentelemetry_collector_spark.operators import quality as _qual
 from opentelemetry_collector_spark.operators.asof import (
     asof_oracle_sql,
     q_asof_enrich,
@@ -700,6 +701,9 @@ DOCS_QUERIES: dict[str, QueryFn] = {
     "embedding_quantize": _sim.embedding_quantize,
     "embedding_kmeans": _sim.embedding_kmeans,
     "cluster_balanced_sample": _sim.cluster_balanced_sample,
+    "doc_gopher_rules": _qual.doc_gopher_rules,
+    "doc_normalize": _qual.doc_normalize,
+    "corpus_mix": _qual.corpus_mix,
 }
 
 DOCS_ORACLES: dict[str, str] = {
@@ -733,6 +737,9 @@ DOCS_ORACLES: dict[str, str] = {
     "embedding_quantize": _sim.EMBEDDING_QUANTIZE_ORACLE,
     "embedding_kmeans": _sim.EMBEDDING_KMEANS_ORACLE,
     "cluster_balanced_sample": _sim.CLUSTER_SAMPLE_ORACLE,
+    "doc_gopher_rules": _qual.DOC_GOPHER_ORACLE,
+    "doc_normalize": _qual.DOC_NORMALIZE_ORACLE,
+    "corpus_mix": _qual.CORPUS_MIX_ORACLE,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -995,7 +1002,10 @@ REGISTRY_ORDER: list[str] = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_embedding_pairs",
-    # -- new or behavior-touched in round 5 (none registered so far) --------
+    # -- new in round 5: curation-stage quality/normalize/mix operators -----
+    "doc_gopher_rules",
+    "doc_normalize",
+    "corpus_mix",
     # -- r04-green representatives filling the window -----------------------
     "transcripts_source",
     "parse_turns",

@@ -490,3 +490,94 @@ def test_kmeans_assignment_is_true_argmin(spark):
         best = min(dists, key=lambda c: (dists[c], c))
         agree += best == r.cluster
     assert agree / len(checked) >= 0.9
+
+
+# --- round-5 curation-stage ops (quality.py) --------------------------------
+
+
+def _mini_docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+
+
+def test_gopher_rules_fire_individually(spark):
+    """Each rule catches its designed violation on handcrafted docs (the
+    oracle proves engine parity; this proves the rules mean what the paper
+    says)."""
+    from opentelemetry_collector_spark.operators.quality import doc_gopher_rules
+
+    ok_words = " ".join(["the", "a"] + ["word"] * 60)  # 62 words, all fine
+    rows = [
+        (1, ok_words, "en", "s", 0),
+        (2, "the a short doc", "en", "s", 0),                      # < 50 words
+        (3, " ".join(["the", "a"] + ["xy"] * 60), "en", "s", 0),   # mean len < 3
+        (4, " ".join(["the", "a"] + ["superlongwordhere"] * 60), "en", "s", 0),  # mean > 10
+        (5, " ".join(["the", "a"] + ["12345"] * 60), "en", "s", 0),  # alpha < 80%
+        (6, " ".join(["word"] * 62), "en", "s", 0),                # no stopwords
+        (7, " ".join(["the", "a"] + ["word"] * 53 + ["#"] * 7), "en", "s", 0),  # symbols > 10%
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in doc_gopher_rules(
+            spark, "", docs=_mini_docs(spark, rows)
+        ).collect()
+    }
+    assert out[1]["keep"]
+    assert not out[2]["r_word_count"] and not out[2]["keep"]
+    assert not out[3]["r_mean_word_len"]
+    assert not out[4]["r_mean_word_len"]
+    assert not out[5]["r_alpha_words"]
+    assert not out[6]["r_stopwords"]
+    assert not out[7]["r_symbol_ratio"]
+    # every doc other than 1 fails exactly its designed rule's keep
+    assert all(not out[i]["keep"] for i in range(2, 8))
+
+
+def test_normalize_is_idempotent_and_merges_variants(spark):
+    """normalize(normalize(x)) == normalize(x), and case/punctuation
+    variants of the same words collapse to one norm_hash — the property
+    MinHash keying on norm_hash relies on."""
+    from opentelemetry_collector_spark.operators.quality import doc_normalize
+
+    rows = [
+        (1, "The  QUICK, brown fox!", "en", "s", 0),
+        (2, "the quick brown fox", "en", "s", 0),
+        (3, "the   quick... brown -- fox?!", "en", "s", 0),
+    ]
+    once = doc_normalize(spark, "", docs=_mini_docs(spark, rows))
+    hashes = {r["doc_id"]: r["norm_hash"] for r in once.collect()}
+    assert len(set(hashes.values())) == 1
+    # idempotence: feed norm_text back through as text
+    again = doc_normalize(
+        spark,
+        "",
+        docs=once.select(
+            F.col("doc_id"),
+            F.col("norm_text").alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("s").alias("source"),
+            F.lit(0).cast("long").alias("n_chars"),
+        ),
+    )
+    assert {r["norm_hash"] for r in again.collect()} == set(hashes.values())
+
+
+def test_corpus_mix_hits_weighted_proportions(spark):
+    """The mixed corpus' source shares approximate the integer target
+    weights, the filter is deterministic, and membership is a pure
+    function of doc_id (partitioning-independent)."""
+    from opentelemetry_collector_spark.operators.quality import corpus_mix
+
+    out = corpus_mix(spark, SF_CORRECT)
+    rows = out.collect()
+    assert rows, "mix must keep something"
+    again = {(r.doc_id, r.source) for r in corpus_mix(spark, SF_CORRECT).collect()}
+    assert {(r.doc_id, r.source) for r in rows} == again
+    # weight-3 sources should out-represent weight-1 sources ~3x per source
+    by_src = {}
+    for r in rows:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    heavy = sum(by_src.get(f"src{i}", 0) for i in range(4)) / 4
+    light = sum(by_src.get(f"src{i}", 0) for i in range(6, 20)) / 14
+    assert heavy > 1.8 * light
