@@ -60,16 +60,10 @@ GOPHER_SYMBOL_DEN = 10
 GOPHER_SYMBOLS = ("#", "...")
 
 
-def doc_gopher_rules(
-    spark, sf_dir: str, docs: DataFrame | None = None
-) -> DataFrame:
-    """Per-document Gopher rule booleans + the conjunction ``keep``.
-
-    One projection, no shuffle: counts are derived from ``split(text, ' ')``
-    and length arithmetic; the mean-word-length rule compares
-    ``lo*n <= sum_word_len <= hi*n`` in integers.
-    """
-    df = _docs(spark, sf_dir, docs=docs)
+def _gopher_columns() -> dict[str, Column]:
+    """The rule expressions over a ``text`` column, shared by the
+    inventory query (``project=True``) and the processor-position filter
+    (``project=False``)."""
     words = F.split(F.col("text"), " ")
     n_words = F.size(words).cast("long")
     # single-space-joined text: sum of word lengths == len - (n_words - 1)
@@ -94,19 +88,43 @@ def doc_gopher_rules(
     r_alpha = n_alpha * GOPHER_ALPHA_DEN >= n_words * GOPHER_ALPHA_NUM
     r_stop = n_stop >= GOPHER_MIN_STOPWORDS
     r_sym = n_sym * GOPHER_SYMBOL_DEN <= n_words
+    return {
+        "n_words": n_words,
+        "sum_word_len": sum_len,
+        "n_alpha_words": n_alpha,
+        "n_stopwords_distinct": n_stop,
+        "n_symbols": n_sym,
+        "r_word_count": r_words,
+        "r_mean_word_len": r_mean,
+        "r_alpha_words": r_alpha,
+        "r_stopwords": r_stop,
+        "r_symbol_ratio": r_sym,
+        "keep": r_words & r_mean & r_alpha & r_stop & r_sym,
+    }
+
+
+def doc_gopher_rules(
+    spark,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    project: bool = True,
+) -> DataFrame:
+    """Per-document Gopher rule booleans + the conjunction ``keep``.
+
+    One projection, no shuffle: counts are derived from ``split(text, ' ')``
+    and length arithmetic; the mean-word-length rule compares
+    ``lo*n <= sum_word_len <= hi*n`` in integers.
+
+    ``project=False`` is the processor position: the input frame filtered
+    to ``keep`` rows with every column preserved — a pure Catalyst filter,
+    no join against the rule frame.
+    """
+    df = _docs(spark, sf_dir, docs=docs)
+    cols = _gopher_columns()
+    if not project:
+        return df.where(cols["keep"])
     return df.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        sum_len.alias("sum_word_len"),
-        n_alpha.alias("n_alpha_words"),
-        n_stop.alias("n_stopwords_distinct"),
-        n_sym.alias("n_symbols"),
-        r_words.alias("r_word_count"),
-        r_mean.alias("r_mean_word_len"),
-        r_alpha.alias("r_alpha_words"),
-        r_stop.alias("r_stopwords"),
-        r_sym.alias("r_symbol_ratio"),
-        (r_words & r_mean & r_alpha & r_stop & r_sym).alias("keep"),
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
     )
 
 
@@ -150,11 +168,18 @@ FROM (
 
 
 def doc_normalize(
-    spark, sf_dir: str, docs: DataFrame | None = None
+    spark,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    project: bool = True,
 ) -> DataFrame:
     """Canonical text form for near-dedup keying: lowercase, map every
     non-[a-z0-9 ] rune to space, collapse runs of spaces, trim; plus its
-    md5 (``norm_hash``) and normalized length. Pure codegen projection."""
+    md5 (``norm_hash``) and normalized length. Pure codegen projection.
+
+    ``project=False`` is the processor position: ``text``/``n_chars`` are
+    rewritten in place (every other column preserved) and ``norm_hash``
+    is appended for downstream dedup keying."""
     df = _docs(spark, sf_dir, docs=docs)
     norm = F.trim(
         F.regexp_replace(
@@ -163,6 +188,12 @@ def doc_normalize(
             " ",
         )
     )
+    if not project:
+        return (
+            df.withColumn("text", norm)
+            .withColumn("n_chars", F.length("text").cast("long"))
+            .withColumn("norm_hash", F.md5("text"))
+        )
     return df.select(
         "doc_id",
         norm.alias("norm_text"),
@@ -205,7 +236,12 @@ def _mix_weight() -> Column:
     return F.expr(MIX_WEIGHT_CASE).cast("long")
 
 
-def corpus_mix(spark, sf_dir: str, docs: DataFrame | None = None) -> DataFrame:
+def corpus_mix(
+    spark,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    project: bool = True,
+) -> DataFrame:
     """Weighted source mix: per-source keep rates derived from integer
     target weights, applied as a deterministic salted-hash filter.
 
@@ -213,6 +249,9 @@ def corpus_mix(spark, sf_dir: str, docs: DataFrame | None = None) -> DataFrame:
     driver-free scalar reduction on that tiny frame, and one broadcast join
     of the ≤#sources rate table back onto the scan — the corpus itself is
     never shuffled.
+
+    ``project=False`` is the processor position: the kept rows with every
+    input column preserved (rate column dropped).
     """
     df = _docs(spark, sf_dir, docs=docs)
     counts = (
@@ -236,12 +275,12 @@ def corpus_mix(spark, sf_dir: str, docs: DataFrame | None = None) -> DataFrame:
             ).alias("rate_permille"),
         )
     )
-    return (
-        df.join(F.broadcast(rates), "source")
-        .where(_hash_bucket(F.col("doc_id"), 1000, MIX_SALT)
-               < F.col("rate_permille"))
-        .select("doc_id", "source", "rate_permille")
+    kept = df.join(F.broadcast(rates), "source").where(
+        _hash_bucket(F.col("doc_id"), 1000, MIX_SALT) < F.col("rate_permille")
     )
+    if not project:
+        return kept.drop("rate_permille")
+    return kept.select("doc_id", "source", "rate_permille")
 
 
 CORPUS_MIX_ORACLE = f"""

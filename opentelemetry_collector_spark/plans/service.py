@@ -168,6 +168,20 @@ def _builtin_processors() -> dict[str, Callable]:
             out = out.join(bad, "doc_id", "left_anti")
         return out
 
+    from opentelemetry_collector_spark.operators import quality as _q
+
+    def gopher_filter_p(spark, df, cfg):
+        # pure Catalyst filter on the flowing frame — no rule-frame join
+        return _q.doc_gopher_rules(spark, "", docs=df, project=False)
+
+    def normalize_p(spark, df, cfg):
+        # rewrites text/n_chars in place, appends norm_hash for dedup keying
+        return _q.doc_normalize(spark, "", docs=df, project=False)
+
+    def mix_p(spark, df, cfg):
+        # broadcast per-source rate table, salted-hash keep — no wide shuffle
+        return _q.corpus_mix(spark, "", docs=df, project=False)
+
     return {
         "parse": lambda spark, df, cfg: parse_turns(df),
         "enrich": lambda spark, df, cfg: enrich(df, spark),
@@ -184,6 +198,9 @@ def _builtin_processors() -> dict[str, Callable]:
         "dedup_minhash": dedup_minhash_p,
         "dedup_substring": dedup_substring_p,
         "quality_filter": quality_filter_p,
+        "gopher_filter": gopher_filter_p,
+        "normalize": normalize_p,
+        "mix": mix_p,
     }
 
 

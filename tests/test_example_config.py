@@ -98,6 +98,13 @@ def test_curation_example_via_cli_config_mode(tmp_path):
     assert curated_files
     n_out = sum(pq.read_table(str(f)).num_rows for f in curated_files)
     assert 0 < n_out == n_curated < n_in
+    # second pipeline: normalize -> gopher_filter -> mix over the same
+    # receiver (training-mix construction)
+    n_mixed = report["pipelines"]["mixing"]
+    mixed_files = list((tmp_path / "mixed").rglob("*.parquet"))
+    assert mixed_files
+    n_mixed_out = sum(pq.read_table(str(f)).num_rows for f in mixed_files)
+    assert 0 < n_mixed_out == n_mixed < n_in
 
 
 def test_cli_requires_source_output_without_config():

@@ -249,3 +249,58 @@ def test_config_built_jsonl_sink_every_wire_codec(spark, tmp_path, compression):
     back = read_otlp_jsonl(spark, str(tmp_path / "export"))
     assert back.count() == n > 0
     assert back.filter("conv_id IS NULL").count() == 0
+
+
+def test_run_service_mixing_pipeline(spark, tmp_path):
+    """Round 5: the normalize -> gopher_filter -> mix processors are
+    config-buildable and equal the direct project=False composition,
+    preserving the documents schema plus norm_hash."""
+    from opentelemetry_collector_spark.operators import quality as q
+
+    cfg = ServiceConfig.from_sources(
+        {
+            "receivers": {
+                "documents": {"path": f"{SF_SMOKE}/documents.parquet"}
+            },
+            "processors": {
+                "normalize": {},
+                "gopher_filter": {},
+                "mix": {},
+            },
+            "exporters": {
+                "parquet": {"path": str(tmp_path / "mixed")},
+            },
+            "service": {
+                "pipelines": {
+                    "mixing": {
+                        "receivers": ["documents"],
+                        "processors": ["normalize", "gopher_filter", "mix"],
+                        "exporters": ["parquet"],
+                    }
+                }
+            },
+        },
+        env={},
+    )
+    got = run_service(spark, cfg)["mixing"]
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    want = q.corpus_mix(
+        spark,
+        "",
+        docs=q.doc_gopher_rules(
+            spark,
+            "",
+            docs=q.doc_normalize(spark, "", docs=docs, project=False),
+            project=False,
+        ),
+        project=False,
+    )
+    assert sorted(got.columns) == sorted(
+        [*docs.columns, "norm_hash"]
+    )
+    got_rows = {tuple(r) for r in got.select(sorted(got.columns)).collect()}
+    want_rows = {tuple(r) for r in want.select(sorted(want.columns)).collect()}
+    assert got_rows == want_rows and got_rows
+    # the written corpus matches what flowed
+    assert spark.read.parquet(str(tmp_path / "mixed")).count() == len(got_rows)
