@@ -287,3 +287,18 @@ def test_regex_evaluation_counts_are_pinned(spark):
             f"(bound {bound}) — expression duplication is back, see "
             "PLANS.md 'Expression-duplication audit'"
         )
+
+
+def test_quality_ops_plan_shapes(spark):
+    """Round-5 curation ops: gopher rules and normalize are shuffle-free
+    single-scan projections; corpus_mix broadcasts its ~#sources rate
+    table onto the scan (never a sort-merge join on source) and the only
+    shuffles are the tiny source-count aggregates."""
+    for name in ["doc_gopher_rules", "doc_normalize"]:
+        plan = _plan(DOCS_QUERIES[name](spark, SF_SMOKE))
+        assert _shuffles(plan) == 0, f"{name} must not shuffle"
+        assert "SortMergeJoin" not in plan
+
+    mix = _plan(DOCS_QUERIES["corpus_mix"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in mix, "rate table must broadcast"
+    assert "SortMergeJoin" not in mix, "the corpus must never shuffle on source"
