@@ -771,3 +771,138 @@ SELECT vec_id, cluster, cast(rk AS int) AS sample_rank FROM (
 
 
 CLUSTER_SAMPLE_ORACLE = _cluster_sample_oracle()
+
+
+# --- SemDeDup: semantic dedup within k-means cluster blocks ------------------
+#
+# Abbas et al. 2023 (arXiv:2303.09540): embed, k-means cluster, and compare
+# pairwise ONLY within each cluster — the published recipe for semantic
+# near-dedup at corpus scale. The cluster id is the blocking key (an
+# EQUALITY join, never all-pairs): candidate volume is sum_c |c|^2, bounded
+# by growing k with n (the paper's regime — k ~ sqrt(n) holds expected block
+# work at O(n)). Keep-selection is connected components over the tau-pairs
+# with the component minimum as canonical — the same deterministic
+# parallel analog of the paper's greedy keep-one-per-ball that the MinHash
+# family uses (greedy sequential order does not distribute; min-label
+# canonicals do, and chains collapse to one survivor either way).
+
+SEMDEDUP_COS = 0.38  # tuned to the synthetic corpus (global p99.9 cos ~0.377)
+
+
+def _semdedup_pairs_from(assign: DataFrame, emb: DataFrame) -> DataFrame:
+    """tau-pairs within cluster blocks; norms precomputed per side (an
+    O(DIM) fold once per row, not once per pair)."""
+    av = assign.join(emb, "vec_id").withColumn("nrm", _norm("v"))
+    a = av.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "cluster",
+    )
+    b = av.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "cluster",
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            "cluster",
+            F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+            .alias("cos"),
+        )
+        .filter(F.col("cos") >= SEMDEDUP_COS)
+    )
+
+
+def semdedup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """SemDeDup candidate pairs: (vec_a, vec_b, cluster, cos >= tau)."""
+    assign = embedding_kmeans(spark, sf_dir, k=k, iters=iters).select(
+        "vec_id", "cluster"
+    )
+    return _semdedup_pairs_from(assign, _emb(spark, sf_dir))
+
+
+def semdedup(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Per-vector SemDeDup verdict: (vec_id, cluster, canonical_id,
+    is_dup) — canonical is the min vec_id of the vector's tau-component,
+    itself for untouched vectors. One k-means pass feeds both the blocks
+    and the output clusters (the pairs and the verdict share ``assign``)."""
+    from opentelemetry_collector_spark.operators.dedup import (
+        connected_components,
+    )
+
+    assign = embedding_kmeans(spark, sf_dir, k=k, iters=iters).select(
+        "vec_id", "cluster"
+    )
+    pairs = _semdedup_pairs_from(assign, _emb(spark, sf_dir)).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = connected_components(pairs).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("cluster_id").alias("canonical_id"),
+    )
+    return (
+        assign.join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce("canonical_id", F.col("vec_id")).alias("canonical_id"),
+        )
+        .withColumn("is_dup", F.col("vec_id") != F.col("canonical_id"))
+    )
+
+
+def _semdedup_base_cte() -> str:
+    """kmeans oracle body (ends at CTE ``afinal``) + embedding/pair CTEs,
+    shared by both SemDeDup oracles (same splice as the cluster sampler)."""
+    base = _kmeans_oracle()
+    body = base[len("WITH "):base.rindex("\nSELECT")]
+    return f"""{body},
+ev AS (
+    SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+    FROM embeddings
+),
+av AS (
+    SELECT a.vec_id, a.cluster, ev.v
+    FROM afinal a JOIN ev USING (vec_id)
+),
+taupairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cluster,
+        round({_cos_sql('a.v', 'b.v')}, 6) AS cos
+    FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE round({_cos_sql('a.v', 'b.v')}, 6) >= {SEMDEDUP_COS}
+)"""
+
+
+SEMDEDUP_PAIRS_ORACLE = f"""WITH {_semdedup_base_cte()}
+SELECT vec_a, vec_b, cluster, cos FROM taupairs"""
+
+SEMDEDUP_ORACLE = f"""WITH RECURSIVE {_semdedup_base_cte()},
+edges AS (
+    SELECT vec_a AS a, vec_b AS b FROM taupairs
+    UNION
+    SELECT vec_b, vec_a FROM taupairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (
+    SELECT node, node AS r FROM nodes
+    UNION
+    SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+lab AS (SELECT node AS vec_id, min(r) AS canonical_id FROM reach GROUP BY node)
+SELECT s.vec_id, s.cluster,
+    coalesce(l.canonical_id, s.vec_id) AS canonical_id,
+    (coalesce(l.canonical_id, s.vec_id) != s.vec_id) AS is_dup
+FROM afinal s LEFT JOIN lab l USING (vec_id)
+"""

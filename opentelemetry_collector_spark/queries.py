@@ -701,6 +701,8 @@ DOCS_QUERIES: dict[str, QueryFn] = {
     "embedding_quantize": _sim.embedding_quantize,
     "embedding_kmeans": _sim.embedding_kmeans,
     "cluster_balanced_sample": _sim.cluster_balanced_sample,
+    "semdedup_pairs": _sim.semdedup_pairs,
+    "semdedup": _sim.semdedup,
     "doc_gopher_rules": _qual.doc_gopher_rules,
     "doc_normalize": _qual.doc_normalize,
     "corpus_mix": _qual.corpus_mix,
@@ -737,6 +739,8 @@ DOCS_ORACLES: dict[str, str] = {
     "embedding_quantize": _sim.EMBEDDING_QUANTIZE_ORACLE,
     "embedding_kmeans": _sim.EMBEDDING_KMEANS_ORACLE,
     "cluster_balanced_sample": _sim.CLUSTER_SAMPLE_ORACLE,
+    "semdedup_pairs": _sim.SEMDEDUP_PAIRS_ORACLE,
+    "semdedup": _sim.SEMDEDUP_ORACLE,
     "doc_gopher_rules": _qual.DOC_GOPHER_ORACLE,
     "doc_normalize": _qual.DOC_NORMALIZE_ORACLE,
     "corpus_mix": _qual.CORPUS_MIX_ORACLE,
@@ -1002,10 +1006,12 @@ REGISTRY_ORDER: list[str] = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_embedding_pairs",
-    # -- new in round 5: curation-stage quality/normalize/mix operators -----
+    # -- new in round 5: curation-stage quality/normalize/mix + SemDeDup ----
     "doc_gopher_rules",
     "doc_normalize",
     "corpus_mix",
+    "semdedup_pairs",
+    "semdedup",
     # -- r04-green representatives filling the window -----------------------
     "transcripts_source",
     "parse_turns",

@@ -581,3 +581,78 @@ def test_corpus_mix_hits_weighted_proportions(spark):
     heavy = sum(by_src.get(f"src{i}", 0) for i in range(4)) / 4
     light = sum(by_src.get(f"src{i}", 0) for i in range(6, 20)) / 14
     assert heavy > 1.8 * light
+
+
+def test_semdedup_pairs_recount_and_completeness(spark):
+    """Every emitted SemDeDup pair shares a k-means cluster and its cosine
+    survives a numpy recount; conversely every within-cluster pair above
+    tau is emitted (the blocking loses only cross-cluster pairs, by
+    design)."""
+    import numpy as np
+
+    from opentelemetry_collector_spark.operators.similarity import (
+        SEMDEDUP_COS,
+    )
+
+    verdict = DOCS_QUERIES["semdedup"](spark, SF_CORRECT).collect()
+    cluster = {r.vec_id: r.cluster for r in verdict}
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").collect()
+    }
+
+    def cos(a, b):
+        va, vb = emb[a], emb[b]
+        return round(
+            float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6
+        )
+
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in DOCS_QUERIES["semdedup_pairs"](spark, SF_CORRECT).collect()
+    }
+    assert got, "fixture must produce tau-pairs"
+    for a, b in got:
+        assert cluster[a] == cluster[b]
+        assert cos(a, b) >= SEMDEDUP_COS
+    ids = sorted(emb)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if cluster[a] == cluster[b] and cos(a, b) >= SEMDEDUP_COS
+    }
+    assert got == want
+
+
+def test_semdedup_verdict_is_component_canonical(spark):
+    """canonical_id is the min vec_id of the vector's tau-component; docs
+    without a tau-neighbor keep themselves; exactly one survivor per
+    component."""
+    rows = DOCS_QUERIES["semdedup"](spark, SF_CORRECT).collect()
+    pairs = DOCS_QUERIES["semdedup_pairs"](spark, SF_CORRECT).collect()
+    # union-find recount
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        ra, rb = find(p.vec_a), find(p.vec_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for n in list(parent):
+        comp.setdefault(find(n), set()).add(n)
+    canon = {n: min(ns | {root}) for root, ns in comp.items() for n in ns | {root}}
+    touched = set(canon)
+    for r in rows:
+        if r.vec_id in touched:
+            assert r.canonical_id == canon[r.vec_id]
+        else:
+            assert r.canonical_id == r.vec_id and not r.is_dup
+        assert r.is_dup == (r.canonical_id != r.vec_id)

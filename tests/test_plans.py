@@ -302,3 +302,11 @@ def test_quality_ops_plan_shapes(spark):
     mix = _plan(DOCS_QUERIES["corpus_mix"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in mix, "rate table must broadcast"
     assert "SortMergeJoin" not in mix, "the corpus must never shuffle on source"
+
+
+def test_semdedup_pairs_block_join_is_equality(spark):
+    """SemDeDup candidates come from an equality join on the k-means
+    cluster id — never a nested-loop/cartesian pair enumeration."""
+    plan = _plan(DOCS_QUERIES["semdedup_pairs"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
