@@ -304,3 +304,167 @@ SELECT d.doc_id, d.source, cast(r.rate_permille AS bigint) AS rate_permille
 FROM documents d JOIN rates r USING (source)
 WHERE {_hash_bucket_sql('d.doc_id', 1000, MIX_SALT)} < r.rate_permille
 """
+
+
+# --- DSIR: data selection via importance resampling --------------------------
+#
+# Xie et al. 2023 (arXiv:2302.03169): score each raw document by the
+# importance log-ratio log p_target(x) / p_raw(x) under hashed-n-gram bag
+# models and resample toward the target distribution. Here the feature
+# space is hashed unigrams (DSIR_BUCKETS buckets, salted md5 — the same
+# engine-portable hash the samplers use), the target distribution is the
+# corpus slice ``lang == target_lang``, and both models are Laplace-
+# smoothed bucket frequencies. The deterministic selection analog of the
+# paper's Gumbel resampling: keep = per-token weight above the corpus
+# per-token average (raw-typical docs average -KL(p_raw||p_target) < 0,
+# so an absolute >0 cut would be degenerate), with the integer weight
+# exposed so callers can rank or threshold instead.
+
+DSIR_BUCKETS = 1024
+DSIR_SALT = "dsir"
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_weights(
+    spark,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    target_lang: str = DSIR_TARGET_LANG,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-document DSIR importance weights against the ``target_lang``
+    slice: (doc_id, n_tokens, weight_milli, avg_weight_milli, keep).
+
+    Cross-engine exactness: the per-bucket log-ratio is quantized to
+    integer milli-nats BEFORE the per-doc sum (the doc_unigram_ll rule) —
+    each bucket's double derives from four exact integers, and integer
+    sums are order-independent.
+
+    Scale shape at 10^12 docs: tokens explode once (``lang`` rides the
+    projection — no join back to the corpus); the two bucket-count tables
+    are bounded at ``n_buckets`` rows (partial aggregates, then broadcast
+    back onto the token stream); the per-doc sum shuffles on the uniform
+    doc_id key. Nothing driver-side, nothing all-pairs, no vocabulary-
+    sized broadcast — hashing bounds the model at n_buckets regardless of
+    corpus vocabulary (the paper's reason for hashed features).
+    """
+    from opentelemetry_collector_spark.operators.textstats import _docs as _d
+
+    toks = (
+        _d(spark, sf_dir, docs=docs)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+        )
+        .filter(F.length("w") > 0)
+        .withColumn("b", _hash_bucket(F.col("w"), n_buckets, DSIR_SALT))
+    )
+    raw = toks.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    tgt = (
+        toks.filter(F.col("lang") == target_lang)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    totals = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("r_total"),
+        F.sum((F.col("lang") == target_lang).cast("long"))
+        .cast("long")
+        .alias("t_total"),
+    )
+    lr_milli = F.round(
+        F.log(
+            (
+                (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                * (F.col("r_total") + n_buckets).cast("double")
+            )
+            / (
+                (F.col("cr") + 1).cast("double")
+                * (F.col("t_total") + n_buckets).cast("double")
+            )
+        )
+        * 1000.0
+    ).cast("long")
+    ratios = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select("b", lr_milli.alias("lr_milli"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(ratios), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lr_milli").cast("long").alias("weight_milli"),
+        )
+    )
+    corpus = per_doc.agg(
+        F.sum("weight_milli").cast("long").alias("tot_w"),
+        F.sum("n_tokens").cast("long").alias("tot_n"),
+    )
+    # keep: per-token weight above the corpus per-token average, compared
+    # cross-multiplied in integers (w/n > W/N  <=>  w*N > W*n) — no float
+    return per_doc.crossJoin(F.broadcast(corpus)).select(
+        "doc_id",
+        "n_tokens",
+        "weight_milli",
+        (
+            F.col("weight_milli").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("avg_weight_milli"),
+        (
+            F.col("weight_milli") * F.col("tot_n")
+            > F.col("tot_w") * F.col("n_tokens")
+        ).alias("keep"),
+    )
+
+
+DSIR_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, lang, w,
+        {_hash_bucket_sql('w', DSIR_BUCKETS, DSIR_SALT)} AS b
+    FROM (
+        SELECT doc_id, lang,
+            unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents
+    ) t WHERE length(w) > 0
+),
+raw AS (SELECT b, count(*) AS cr FROM toks GROUP BY b),
+tgt AS (
+    SELECT b, count(*) AS ct FROM toks
+    WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
+),
+tot AS (
+    SELECT count(*) AS r_total,
+        sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+            AS t_total
+    FROM toks
+),
+ratios AS (
+    SELECT r.b,
+        cast(round(ln(
+            (cast(coalesce(t.ct, 0) + 1 AS double)
+             * cast(tot.r_total + {DSIR_BUCKETS} AS double))
+            / (cast(r.cr + 1 AS double)
+               * cast(tot.t_total + {DSIR_BUCKETS} AS double))
+        ) * 1000) AS bigint) AS lr_milli
+    FROM raw r LEFT JOIN tgt t USING (b), tot
+),
+per_doc AS (
+    SELECT doc_id,
+        cast(count(*) AS bigint) AS n_tokens,
+        cast(sum(lr_milli) AS bigint) AS weight_milli
+    FROM toks JOIN ratios USING (b)
+    GROUP BY doc_id
+),
+corpus AS (
+    SELECT cast(sum(weight_milli) AS bigint) AS tot_w,
+        cast(sum(n_tokens) AS bigint) AS tot_n
+    FROM per_doc
+)
+SELECT doc_id, n_tokens, weight_milli,
+    cast(weight_milli AS double) / cast(n_tokens AS double)
+        AS avg_weight_milli,
+    (weight_milli * tot_n > tot_w * n_tokens) AS keep
+FROM per_doc, corpus
+"""

@@ -706,6 +706,7 @@ DOCS_QUERIES: dict[str, QueryFn] = {
     "doc_gopher_rules": _qual.doc_gopher_rules,
     "doc_normalize": _qual.doc_normalize,
     "corpus_mix": _qual.corpus_mix,
+    "dsir_weights": _qual.dsir_weights,
 }
 
 DOCS_ORACLES: dict[str, str] = {
@@ -744,6 +745,7 @@ DOCS_ORACLES: dict[str, str] = {
     "doc_gopher_rules": _qual.DOC_GOPHER_ORACLE,
     "doc_normalize": _qual.DOC_NORMALIZE_ORACLE,
     "corpus_mix": _qual.CORPUS_MIX_ORACLE,
+    "dsir_weights": _qual.DSIR_ORACLE,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -1010,6 +1012,7 @@ REGISTRY_ORDER: list[str] = [
     "doc_gopher_rules",
     "doc_normalize",
     "corpus_mix",
+    "dsir_weights",
     "semdedup_pairs",
     "semdedup",
     # -- r04-green representatives filling the window -----------------------

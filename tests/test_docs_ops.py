@@ -656,3 +656,29 @@ def test_semdedup_verdict_is_component_canonical(spark):
         else:
             assert r.canonical_id == r.vec_id and not r.is_dup
         assert r.is_dup == (r.canonical_id != r.vec_id)
+
+
+def test_dsir_prefers_the_target_slice(spark):
+    """DSIR importance weights must rank the target-language slice above
+    the rest (that is the whole point of the estimator), and the keep
+    flag must equal the cross-multiplied per-token-average rule
+    recomputed from the returned columns."""
+    rows = DOCS_QUERIES["dsir_weights"](spark, SF_CORRECT).collect()
+    lang = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id", "lang").collect()
+    }
+    tot_w = sum(r.weight_milli for r in rows)
+    tot_n = sum(r.n_tokens for r in rows)
+    for r in rows:
+        assert r.keep == (r.weight_milli * tot_n > tot_w * r.n_tokens)
+
+    def mean_avg(pred):
+        xs = [r.avg_weight_milli for r in rows if pred(lang[r.doc_id])]
+        return sum(xs) / len(xs)
+
+    assert mean_avg(lambda l: l == "en") > mean_avg(lambda l: l != "en")
+    kept_en = [r.keep for r in rows if lang[r.doc_id] == "en"]
+    kept_rest = [r.keep for r in rows if lang[r.doc_id] != "en"]
+    assert sum(kept_en) / len(kept_en) > sum(kept_rest) / len(kept_rest)

@@ -310,3 +310,12 @@ def test_semdedup_pairs_block_join_is_equality(spark):
     plan = _plan(DOCS_QUERIES["semdedup_pairs"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_model_join_broadcasts(spark):
+    """The DSIR bucket-ratio table (<= DSIR_BUCKETS rows) must broadcast
+    onto the token stream — never a sort-merge join on the bucket key,
+    and never a vocabulary-sized shuffle."""
+    plan = _plan(DOCS_QUERIES["dsir_weights"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
