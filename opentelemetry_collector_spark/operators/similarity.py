@@ -780,7 +780,12 @@ CLUSTER_SAMPLE_ORACLE = _cluster_sample_oracle()
 # near-dedup at corpus scale. The cluster id is the blocking key (an
 # EQUALITY join, never all-pairs): candidate volume is sum_c |c|^2, bounded
 # by growing k with n (the paper's regime — k ~ sqrt(n) holds expected block
-# work at O(n)). Keep-selection is connected components over the tau-pairs
+# work at O(n)). At large k the exact Lloyd assign itself becomes the cost
+# (n*k*dim compare work per pass); the 10^9-vector deployment swaps the
+# block assignment for the IVF cell routing ann_ivf_topk already uses
+# (coarse centroids from a sample, one broadcast assign pass) — the pair
+# stage below is unchanged, it only consumes (vec_id, cluster).
+# Keep-selection is connected components over the tau-pairs
 # with the component minimum as canonical — the same deterministic
 # parallel analog of the paper's greedy keep-one-per-ball that the MinHash
 # family uses (greedy sequential order does not distribute; min-label
