@@ -182,6 +182,22 @@ def _builtin_processors() -> dict[str, Callable]:
         # broadcast per-source rate table, salted-hash keep — no wide shuffle
         return _q.corpus_mix(spark, "", docs=df, project=False)
 
+    def dsir_filter_p(spark, df, cfg):
+        # DSIR importance selection: keep docs whose per-token weight beats
+        # the corpus average. The score pass aggregates on doc_id anyway, so
+        # the semi-join back is the one inherent extra shuffle.
+        kept = (
+            _q.dsir_weights(
+                spark,
+                "",
+                docs=df,
+                target_lang=cfg.get("target_lang", _q.DSIR_TARGET_LANG),
+            )
+            .filter("keep")
+            .select("doc_id")
+        )
+        return df.join(kept, "doc_id", "left_semi")
+
     return {
         "parse": lambda spark, df, cfg: parse_turns(df),
         "enrich": lambda spark, df, cfg: enrich(df, spark),
@@ -201,6 +217,7 @@ def _builtin_processors() -> dict[str, Callable]:
         "gopher_filter": gopher_filter_p,
         "normalize": normalize_p,
         "mix": mix_p,
+        "dsir_filter": dsir_filter_p,
     }
 
 

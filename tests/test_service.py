@@ -304,3 +304,40 @@ def test_run_service_mixing_pipeline(spark, tmp_path):
     assert got_rows == want_rows and got_rows
     # the written corpus matches what flowed
     assert spark.read.parquet(str(tmp_path / "mixed")).count() == len(got_rows)
+
+
+def test_dsir_filter_processor(spark, tmp_path):
+    """The dsir_filter processor keeps exactly the keep=true docs of the
+    dsir_weights scorer, preserving every input column."""
+    from opentelemetry_collector_spark.operators import quality as q
+
+    cfg = ServiceConfig.from_sources(
+        {
+            "receivers": {
+                "documents": {"path": f"{SF_SMOKE}/documents.parquet"}
+            },
+            "processors": {"dsir_filter": {"target_lang": "en"}},
+            "exporters": {
+                "parquet": {"path": str(tmp_path / "selected")},
+            },
+            "service": {
+                "pipelines": {
+                    "select": {
+                        "receivers": ["documents"],
+                        "processors": ["dsir_filter"],
+                        "exporters": ["parquet"],
+                    }
+                }
+            },
+        },
+        env={},
+    )
+    got = run_service(spark, cfg)["select"]
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    want_ids = {
+        r.doc_id
+        for r in q.dsir_weights(spark, "", docs=docs).filter("keep").collect()
+    }
+    assert sorted(got.columns) == sorted(docs.columns)
+    assert {r.doc_id for r in got.select("doc_id").collect()} == want_ids
+    assert 0 < len(want_ids) < docs.count()
