@@ -136,6 +136,10 @@ LLMOPS_QUERIES = [
     "dedup_substring_excise",
     "ann_ivf_topk",
     "embedding_kmeans",
+    # round 5: hashed-feature importance weighting — the bucket cap (1024)
+    # is the scale claim; amplified replicas suffix every word, so the
+    # vocabulary grows ~amp× while the model tables stay fixed-size
+    "dsir_weights",
 ]
 
 
