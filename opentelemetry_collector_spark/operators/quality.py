@@ -468,3 +468,85 @@ SELECT doc_id, n_tokens, weight_milli,
     (weight_milli * tot_n > tot_w * n_tokens) AS keep
 FROM per_doc, corpus
 """
+
+
+# --- sliding-window chunking (training-context construction) -----------------
+#
+# Long documents are split into fixed-size word windows with overlap before
+# packing/tokenization (every LM data pipeline's step between curation and
+# corpus_pack). Deterministic, engine-exact: chunk boundaries are pure
+# integer arithmetic over the whitespace word array.
+
+CHUNK_WORDS = 64  # window size in words
+CHUNK_STRIDE = 48  # step between window starts (overlap = 16)
+
+
+def doc_chunk(
+    spark,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    chunk_words: int = CHUNK_WORDS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """(doc_id, chunk_idx, n_chunk_words, chunk_text): window ``j`` covers
+    words ``[j*stride, j*stride + chunk_words)``; the last window may be
+    short; a doc shorter than one window yields exactly one chunk. Chunk
+    count is ``1 + ceil(max(0, n - chunk_words) / stride)``.
+
+    Scale: one explode over a (doc_id, text) projection — no shuffle, no
+    UDF; output volume is ~n/stride rows per doc by construction (the
+    overlap factor is the only amplification).
+    """
+    if stride <= 0 or chunk_words <= 0:
+        raise ValueError("chunk_words and stride must be positive")
+    df = _docs(spark, sf_dir, docs=docs)
+    words = F.split(F.col("text"), " ")
+    n = F.size(words).cast("long")
+    # ceil((n - chunk_words)/stride) in integers; 0 when n <= chunk_words
+    j_max = F.greatest(
+        F.lit(0).cast("long"),
+        F.expr(
+            f"(size(split(text, ' ')) - {chunk_words} + {stride} - 1) "
+            f"div {stride}"
+        ),
+    )
+    chunked = df.select(
+        "doc_id",
+        words.alias("words"),
+        F.explode(F.sequence(F.lit(0).cast("long"), j_max)).alias("chunk_idx"),
+    )
+    piece = F.slice(
+        F.col("words"),
+        (F.col("chunk_idx") * stride + 1).cast("int"),
+        chunk_words,
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(piece).cast("long").alias("n_chunk_words"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+DOC_CHUNK_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS words,
+        len(string_split(text, ' ')) AS n
+    FROM documents
+),
+idx AS (
+    SELECT doc_id, words,
+        unnest(generate_series(0,
+            greatest(0, (n - {CHUNK_WORDS} + {CHUNK_STRIDE} - 1)
+                        // {CHUNK_STRIDE}))) AS chunk_idx
+    FROM w
+)
+SELECT doc_id, cast(chunk_idx AS int) AS chunk_idx,
+    cast(len(list_slice(words, chunk_idx * {CHUNK_STRIDE} + 1,
+                        chunk_idx * {CHUNK_STRIDE} + {CHUNK_WORDS}))
+         AS bigint) AS n_chunk_words,
+    array_to_string(list_slice(words, chunk_idx * {CHUNK_STRIDE} + 1,
+                               chunk_idx * {CHUNK_STRIDE} + {CHUNK_WORDS}),
+                    ' ') AS chunk_text
+FROM idx
+"""

@@ -707,6 +707,7 @@ DOCS_QUERIES: dict[str, QueryFn] = {
     "doc_normalize": _qual.doc_normalize,
     "corpus_mix": _qual.corpus_mix,
     "dsir_weights": _qual.dsir_weights,
+    "doc_chunk": _qual.doc_chunk,
 }
 
 DOCS_ORACLES: dict[str, str] = {
@@ -746,6 +747,7 @@ DOCS_ORACLES: dict[str, str] = {
     "doc_normalize": _qual.DOC_NORMALIZE_ORACLE,
     "corpus_mix": _qual.CORPUS_MIX_ORACLE,
     "dsir_weights": _qual.DSIR_ORACLE,
+    "doc_chunk": _qual.DOC_CHUNK_ORACLE,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -1013,6 +1015,7 @@ REGISTRY_ORDER: list[str] = [
     "doc_normalize",
     "corpus_mix",
     "dsir_weights",
+    "doc_chunk",
     "semdedup_pairs",
     "semdedup",
     # -- r04-green representatives filling the window -----------------------

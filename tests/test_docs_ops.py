@@ -682,3 +682,37 @@ def test_dsir_prefers_the_target_slice(spark):
     kept_en = [r.keep for r in rows if lang[r.doc_id] == "en"]
     kept_rest = [r.keep for r in rows if lang[r.doc_id] != "en"]
     assert sum(kept_en) / len(kept_en) > sum(kept_rest) / len(kept_rest)
+
+
+def test_doc_chunk_reconstruction_and_overlap(spark):
+    """Chunk windows tile every document: chunk j starts at word j*stride,
+    consecutive chunks overlap by chunk_words - stride words, the union of
+    chunks covers the full text, and concatenating each chunk's
+    non-overlapping tail reconstructs the document exactly."""
+    from opentelemetry_collector_spark.operators.quality import (
+        CHUNK_STRIDE,
+        CHUNK_WORDS,
+        doc_chunk,
+    )
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    text = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    by_doc = {}
+    for r in doc_chunk(spark, SF_CORRECT).collect():
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r
+    assert set(by_doc) == set(text)
+    multi = 0
+    for doc_id, chunks in by_doc.items():
+        words = text[doc_id].split(" ")
+        idxs = sorted(chunks)
+        assert idxs == list(range(len(idxs)))
+        rebuilt = []
+        for j in idxs:
+            c = chunks[j]
+            want = words[j * CHUNK_STRIDE: j * CHUNK_STRIDE + CHUNK_WORDS]
+            assert c.chunk_text.split(" ") == want
+            assert c.n_chunk_words == len(want)
+            rebuilt.extend(want if j == 0 else want[CHUNK_WORDS - CHUNK_STRIDE:])
+        assert rebuilt == words, "chunk tails must reconstruct the doc"
+        multi += len(idxs) > 1
+    assert multi > 0, "fixture must contain multi-chunk docs"
