@@ -716,3 +716,69 @@ def test_doc_chunk_reconstruction_and_overlap(spark):
         assert rebuilt == words, "chunk tails must reconstruct the doc"
         multi += len(idxs) > 1
     assert multi > 0, "fixture must contain multi-chunk docs"
+
+
+def test_chunk_and_normalize_edge_cases(spark):
+    """Boundary battery vs a Python reference: empty text, multi-space
+    runs (empty words), unicode, and texts at exactly the window /
+    window+1 / stride boundaries."""
+    from opentelemetry_collector_spark.operators.quality import (
+        CHUNK_STRIDE,
+        CHUNK_WORDS,
+        doc_chunk,
+        doc_normalize,
+    )
+
+    texts = {
+        1: "",
+        2: "one",
+        3: "a  b   c",                      # empty words between runs
+        4: "Ünïcødé TEXT!! with  Symbols?",  # non-ascii + punctuation
+        5: " ".join(f"w{i}" for i in range(CHUNK_WORDS)),        # == window
+        6: " ".join(f"w{i}" for i in range(CHUNK_WORDS + 1)),    # window+1
+        7: " ".join(f"w{i}" for i in range(CHUNK_STRIDE)),       # == stride
+        8: " ".join(f"w{i}" for i in range(3 * CHUNK_WORDS)),    # long
+    }
+    docs = _mini_docs(
+        spark, [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    )
+
+    got = {}
+    for r in doc_chunk(spark, "", docs=docs).collect():
+        got.setdefault(r.doc_id, {})[r.chunk_idx] = (
+            r.n_chunk_words, r.chunk_text
+        )
+    for i, t in texts.items():
+        words = t.split(" ")
+        n = len(words)
+        j_max = max(0, -(-(n - CHUNK_WORDS) // CHUNK_STRIDE)) if n > CHUNK_WORDS else 0
+        want = {}
+        for j in range(j_max + 1):
+            piece = words[j * CHUNK_STRIDE: j * CHUNK_STRIDE + CHUNK_WORDS]
+            want[j] = (len(piece), " ".join(piece))
+        assert got[i] == want, f"doc {i}"
+
+    norm = {
+        r.doc_id: r.norm_text
+        for r in doc_normalize(spark, "", docs=docs).collect()
+    }
+    assert norm[1] == ""
+    assert norm[3] == "a b c"
+    assert norm[4] == "n c d text with symbols"  # non-[a-z0-9] stripped
+    # idempotence across the battery
+    again = doc_normalize(
+        spark,
+        "",
+        docs=docs.select(
+            "doc_id",
+            F.lit("en").alias("lang"),
+            F.lit("s").alias("source"),
+            F.lit(0).cast("long").alias("n_chars"),
+            F.col("text"),
+        ).withColumn(
+            "text",
+            F.trim(F.regexp_replace(F.regexp_replace(
+                F.lower("text"), "[^a-z0-9 ]", " "), " +", " ")),
+        ),
+    )
+    assert {r.doc_id: r.norm_text for r in again.collect()} == norm
