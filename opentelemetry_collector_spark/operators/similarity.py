@@ -911,3 +911,62 @@ SELECT s.vec_id, s.cluster,
     (coalesce(l.canonical_id, s.vec_id) != s.vec_id) AS is_dup
 FROM afinal s LEFT JOIN lab l USING (vec_id)
 """
+
+
+def semdedup_ivf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup blocking by IVF home cell — the billion-vector variant the
+    kmeans form documents: the coarse quantizer is ONE broadcast of
+    {N_CELLS} seed centroids (no Lloyd iterations, no per-iteration
+    shuffles, no driver-side centroid collection), each vector lands in
+    its rank-1 cell, and the tau-pair stage is identical to semdedup_pairs
+    — an equality join on the cell id. Cell count is the block-size knob
+    exactly as k is for the kmeans variant; assign cost is one O(n*cells)
+    map pass."""
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir).withColumn("nrm", _norm("v"))
+    seeds = (
+        _emb(spark, sf_dir, "seed_id", "sv")
+        .filter(F.col("seed_id") < N_CELLS)
+        .withColumn("snorm", _norm("sv"))
+        .select("seed_id", "sv", "snorm")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("seed_cos").desc(), F.col("seed_id")
+    )
+    cells = (
+        emb.crossJoin(F.broadcast(seeds))
+        .withColumn(
+            "seed_cos",
+            F.round(_dot("v", "sv") / (F.col("nrm") * F.col("snorm")), 6),
+        )
+        .withColumn("cell_rk", F.row_number().over(w))
+        .filter(F.col("cell_rk") == 1)
+        .select("vec_id", F.col("seed_id").alias("cluster"))
+    )
+    return _semdedup_pairs_from(cells, _emb(spark, sf_dir))
+
+
+SEMDEDUP_IVF_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+    FROM embeddings
+),
+seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < {N_CELLS}),
+cells AS (
+    SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, s.seed_id AS cluster,
+            row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY round({_cos_sql('e.v', 's.sv')}, 6) DESC, s.seed_id)
+                AS cell_rk
+        FROM e, seeds s
+    ) a WHERE cell_rk = 1
+),
+av AS (
+    SELECT c.vec_id, c.cluster, e.v FROM cells c JOIN e USING (vec_id)
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cluster,
+    round({_cos_sql('a.v', 'b.v')}, 6) AS cos
+FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE round({_cos_sql('a.v', 'b.v')}, 6) >= {SEMDEDUP_COS}
+"""

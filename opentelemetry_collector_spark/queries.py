@@ -702,6 +702,7 @@ DOCS_QUERIES: dict[str, QueryFn] = {
     "embedding_kmeans": _sim.embedding_kmeans,
     "cluster_balanced_sample": _sim.cluster_balanced_sample,
     "semdedup_pairs": _sim.semdedup_pairs,
+    "semdedup_ivf_pairs": _sim.semdedup_ivf_pairs,
     "semdedup": _sim.semdedup,
     "doc_gopher_rules": _qual.doc_gopher_rules,
     "doc_normalize": _qual.doc_normalize,
@@ -742,6 +743,7 @@ DOCS_ORACLES: dict[str, str] = {
     "embedding_kmeans": _sim.EMBEDDING_KMEANS_ORACLE,
     "cluster_balanced_sample": _sim.CLUSTER_SAMPLE_ORACLE,
     "semdedup_pairs": _sim.SEMDEDUP_PAIRS_ORACLE,
+    "semdedup_ivf_pairs": _sim.SEMDEDUP_IVF_ORACLE,
     "semdedup": _sim.SEMDEDUP_ORACLE,
     "doc_gopher_rules": _qual.DOC_GOPHER_ORACLE,
     "doc_normalize": _qual.DOC_NORMALIZE_ORACLE,
@@ -1017,6 +1019,7 @@ REGISTRY_ORDER: list[str] = [
     "dsir_weights",
     "doc_chunk",
     "semdedup_pairs",
+    "semdedup_ivf_pairs",
     "semdedup",
     # -- r04-green representatives filling the window -----------------------
     "transcripts_source",

@@ -782,3 +782,37 @@ def test_chunk_and_normalize_edge_cases(spark):
         ),
     )
     assert {r.doc_id: r.norm_text for r in again.collect()} == norm
+
+
+def test_semdedup_ivf_blocks_are_home_cells(spark):
+    """The IVF SemDeDup variant blocks by the argmax-cosine seed cell:
+    recount the home cell and the pair cosine in numpy for every emitted
+    pair."""
+    import numpy as np
+
+    from opentelemetry_collector_spark.operators.similarity import (
+        N_CELLS,
+        SEMDEDUP_COS,
+    )
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").collect()
+    }
+    seeds = {i: emb[i] for i in range(N_CELLS)}
+
+    def cos(va, vb):
+        return round(
+            float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6
+        )
+
+    def home(v):
+        return min(
+            seeds, key=lambda s: (-cos(v, seeds[s]), s)
+        )
+
+    pairs = DOCS_QUERIES["semdedup_ivf_pairs"](spark, SF_CORRECT).collect()
+    assert pairs
+    for p in pairs:
+        assert cos(emb[p.vec_a], emb[p.vec_b]) >= SEMDEDUP_COS
+        assert home(emb[p.vec_a]) == home(emb[p.vec_b]) == p.cluster
