@@ -1,10 +1,10 @@
-"""Corpus-quality rule filters, canonical normalization, and weighted
-source mixing — three curation stages a training-data pipeline runs
-between ingest and dedup.
+"""Corpus-curation stages a training-data pipeline runs between ingest
+and packing: rule filters, canonical normalization, weighted mixing,
+importance-based selection, and context chunking.
 
 The reference collector has no corpus operators; these extend the engine's
 training-data family (SURVEY §2 LLM ops) with the standard public
-heuristics:
+methods:
 
 * ``doc_gopher_rules`` — the Gopher quality-rule set (Rae et al. 2021,
   arXiv:2112.11446 §A1.1): word-count bounds, mean-word-length bounds,
@@ -19,14 +19,21 @@ heuristics:
   source weights, compute the largest feasible mixed corpus hitting those
   proportions and keep each doc by a salted hash threshold — reproducible
   across runs, engines, and cluster sizes (no ``rand()``).
+* ``dsir_weights`` — DSIR importance weighting (Xie et al. 2023,
+  arXiv:2302.03169): hashed-unigram bag models for a target slice vs the
+  raw corpus, per-doc importance log-weights in integer milli-nats.
+* ``doc_chunk`` — sliding-window word chunking with overlap (the context
+  construction step before ``corpus_pack``).
 
-Scale notes (100 TB): all three are single-scan. The Gopher rules and the
+Scale notes (100 TB): everything is single-scan. The Gopher rules and the
 normalizer are pure codegen projections (the only higher-order function is
 one ``filter`` for the alphabetic-word count; mean word length uses the
 identity ``sum(len(w)) == length(text) - (n_words - 1)`` for
 single-space-joined text instead of an interpreted fold). ``corpus_mix``
 adds one partial aggregate over ~#sources rows and broadcasts the ≤#sources
-rate table back — no wide shuffle of the corpus itself.
+rate table back; ``dsir_weights`` bounds its model tables at 1024 hash
+buckets regardless of vocabulary — the corpus itself is never shuffled
+wide by either.
 
 Exact-arithmetic discipline: every rule threshold is compared in INTEGER
 form (``3*n <= s`` instead of ``s/n >= 3.0``) so the DuckDB oracle is
