@@ -139,3 +139,46 @@ def test_curation_retry_is_deterministic(spark, tmp_path):
     first = {r.doc_id for r in curator.curate(docs).collect()}
     retry = {r.doc_id for r in curator.curate(docs).collect()}
     assert first == retry == set()  # everything already accepted in t1
+
+
+def test_stateless_curation_stages_commute_with_ticks(spark, tmp_path):
+    """Round-5 composition: normalize -> gopher_filter are per-row stages,
+    so running them inside each tick BEFORE IncrementalCurator equals the
+    one-shot batch normalize -> gopher -> corpus_curation over the full
+    corpus (doc_id-ordered ticks, the curator's parity regime)."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.incremental_dedup import (
+        IncrementalCurator,
+    )
+    from opentelemetry_collector_spark.operators.quality import (
+        doc_gopher_rules,
+        doc_normalize,
+    )
+    from opentelemetry_collector_spark.operators.textstats import (
+        corpus_curation,
+    )
+    from tests.conftest import SF_CORRECT
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+
+    def stages(df):
+        normed = doc_normalize(spark, "", docs=df, project=False).drop(
+            "norm_hash"
+        )
+        return doc_gopher_rules(spark, "", docs=normed, project=False)
+
+    batch = {
+        (r.doc_id, r.prefix_fp)
+        for r in corpus_curation(spark, "", docs=stages(docs)).collect()
+    }
+    assert batch, "the staged batch must accept something"
+
+    curator = IncrementalCurator(spark, str(tmp_path / "fp_ledger"))
+    ticked = set()
+    for lo, hi in [(0, 160), (160, 320), (320, 10**9)]:
+        tick = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        accepted = curator.curate(stages(tick))
+        ticked |= {(r.doc_id, r.prefix_fp) for r in accepted.collect()}
+        curator.commit(accepted, f"tick{lo}")
+    assert ticked == batch
