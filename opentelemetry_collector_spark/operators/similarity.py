@@ -826,10 +826,14 @@ def semdedup_pairs(
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
 ) -> DataFrame:
-    """SemDeDup candidate pairs: (vec_a, vec_b, cluster, cos >= tau)."""
+    """SemDeDup candidate pairs: (vec_a, vec_b, cluster, cos >= tau).
+
+    The assignment frame is persisted: the tau self-join references it in
+    BOTH subtrees, and without the pin each side would re-run the whole
+    Lloyd assignment (the shuffle-free-diamond persist rule, PLANS.md)."""
     assign = embedding_kmeans(spark, sf_dir, k=k, iters=iters).select(
         "vec_id", "cluster"
-    )
+    ).persist()
     return _semdedup_pairs_from(assign, _emb(spark, sf_dir))
 
 
@@ -850,6 +854,7 @@ def semdedup(
     assign = embedding_kmeans(spark, sf_dir, k=k, iters=iters).select(
         "vec_id", "cluster"
     )
+    assign = assign.persist()  # referenced by both tau subtrees + output
     pairs = _semdedup_pairs_from(assign, _emb(spark, sf_dir)).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
@@ -943,6 +948,9 @@ def semdedup_ivf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cell_rk", F.row_number().over(w))
         .filter(F.col("cell_rk") == 1)
         .select("vec_id", F.col("seed_id").alias("cluster"))
+        # both tau-join subtrees read the assignment; pin it so the
+        # O(n*cells) coarse-quantizer pass runs once (diamond persist rule)
+        .persist()
     )
     return _semdedup_pairs_from(cells, _emb(spark, sf_dir))
 

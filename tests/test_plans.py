@@ -305,11 +305,26 @@ def test_quality_ops_plan_shapes(spark):
 
 
 def test_semdedup_pairs_block_join_is_equality(spark):
-    """SemDeDup candidates come from an equality join on the k-means
-    cluster id — never a nested-loop/cartesian pair enumeration."""
+    """SemDeDup candidates come from an equality join on the block id
+    (k-means cluster / IVF home cell) — never a nested-loop/cartesian
+    pair enumeration. The IVF variant's only nested-loop join is the
+    broadcast of the tiny seed-centroid side."""
     plan = _plan(DOCS_QUERIES["semdedup_pairs"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+    ivf = _plan(DOCS_QUERIES["semdedup_ivf_pairs"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in ivf
+    # the O(n*cells) coarse-quantizer pass is pinned: both tau subtrees
+    # read the cached assignment instead of re-running the broadcast
+    # nested-loop seed join (the printed plan repeats the cached subtree
+    # under each InMemoryTableScan, so count scans, not BNLJ text)
+    assert ivf.count("InMemoryTableScan") >= 2
+
+
+def test_doc_chunk_is_shuffle_free(spark):
+    plan = _plan(DOCS_QUERIES["doc_chunk"](spark, SF_SMOKE))
+    assert _shuffles(plan) == 0
 
 
 def test_dsir_model_join_broadcasts(spark):
