@@ -25,6 +25,29 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Wall-clock budget guard: this harness prints its single JSON line only at
+# the END of the run, so an external timeout (the driver's, a CI's) firing
+# mid-run leaves NO artifact at all. The optional evidence blocks — the
+# larger llm_ops amplification points, the degraded-window second scaling
+# round, the 1->4 fallback pairs — therefore yield when elapsed wall time
+# says they no longer fit: a slightly thinner, fully-disclosed artifact
+# strictly beats a killed run. Every budget skip is disclosed in the output
+# (amps_skipped_budget / pooling_skipped_budget / fallback_skipped_budget).
+BENCH_T0 = time.monotonic()
+# default sized ~1.6x a measured healthy-window full run (~56 min with the
+# 100x llm_ops point and 6 scaling pairs): the guard exists to keep a
+# PATHOLOGICAL window from losing the artifact, not to thin a normal run
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "5400"))
+# headroom the primary 6-pair scaling round needs; llm_ops must leave at
+# least this much unspent before starting an optional amplification point
+SCALING_RESERVE_S = float(
+    os.environ.get("SPARK_GRAFT_SCALING_RESERVE_S", "1500")
+)
+
+
+def budget_left() -> float:
+    return BUDGET_S - (time.monotonic() - BENCH_T0)
+
 # Headline queries timed on the primary session (subset of __spark_entry__
 # queries() — full pipeline + the heaviest training-data ops).
 HEADLINE = [
@@ -218,8 +241,25 @@ def llm_ops_two_scale(qs, amps: list[int]) -> dict:
         spark.stop()
     out["docs_amplified"] = {}
     out["vectors_amplified"] = {}
+    # budget guard: the family is candidate-linear by design, so the next
+    # amp's cost projects linearly from the last measured block (x1.5 slack
+    # for materialization + session startup); once one point doesn't fit,
+    # every larger one is skipped too. The scaling section still needs to
+    # run after us, so its reserve stays untouchable (zero when disabled).
+    reserve = (
+        0.0 if os.environ.get("SPARK_GRAFT_NO_SCALING") else SCALING_RESERVE_S
+    )
+    prev_amp = 1
+    prev_wall = sum(t["sec_1x"] for t in times.values())
+    measured: list[int] = []
+    skipped: list[int] = []
     for amp in amps:
+        projected = prev_wall * (amp / prev_amp) * 1.5
+        if skipped or budget_left() - projected < reserve:
+            skipped.append(amp)
+            continue
         with tempfile.TemporaryDirectory(prefix="otelcol_llmops_") as tmp:
+            t_block0 = time.monotonic()
             n_docs, n_vecs = materialize_amplified_docs(SF_DIR, tmp, CPUS, amp)
             out["docs_amplified"][str(amp)] = n_docs
             out["vectors_amplified"][str(amp)] = n_vecs
@@ -233,12 +273,17 @@ def llm_ops_two_scale(qs, amps: list[int]) -> dict:
                     )
             finally:
                 spark.stop()
-    # decade-over-decade ratio between consecutive amplification points
+            prev_wall = time.monotonic() - t_block0
+            prev_amp = amp
+            measured.append(amp)
+    # decade-over-decade ratio between consecutive MEASURED points
     for name, t in times.items():
-        for lo, hi in zip(amps, amps[1:]):
+        for lo, hi in zip(measured, measured[1:]):
             t[f"ratio_{hi}x_vs_{lo}x"] = round(
                 t[f"sec_{hi}x"] / t[f"sec_{lo}x"], 2
             )
+    if skipped:
+        out["amps_skipped_budget"] = skipped
     out["ops"] = times
     return out
 
@@ -459,7 +504,9 @@ def main() -> None:
         with tempfile.TemporaryDirectory(prefix="otelcol_bench_") as tmp:
             table = f"{tmp}/amplified_transcripts"
             n_turns = materialize_amplified(SF_DIR, table, CPUS)
+            t_r1_0 = time.monotonic()
             pairs = measure_pairs(n_small, reps, table)
+            t_round1 = time.monotonic() - t_r1_0
             thr_small, thr_big = median_pair(pairs)
             job_eff = median_eff(pairs)
             # fallback level: in host-degraded windows the shared-bandwidth
@@ -477,11 +524,16 @@ def main() -> None:
             # the honest estimate of the machine, and every pair stays in
             # the disclosed list (this is pooling, not best-of: a genuinely
             # sub-0.8 engine fails both rounds and still fails pooled).
+            pooling_skipped = fallback_skipped = False
             if job_eff < 0.8:
-                pairs += measure_pairs(n_small, reps, table)
-                primary_rounds = 2
-                thr_small, thr_big = median_pair(pairs)
-                job_eff = median_eff(pairs)
+                # budget guard: round 2 costs what round 1 did (x1.1 slack)
+                if budget_left() > t_round1 * 1.1:
+                    pairs += measure_pairs(n_small, reps, table)
+                    primary_rounds = 2
+                    thr_small, thr_big = median_pair(pairs)
+                    job_eff = median_eff(pairs)
+                else:
+                    pooling_skipped = True
             primary = {
                 "pair": [n_small, n_big],
                 "turns_per_sec_small": round(thr_small, 1),
@@ -489,15 +541,23 @@ def main() -> None:
                 "efficiency": round(job_eff, 3),
                 "rounds_pooled": primary_rounds,
             }
+            if pooling_skipped:
+                primary["pooling_skipped_budget"] = True
             if job_eff < 0.8 and n_small > 1:
-                alt = measure_pairs(1, reps, table)
-                alt_eff = median_eff(alt)
-                if alt_eff > job_eff:
-                    fallback_pair = True
-                    n_small, n_big = 1, 4
-                    pairs = alt
-                    thr_small, thr_big = median_pair(alt)
-                    job_eff = alt_eff
+                # budget guard: the 1/4-executor pair runs the same table on
+                # a quarter/half the cores, so a fallback round costs about
+                # double the primary round
+                if budget_left() > t_round1 * 2.0:
+                    alt = measure_pairs(1, reps, table)
+                    alt_eff = median_eff(alt)
+                    if alt_eff > job_eff:
+                        fallback_pair = True
+                        n_small, n_big = 1, 4
+                        pairs = alt
+                        thr_small, thr_big = median_pair(alt)
+                        job_eff = alt_eff
+                else:
+                    fallback_skipped = True
         # the control can measure >1.0 when the box speeds up mid-measurement;
         # a hardware ceiling cannot exceed 1, so clamp before normalizing
         ctrl_eff = min(1.0, cpu_control_efficiency(n_small))
@@ -527,11 +587,17 @@ def main() -> None:
             "fallback_pair": fallback_pair,
             "configured_pair": primary,
         }
+        if fallback_skipped:
+            out["scaling"]["fallback_skipped_budget"] = True
 
     # condition markers bracketing the whole run (pre = before headline,
     # post = after scaling): a degraded-host round shows up here as low
     # mem_bandwidth_gbps / high loadavg without needing a rerun to diagnose
     out["host"] = {"pre": host_pre, "post": host_probe()}
+    out["budget"] = {
+        "budget_s": BUDGET_S,
+        "elapsed_s": round(time.monotonic() - BENCH_T0, 1),
+    }
 
     print(json.dumps(out))
 
