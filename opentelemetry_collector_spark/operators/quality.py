@@ -557,3 +557,84 @@ SELECT doc_id, cast(chunk_idx AS int) AS chunk_idx,
                     ' ') AS chunk_text
 FROM idx
 """
+
+
+# --- leakage-safe splitting --------------------------------------------------
+
+
+def doc_split_leakage_safe(
+    spark,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Train/val/test assignment that near-duplicates can never straddle:
+    every document in a near-dup connected component is assigned the split
+    of the component's canonical doc (min doc_id), so paraphrases and
+    boilerplate copies of a training document cannot leak into the test
+    set. This is why dedup/clustering runs BEFORE splitting in the public
+    pipelines (Lee et al. 2021 §4 measure exactly this train/test overlap;
+    The Pile and the C4 replication both report eval contamination from
+    hash-splitting raw docs) — splitting by raw doc_id hash leaks whenever
+    a duplicate pair crosses the boundary.
+
+    Output: (doc_id, split_group, split_bucket, split) — ``split_group``
+    is the component canonical for clustered docs, the doc's own id for
+    singletons. Uses the identical hash, salt, and SPLIT_FRACTIONS as
+    ``doc_split``, so singleton docs land in exactly the split they'd get
+    there (swapping the op in only moves docs that have a near-duplicate).
+
+    Scale shape at 10^12 docs: the pair set is the same inverted-index
+    equality join ``dedup_clusters`` runs (never all-pairs); components
+    converge in O(diameter) propagation rounds over the node set only
+    (≪ corpus); the join back to the corpus keys on uniform doc_id —
+    left as a shuffle join deliberately, because at web scale 30-50% of
+    docs sit in some dup component, far past broadcast size (AQE may
+    still elect broadcast at small SF).
+    """
+    from opentelemetry_collector_spark.operators.dedup import dedup_clusters
+    from opentelemetry_collector_spark.operators.textstats import (
+        _split_expr,
+    )
+
+    d = _docs(spark, sf_dir, docs=docs)
+    comps = dedup_clusters(spark, sf_dir, docs=d, max_iter=max_iter).select(
+        "doc_id", "cluster_id"
+    )
+    group = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    bucket = _hash_bucket(group, 100, ":split")
+    return d.join(comps, "doc_id", "left").select(
+        "doc_id",
+        group.alias("split_group"),
+        bucket.cast("int").alias("split_bucket"),
+        _split_expr(bucket).alias("split"),
+    )
+
+
+def _leakage_safe_oracle() -> str:
+    from opentelemetry_collector_spark.operators.dedup import (
+        DEDUP_CLUSTERS_ORACLE,
+    )
+    from opentelemetry_collector_spark.operators.textstats import (
+        _split_case_sql,
+    )
+
+    return f"""
+WITH lab AS (
+    {DEDUP_CLUSTERS_ORACLE}
+),
+grp AS (
+    SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS split_group
+    FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+)
+SELECT doc_id, split_group, cast(b AS int) AS split_bucket,
+    {_split_case_sql()} AS split
+FROM (
+    SELECT doc_id, split_group,
+        {_hash_bucket_sql('split_group', 100, ':split')} AS b
+    FROM grp
+) q
+"""
+
+
+DOC_SPLIT_LEAKAGE_SAFE_ORACLE = _leakage_safe_oracle()

@@ -194,11 +194,10 @@ def _hash_bucket_sql(id_expr: str, modulus: int, salt: str) -> str:
     )
 
 
-def doc_split(spark, sf_dir: str) -> DataFrame:
-    """Deterministic train/val/test assignment by hashed doc_id
-    ({SPLIT_FRACTIONS}): stable under re-runs and data growth (a doc never
-    changes split when other docs are added)."""
-    bucket = _hash_bucket(F.col("doc_id"), 100, ":split")
+def _split_expr(bucket: Column) -> Column:
+    """SPLIT_FRACTIONS as a CASE over a 0-99 bucket column — shared by
+    doc_split and quality.doc_split_leakage_safe so both assign identical
+    splits for the same group key."""
     edges = []
     lo = 0
     for name, pct in SPLIT_FRACTIONS:
@@ -207,10 +206,17 @@ def doc_split(spark, sf_dir: str) -> DataFrame:
     expr = F.when(bucket < edges[0][2], F.lit(edges[0][0]))
     for name, lo_, hi in edges[1:-1]:
         expr = expr.when(bucket < hi, F.lit(name))
-    expr = expr.otherwise(F.lit(edges[-1][0]))
+    return expr.otherwise(F.lit(edges[-1][0]))
+
+
+def doc_split(spark, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed doc_id
+    ({SPLIT_FRACTIONS}): stable under re-runs and data growth (a doc never
+    changes split when other docs are added)."""
+    bucket = _hash_bucket(F.col("doc_id"), 100, ":split")
     return _docs(spark, sf_dir).select(
         "doc_id", "lang", bucket.cast("int").alias("split_bucket"),
-        expr.alias("split"),
+        _split_expr(bucket).alias("split"),
     )
 
 

@@ -182,6 +182,17 @@ def _builtin_processors() -> dict[str, Callable]:
         # broadcast per-source rate table, salted-hash keep — no wide shuffle
         return _q.corpus_mix(spark, "", docs=df, project=False)
 
+    def leakage_split_p(spark, df, cfg):
+        # annotate the flowing documents frame with the leakage-safe split
+        # (near-dup components never straddle train/test); with `keep:`,
+        # filter to that split — the step that builds a clean training cut
+        s = _q.doc_split_leakage_safe(spark, "", docs=df)
+        out = df.join(s.select("doc_id", "split"), "doc_id")
+        keep = cfg.get("keep")
+        if keep:
+            out = out.filter(F.col("split") == str(keep)).drop("split")
+        return out
+
     def dsir_filter_p(spark, df, cfg):
         # DSIR importance selection: keep docs whose per-token weight beats
         # the corpus average. The score pass aggregates on doc_id anyway, so
@@ -218,6 +229,7 @@ def _builtin_processors() -> dict[str, Callable]:
         "normalize": normalize_p,
         "mix": mix_p,
         "dsir_filter": dsir_filter_p,
+        "leakage_split": leakage_split_p,
     }
 
 

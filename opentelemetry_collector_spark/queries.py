@@ -709,6 +709,7 @@ DOCS_QUERIES: dict[str, QueryFn] = {
     "corpus_mix": _qual.corpus_mix,
     "dsir_weights": _qual.dsir_weights,
     "doc_chunk": _qual.doc_chunk,
+    "doc_split_leakage_safe": _qual.doc_split_leakage_safe,
 }
 
 DOCS_ORACLES: dict[str, str] = {
@@ -750,6 +751,7 @@ DOCS_ORACLES: dict[str, str] = {
     "corpus_mix": _qual.CORPUS_MIX_ORACLE,
     "dsir_weights": _qual.DSIR_ORACLE,
     "doc_chunk": _qual.DOC_CHUNK_ORACLE,
+    "doc_split_leakage_safe": _qual.DOC_SPLIT_LEAKAGE_SAFE_ORACLE,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -1021,6 +1023,7 @@ REGISTRY_ORDER: list[str] = [
     "semdedup_pairs",
     "semdedup_ivf_pairs",
     "semdedup",
+    "doc_split_leakage_safe",
     # -- r04-green representatives filling the window -----------------------
     "transcripts_source",
     "parse_turns",

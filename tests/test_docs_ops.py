@@ -816,3 +816,41 @@ def test_semdedup_ivf_blocks_are_home_cells(spark):
     for p in pairs:
         assert cos(emb[p.vec_a], emb[p.vec_b]) >= SEMDEDUP_COS
         assert home(emb[p.vec_a]) == home(emb[p.vec_b]) == p.cluster
+
+
+def test_leakage_safe_split_never_separates_near_duplicates(spark):
+    """The invariant the op exists for: no near-dup pair (and by
+    transitivity no component) straddles a split boundary, and docs
+    without a near-duplicate keep exactly their doc_split assignment."""
+    split = DOCS_QUERIES["doc_split_leakage_safe"](
+        spark, SF_CORRECT
+    ).cache()
+    pairs = DOCS_QUERIES["dedup_ngram_pairs"](spark, SF_CORRECT)
+    a = split.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    b = split.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    straddling = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    assert straddling.count() == 0
+    assert pairs.count() > 0  # the invariant must have something to bite
+
+    # singletons (no near-dup) get the identical split doc_split assigns,
+    # so adopting the op only ever moves docs that have a near-duplicate
+    plain = DOCS_QUERIES["doc_split"](spark, SF_CORRECT).select(
+        "doc_id", F.col("split").alias("plain_split")
+    )
+    singletons = split.filter(F.col("split_group") == F.col("doc_id"))
+    moved = singletons.join(plain, "doc_id").filter(
+        F.col("split") != F.col("plain_split")
+    )
+    assert moved.count() == 0
+    # and clustered docs inherit the canonical's bucket, not their own
+    clustered = split.filter(F.col("split_group") != F.col("doc_id"))
+    assert clustered.count() > 0
+    split.unpersist()

@@ -334,3 +334,12 @@ def test_dsir_model_join_broadcasts(spark):
     plan = _plan(DOCS_QUERIES["dsir_weights"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_leakage_safe_split_has_no_nested_loop(spark):
+    """The leakage-safe split composes the guarded components pass with
+    one doc_id equality join back to the corpus — nothing in the tree may
+    degrade to a nested loop (quadratic in the corpus at 10^12 docs)."""
+    plan = _plan(DOCS_QUERIES["doc_split_leakage_safe"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

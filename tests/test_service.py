@@ -341,3 +341,43 @@ def test_dsir_filter_processor(spark, tmp_path):
     assert sorted(got.columns) == sorted(docs.columns)
     assert {r.doc_id for r in got.select("doc_id").collect()} == want_ids
     assert 0 < len(want_ids) < docs.count()
+
+
+def test_leakage_split_processor(spark, tmp_path):
+    """The leakage_split processor with keep=train exports exactly the
+    train docs of doc_split_leakage_safe, preserving every input column
+    (split consumed by the filter)."""
+    from opentelemetry_collector_spark.operators import quality as q
+
+    cfg = ServiceConfig.from_sources(
+        {
+            "receivers": {
+                "documents": {"path": f"{SF_SMOKE}/documents.parquet"}
+            },
+            "processors": {"leakage_split": {"keep": "train"}},
+            "exporters": {
+                "parquet": {"path": str(tmp_path / "train_cut")},
+            },
+            "service": {
+                "pipelines": {
+                    "cut": {
+                        "receivers": ["documents"],
+                        "processors": ["leakage_split"],
+                        "exporters": ["parquet"],
+                    }
+                }
+            },
+        },
+        env={},
+    )
+    got = run_service(spark, cfg)["cut"]
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    want_ids = {
+        r.doc_id
+        for r in q.doc_split_leakage_safe(spark, "", docs=docs)
+        .filter("split = 'train'")
+        .collect()
+    }
+    assert sorted(got.columns) == sorted(docs.columns)
+    assert {r.doc_id for r in got.select("doc_id").collect()} == want_ids
+    assert 0 < len(want_ids) < docs.count()
