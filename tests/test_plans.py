@@ -343,3 +343,24 @@ def test_leakage_safe_split_has_no_nested_loop(spark):
     plan = _plan(DOCS_QUERIES["doc_split_leakage_safe"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_final_plan_is_flat_in_iters(spark):
+    """embedding_pq materializes its codebooks driver-side each round like
+    embedding_kmeans — the final assignment plan's scan count must not
+    grow with iters, and the codebook join must broadcast."""
+    from opentelemetry_collector_spark.operators.similarity import (
+        embedding_pq,
+    )
+
+    # earlier tests' persisted frames can overlay extra InMemoryTableScan
+    # layers onto the shared subtree — clear so the count is order-stable
+    spark.catalog.clearCache()
+    p1 = _plan(embedding_pq(spark, SF_SMOKE, iters=1))
+    p3 = _plan(embedding_pq(spark, SF_SMOKE, iters=3))
+    assert _scan_count(p3) == _scan_count(p1), (
+        "PQ final-plan scan count grows with iters"
+    )
+    assert _scan_count(p3) <= 2
+    assert "BroadcastHashJoin" in p3
+    assert "CartesianProduct" not in p3
