@@ -1021,39 +1021,17 @@ def _pq_assign(q: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def embedding_pq(
+def _pq_train(
     spark: SparkSession,
     sf_dir: str,
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
     iters: int = PQ_ITERS,
-) -> DataFrame:
-    """Product quantization codes — the compression half of the IVF-PQ
-    architecture every billion-vector ANN deployment runs (Jégou et al.
-    2011): split each vector into ``m`` contiguous subspaces, k-means each
-    subspace to a ``ksub``-entry codebook, store per-vector codes. With
-    ``ann_ivf_topk`` supplying the coarse cells, this completes the
-    IVF-PQ stack: memory per vector drops from DIM floats to m codes, and
-    distances become codebook lookups (ADC).
-
-    Output: (vec_id, sub, code, dist_sq) — one row per vector and
-    subspace; dist_sq is the exact integer quantization error against the
-    chosen codebook entry (the reconstruction-error term PQ minimizes).
-
-    Determinism/exactness mirrors ``embedding_kmeans`` (same lattice
-    trick, same seed rule per subspace — vector j seeds code j): vectors
-    and codebooks live on the integer lattice, so distances and argmins
-    are exact and the DuckDB oracle unrolls the identical iterations.
-
-    Scale shape per iteration: the codebook is m*ksub*(DIM/m) = ksub*DIM
-    integer cells — broadcast-sized by construction, independent of the
-    corpus — joined once onto the component stream; the argmin windows on
-    (vec_id, sub) (uniform keys); the update is a (sub, code, dim_idx)
-    partial aggregate. All m subspaces train in the SAME single pass per
-    iteration (subspace rides the join key), so adding subspaces adds no
-    stages. Iteration state is materialized driver-side like
-    embedding_kmeans (flat plan in iters; same guard pattern).
-    """
+) -> tuple[DataFrame, DataFrame]:
+    """Train the PQ codebooks (see embedding_pq for semantics): returns
+    (q, cents) — the persisted subspace component stream and the final
+    ksub*DIM-cell codebook literal — so embedding_pq (codes) and
+    ann_pq_topk (ADC search) share one training pass shape."""
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     cent_schema = StructType(
@@ -1101,7 +1079,97 @@ def embedding_pq(
         [(s, co, d, c) for (s, co, d), c in sorted(cells.items())],
         cent_schema,
     )
+    return q, final
+
+
+def embedding_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """Product quantization codes — the compression half of the IVF-PQ
+    architecture every billion-vector ANN deployment runs (Jégou et al.
+    2011): split each vector into ``m`` contiguous subspaces, k-means each
+    subspace to a ``ksub``-entry codebook, store per-vector codes. With
+    ``ann_ivf_topk`` supplying the coarse cells and ``ann_pq_topk``
+    searching the codes, this completes the IVF-PQ stack: memory per
+    vector drops from DIM floats to m codes, and distances become
+    codebook lookups (ADC).
+
+    Output: (vec_id, sub, code, dist_sq) — one row per vector and
+    subspace; dist_sq is the exact integer quantization error against the
+    chosen codebook entry (the reconstruction-error term PQ minimizes).
+
+    Determinism/exactness mirrors ``embedding_kmeans`` (same lattice
+    trick, same seed rule per subspace — vector j seeds code j): vectors
+    and codebooks live on the integer lattice, so distances and argmins
+    are exact and the DuckDB oracle unrolls the identical iterations.
+
+    Scale shape per iteration: the codebook is m*ksub*(DIM/m) = ksub*DIM
+    integer cells — broadcast-sized by construction, independent of the
+    corpus — joined once onto the component stream; the argmin windows on
+    (vec_id, sub) (uniform keys); the update is a (sub, code, dim_idx)
+    partial aggregate. All m subspaces train in the SAME single pass per
+    iteration (subspace rides the join key), so adding subspaces adds no
+    stages. Iteration state is materialized driver-side like
+    embedding_kmeans (flat plan in iters; same guard pattern).
+    """
+    q, final = _pq_train(spark, sf_dir, m, ksub, iters)
     return _pq_assign(q, final)
+
+
+def ann_pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """Approximate top-{TOPK} by asymmetric distance computation (ADC)
+    over the PQ codes — the search half of IVF-PQ: each query precomputes
+    an (m × ksub)-entry lookup table of exact integer L2 distances from
+    its quantized subvectors to every codebook entry, and a corpus
+    vector's distance is the SUM of m table lookups selected by its
+    stored codes (Jégou et al. 2011 §4.1). Distances stay exact integers
+    end-to-end, so ranking is engine-portable with no float tolerance.
+
+    Scale shape: the lookup table is N_QUERIES*m*ksub rows — broadcast
+    onto the codes stream (m ints per vector, the whole point of PQ: the
+    scan reads codes, never the vectors); the per-(query, vector) sum is
+    a partial aggregate on uniform keys, and the final top-{TOPK} is a
+    bounded window per query. At 10^9+ vectors the production composition
+    restricts candidates to the query's IVF cells first (ann_ivf_topk's
+    probe join) — this operator IS that scan with the cell filter at 1.0.
+    """
+    from pyspark.sql.window import Window
+
+    q, cents = _pq_train(spark, sf_dir, m, ksub, iters)
+    codes = _pq_assign(q, cents).select("vec_id", "sub", "code")
+    lut = (
+        q.filter(F.col("vec_id") < N_QUERIES)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cents), ["sub", "dim_idx"])
+        .groupBy("query_id", "sub", "code")
+        .agg(
+            F.sum(
+                (F.col("qval") - F.col("c")) * (F.col("qval") - F.col("c"))
+            ).cast("long").alias("d")
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("data_id"))
+        .agg(F.sum("d").cast("long").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "data_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOPK)
+        .select("query_id", "data_id", "adc_dist", "rk")
+    )
 
 
 def _pq_oracle(
@@ -1181,7 +1249,39 @@ c0 AS (
         cent = f"c{i}"
     parts.append(assign(cent, "afinal"))
     body = ",".join(parts)
+    return body, cent
+
+
+def _pq_codes_oracle() -> str:
+    body, _ = _pq_oracle()
     return f"WITH {body}\nSELECT vec_id, sub, code, dist_sq FROM afinal"
 
 
-EMBEDDING_PQ_ORACLE = _pq_oracle()
+def _pq_adc_oracle() -> str:
+    body, cent = _pq_oracle()
+    return f"""WITH {body},
+lut AS (
+    SELECT qq.vec_id AS query_id, c.sub, c.code,
+        cast(sum((qq.qval - c.c) * (qq.qval - c.c)) AS bigint) AS d
+    FROM q qq JOIN {cent} c
+        ON qq.sub = c.sub AND qq.dim_idx = c.dim_idx
+    WHERE qq.vec_id < {N_QUERIES}
+    GROUP BY qq.vec_id, c.sub, c.code
+),
+adc AS (
+    SELECT l.query_id, a.vec_id AS data_id,
+        cast(sum(l.d) AS bigint) AS adc_dist
+    FROM afinal a JOIN lut l ON a.sub = l.sub AND a.code = l.code
+    WHERE a.vec_id != l.query_id
+    GROUP BY l.query_id, a.vec_id
+)
+SELECT query_id, data_id, adc_dist, rk FROM (
+    SELECT query_id, data_id, adc_dist,
+        row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_dist, data_id) AS rk
+    FROM adc
+) r WHERE rk <= {TOPK}"""
+
+
+EMBEDDING_PQ_ORACLE = _pq_codes_oracle()
+ANN_PQ_ORACLE = _pq_adc_oracle()

@@ -711,6 +711,7 @@ DOCS_QUERIES: dict[str, QueryFn] = {
     "doc_chunk": _qual.doc_chunk,
     "doc_split_leakage_safe": _qual.doc_split_leakage_safe,
     "embedding_pq": _sim.embedding_pq,
+    "ann_pq_topk": _sim.ann_pq_topk,
 }
 
 DOCS_ORACLES: dict[str, str] = {
@@ -754,6 +755,7 @@ DOCS_ORACLES: dict[str, str] = {
     "doc_chunk": _qual.DOC_CHUNK_ORACLE,
     "doc_split_leakage_safe": _qual.DOC_SPLIT_LEAKAGE_SAFE_ORACLE,
     "embedding_pq": _sim.EMBEDDING_PQ_ORACLE,
+    "ann_pq_topk": _sim.ANN_PQ_ORACLE,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -1027,6 +1029,7 @@ REGISTRY_ORDER: list[str] = [
     "semdedup",
     "doc_split_leakage_safe",
     "embedding_pq",
+    "ann_pq_topk",
     # -- r04-green representatives filling the window -----------------------
     "transcripts_source",
     "parse_turns",

@@ -911,3 +911,69 @@ def test_pq_codes_are_true_per_subspace_argmin(spark):
     for r in rows:
         profiles[r.vec_id][r.sub] = r.code
     assert len({tuple(sorted(p.items())) for p in profiles.values()}) > PQ_KSUB
+
+
+def test_pq_adc_distances_are_exact_and_recall_holds(spark):
+    """ADC mechanics are exact: every returned adc_dist equals a numpy
+    recount of sum-of-subspace LUT lookups for that (query, doc, codes);
+    and ADC top-5 retains a floor share of the exact integer-L2 top-5
+    (approximation quality at m=4, ksub=8)."""
+    from collections import defaultdict
+
+    from opentelemetry_collector_spark.operators.similarity import (
+        PQ_M,
+        TOPK,
+        _pq_dims,
+        _pq_train,
+        _pq_assign,
+        N_QUERIES,
+    )
+
+    rows = DOCS_QUERIES["ann_pq_topk"](spark, SF_CORRECT).collect()
+    assert len(rows) == N_QUERIES * TOPK
+
+    qd = defaultdict(dict)  # (vec_id, sub) -> {dim_idx: qval}
+    for r in _pq_dims(spark, SF_CORRECT, PQ_M).collect():
+        qd[(r.vec_id, r.sub)][r.dim_idx] = r.qval
+    q, cents = _pq_train(spark, SF_CORRECT)
+    book = {
+        (r.sub, r.code): {} for r in cents.collect()
+    }
+    for r in cents.collect():
+        book[(r.sub, r.code)][r.dim_idx] = r.c
+    codes = {
+        (r.vec_id, r.sub): r.code
+        for r in _pq_assign(q, cents).collect()
+    }
+    for r in rows:
+        want = 0
+        for s in range(PQ_M):
+            cent = book[(s, codes[(r.data_id, s)])]
+            want += sum(
+                (qd[(r.query_id, s)][d] - cent[d]) ** 2 for d in cent
+            )
+        assert want == r.adc_dist, (r.query_id, r.data_id)
+
+    # exact integer-L2 top-k over the quantized vectors (numpy recount)
+    vecs = defaultdict(dict)
+    for (v, s), dims in qd.items():
+        vecs[v].update(dims)
+    hit = tot = 0
+    adc_by_q = defaultdict(set)
+    for r in rows:
+        adc_by_q[r.query_id].add(r.data_id)
+    for qid in range(N_QUERIES):
+        dists = {
+            v: sum((vecs[qid][d] - vv[d]) ** 2 for d in vv)
+            for v, vv in vecs.items()
+            if v != qid
+        }
+        exact = sorted(dists, key=lambda v: (dists[v], v))[:TOPK]
+        hit += len(adc_by_q[qid] & set(exact))
+        tot += TOPK
+    # floor context: the synthetic embeddings are i.i.d. random, where
+    # pairwise distances concentrate and PQ recall is inherently weak
+    # (measured ~0.12-0.20 across m in {4,8,16}, ksub in {8,16}); chance
+    # level is TOPK/(n-1) ~= 0.01, so 0.1 asserts ADC ranks true
+    # neighbors ~10x better than random without overfitting the fixture
+    assert hit / tot >= 0.1, f"ADC recall {hit}/{tot} below floor"

@@ -364,3 +364,20 @@ def test_pq_final_plan_is_flat_in_iters(spark):
     assert _scan_count(p3) <= 2
     assert "BroadcastHashJoin" in p3
     assert "CartesianProduct" not in p3
+
+
+def test_pq_adc_scan_reads_codes_not_vectors(spark):
+    """The ADC search must broadcast the tiny LUT onto the codes stream —
+    an equality join on (sub, code) — with no nested loop and a plan
+    that's flat in training iters (shared _pq_train materialization)."""
+    from opentelemetry_collector_spark.operators.similarity import (
+        ann_pq_topk,
+    )
+
+    spark.catalog.clearCache()
+    p1 = _plan(ann_pq_topk(spark, SF_SMOKE, iters=1))
+    p3 = _plan(ann_pq_topk(spark, SF_SMOKE, iters=3))
+    assert _scan_count(p3) == _scan_count(p1)
+    assert "BroadcastHashJoin" in p3
+    assert "CartesianProduct" not in p3
+    assert "BroadcastNestedLoopJoin" not in p3
