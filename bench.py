@@ -163,6 +163,10 @@ LLMOPS_QUERIES = [
     # is the scale claim; amplified replicas suffix every word, so the
     # vocabulary grows ~amp× while the model tables stay fixed-size
     "dsir_weights",
+    # round 5: the IVF-PQ query path — codebook training is fixed-size
+    # (seeds/queries live in the base id range), so wall time should track
+    # the ADC codes scan ~linearly in corpus size
+    "ann_pq_topk",
 ]
 
 
