@@ -638,3 +638,99 @@ FROM (
 
 
 DOC_SPLIT_LEAKAGE_SAFE_ORACLE = _leakage_safe_oracle()
+
+
+# --- word-distribution entropy (repetitiveness quality signal) ---------------
+#
+# Shannon entropy of the per-document word distribution,
+# H = ln(n) - (1/n) * sum_w c_w ln(c_w) — the standard "gibberish vs
+# boilerplate" axis (low entropy = a few words repeated; used alongside the
+# Gopher repetition rules, e.g. CCNet §4.2's LM-based filter uses the same
+# distributional idea at the corpus level). Exact-arithmetic discipline:
+# per-word terms quantize to integer milli-nats BEFORE the weighted sum
+# (c_w * round(ln(c_w)*1000) — integer × integer), so the aggregate is an
+# order-independent bigint and the drop rule compares integers:
+# H >= tau  <=>  n*round(ln(n)*1000) - S >= n*tau_milli.
+
+ENTROPY_MIN_MILLI = 3000  # 3 nats ~ e^3 ~ 20 effective word types
+
+
+def doc_entropy(
+    spark,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document word-entropy quality signal.
+
+    Output: (doc_id, n_tokens, n_distinct, entropy_scaled_milli,
+    entropy_milli, low_entropy). ``entropy_scaled_milli`` is the exact
+    integer n*H in milli-nats; ``entropy_milli`` its per-token double;
+    ``low_entropy`` the integer-compared drop flag at ENTROPY_MIN_MILLI.
+
+    Scale (100 TB): two partial aggregates on uniform keys —
+    (doc_id, word) then doc_id — both map-side combined; no joins, no
+    broadcast, no skew surface (doc_id is unique, (doc_id, word) is
+    bounded by the doc's own vocabulary).
+    """
+    from opentelemetry_collector_spark.operators.textstats import _tokens
+
+    per_word = (
+        _tokens(spark, sf_dir, docs=docs)
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    clnc = F.col("c") * F.round(
+        F.log(F.col("c").cast("double")) * 1000.0
+    ).cast("long")
+    agg = per_word.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(clnc).cast("long").alias("sum_clnc_milli"),
+    )
+    ln_n_milli = F.round(
+        F.log(F.col("n_tokens").cast("double")) * 1000.0
+    ).cast("long")
+    scaled = F.col("n_tokens") * ln_n_milli - F.col("sum_clnc_milli")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        scaled.alias("entropy_scaled_milli"),
+        (
+            scaled.cast("double") / F.col("n_tokens").cast("double")
+        ).alias("entropy_milli"),
+        (
+            scaled < F.col("n_tokens") * F.lit(ENTROPY_MIN_MILLI)
+        ).alias("low_entropy"),
+    )
+
+
+DOC_ENTROPY_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents
+    ) t WHERE length(w) > 0
+),
+per_word AS (
+    SELECT doc_id, w, cast(count(*) AS bigint) AS c
+    FROM toks GROUP BY doc_id, w
+),
+agg AS (
+    SELECT doc_id,
+        cast(sum(c) AS bigint) AS n_tokens,
+        cast(count(*) AS bigint) AS n_distinct,
+        cast(sum(c * cast(round(ln(cast(c AS double)) * 1000) AS bigint))
+            AS bigint) AS sum_clnc_milli
+    FROM per_word GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+    n_tokens * cast(round(ln(cast(n_tokens AS double)) * 1000) AS bigint)
+        - sum_clnc_milli AS entropy_scaled_milli,
+    cast(n_tokens * cast(round(ln(cast(n_tokens AS double)) * 1000) AS bigint)
+        - sum_clnc_milli AS double) / cast(n_tokens AS double)
+        AS entropy_milli,
+    (n_tokens * cast(round(ln(cast(n_tokens AS double)) * 1000) AS bigint)
+        - sum_clnc_milli) < n_tokens * {ENTROPY_MIN_MILLI} AS low_entropy
+FROM agg
+"""

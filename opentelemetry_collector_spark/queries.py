@@ -27,6 +27,7 @@ from opentelemetry_collector_spark.operators.route import dead_letter, route, ro
 from opentelemetry_collector_spark.operators import aggregate as _agg
 from opentelemetry_collector_spark.operators import dedup as _dedup
 from opentelemetry_collector_spark.operators import multimodal as _mm
+from opentelemetry_collector_spark.operators import bpe as _bpe
 from opentelemetry_collector_spark.operators import quality as _qual
 from opentelemetry_collector_spark.operators.asof import (
     asof_oracle_sql,
@@ -712,6 +713,9 @@ DOCS_QUERIES: dict[str, QueryFn] = {
     "doc_split_leakage_safe": _qual.doc_split_leakage_safe,
     "embedding_pq": _sim.embedding_pq,
     "ann_pq_topk": _sim.ann_pq_topk,
+    "doc_entropy": _qual.doc_entropy,
+    "bpe_train": _bpe.bpe_train,
+    "bpe_encode": _bpe.bpe_encode,
 }
 
 DOCS_ORACLES: dict[str, str] = {
@@ -756,6 +760,9 @@ DOCS_ORACLES: dict[str, str] = {
     "doc_split_leakage_safe": _qual.DOC_SPLIT_LEAKAGE_SAFE_ORACLE,
     "embedding_pq": _sim.EMBEDDING_PQ_ORACLE,
     "ann_pq_topk": _sim.ANN_PQ_ORACLE,
+    "doc_entropy": _qual.DOC_ENTROPY_ORACLE,
+    "bpe_train": _bpe.BPE_TRAIN_ORACLE,
+    "bpe_encode": _bpe.BPE_ENCODE_ORACLE,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -992,6 +999,10 @@ PIPELINE_ORACLES["otlp_metric_json_roundtrip"] = PIPELINE_ORACLES[
 #   4. r04-green variants last — their operator code is already exercised.
 # test_plumbing guards that this list stays a permutation of the registry.
 REGISTRY_ORDER: list[str] = [
+    # -- new this session: never driver-recorded — lead the window ---------
+    "doc_entropy",
+    "bpe_train",
+    "bpe_encode",
     # -- freshest record is r03: re-record this round (VERDICT r04 task 2) -
     "ann_cosine_topk",
     "cluster_balanced_sample",

@@ -977,3 +977,156 @@ def test_pq_adc_distances_are_exact_and_recall_holds(spark):
     # level is TOPK/(n-1) ~= 0.01, so 0.1 asserts ADC ranks true
     # neighbors ~10x better than random without overfitting the fixture
     assert hit / tot >= 0.1, f"ADC recall {hit}/{tot} below floor"
+
+
+def test_doc_entropy_matches_python_recount(spark):
+    """The integer milli-nat entropy must equal a collections.Counter +
+    math.log recount, and the drop flag must be the integer comparison of
+    the same quantities (no float-threshold drift)."""
+    import math
+    from collections import Counter
+
+    from opentelemetry_collector_spark.operators.quality import (
+        ENTROPY_MIN_MILLI,
+    )
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    got = {
+        r.doc_id: r
+        for r in DOCS_QUERIES["doc_entropy"](spark, SF_CORRECT).collect()
+    }
+    assert set(got) == set(docs)
+    flagged = 0
+    for doc_id, text in docs.items():
+        counts = Counter(w for w in text.lower().split() if w)
+        n = sum(counts.values())
+        s = sum(c * round(math.log(c) * 1000) for c in counts.values())
+        scaled = n * round(math.log(n) * 1000) - s
+        r = got[doc_id]
+        assert r.n_tokens == n
+        assert r.n_distinct == len(counts)
+        assert r.entropy_scaled_milli == scaled
+        assert r.low_entropy == (scaled < n * ENTROPY_MIN_MILLI)
+        flagged += int(r.low_entropy)
+    # the fixture must exercise BOTH sides of the drop rule
+    assert 0 < flagged < len(docs)
+
+
+def _ref_bpe_apply(s, a, b):
+    out, i = [], 0
+    while i < len(s):
+        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return out
+
+
+def _ref_bpe_train(word_freq, m):
+    from collections import Counter
+
+    syms = {w: list(w) + ["</w>"] for w in word_freq}
+    merges = []
+    for rank in range(1, m + 1):
+        counts = Counter()
+        for w, f in word_freq.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += f
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, a + b, c))
+        syms = {w: _ref_bpe_apply(s, a, b) for w, s in syms.items()}
+    return merges, syms
+
+
+def test_bpe_merge_fold_is_greedy_leftmost(spark):
+    """The higher-order merge fold must implement the textbook
+    non-overlapping leftmost scan — including self-pair runs ('aaaa'
+    under (a,a) -> 'aa','aa'; 'aaa' -> 'aa','a') and alternations."""
+    from opentelemetry_collector_spark.operators.bpe import _apply_merge
+
+    cases = [
+        (["a", "a", "a", "a"], "a", "a"),
+        (["a", "a", "a"], "a", "a"),
+        (["a", "b", "a", "b"], "a", "b"),
+        (["x", "a", "b", "b", "y"], "a", "b"),
+        (["a"], "a", "a"),
+        (["a", "b"], "b", "a"),
+        (["ab", "b", "a", "ab"], "a", "ab"),
+    ]
+    df = spark.createDataFrame(
+        [(i, s, a, b) for i, (s, a, b) in enumerate(cases)],
+        "i int, syms array<string>, a string, b string",
+    )
+    for i, (s, a, b) in enumerate(cases):
+        got = (
+            df.filter(F.col("i") == i)
+            .select(_apply_merge(F.col("syms"), a, b).alias("m"))
+            .collect()[0]
+            .m
+        )
+        assert got == _ref_bpe_apply(s, a, b), (s, a, b, got)
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The distributed merge learner must reproduce the sequential
+    reference algorithm exactly: same pairs, same order, same counts."""
+    from collections import Counter
+
+    from opentelemetry_collector_spark.operators.bpe import (
+        BPE_MERGES,
+        bpe_train,
+    )
+
+    wf = Counter()
+    for r in (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("text")
+        .collect()
+    ):
+        wf.update(w for w in r.text.lower().split() if w)
+    ref, ref_syms = _ref_bpe_train(dict(wf), BPE_MERGES)
+    got = [
+        (r.rank, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in bpe_train(spark, SF_CORRECT).orderBy("rank").collect()
+    ]
+    assert got == ref
+    # the trained symbol state must agree too (spot-check via return_state)
+    merges_df, state = bpe_train(spark, SF_CORRECT, return_state=True)
+    state_map = {r.word: r.syms for r in state.collect()}
+    state.unpersist()
+    assert state_map == {w: s for w, s in ref_syms.items()}
+
+
+def test_bpe_encode_compresses_and_respects_rules(spark):
+    """Encoding under M merges must never produce more tokens than chars+1
+    per word, at least 1 token per word, and more merges can only shrink
+    (or hold) the total token count."""
+    from opentelemetry_collector_spark.operators.bpe import bpe_encode
+
+    full = {
+        r.doc_id: r
+        for r in bpe_encode(spark, SF_CORRECT, merges=8).collect()
+    }
+    fewer = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe_encode(spark, SF_CORRECT, merges=2).collect()
+    }
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").collect()
+    assert set(full) == {r.doc_id for r in docs}
+    for d in docs:
+        words = [w for w in d.text.lower().split() if w]
+        r = full[d.doc_id]
+        assert r.n_words == len(words)
+        assert r.n_bpe_tokens >= r.n_words  # >= 1 token per word
+        assert r.n_bpe_tokens <= sum(len(w) + 1 for w in words)
+        assert r.n_bpe_tokens <= fewer[d.doc_id]  # merges only compress

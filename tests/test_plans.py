@@ -381,3 +381,48 @@ def test_pq_adc_scan_reads_codes_not_vectors(spark):
     assert "BroadcastHashJoin" in p3
     assert "CartesianProduct" not in p3
     assert "BroadcastNestedLoopJoin" not in p3
+
+
+def test_bpe_encode_plan_is_flat_in_merge_count(spark):
+    """With precomputed merge rules (the production path) the encode plan
+    must scan the documents table a constant number of times — the merge
+    folds are per-distinct-word array expressions, so plan scans must not
+    grow with the rule count (the kmeans/PQ materialization discipline
+    applied to the tokenizer)."""
+    from opentelemetry_collector_spark.operators.bpe import bpe_encode
+
+    rules2 = [("e", "r"), ("e", "</w>")]
+    rules8 = rules2 + [
+        ("n", "</w>"), ("er", "</w>"), ("o", "w"),
+        ("ow", "</w>"), ("o", "r"), ("s", "t"),
+    ]
+    p2 = _plan(bpe_encode(spark, SF_SMOKE, merge_rules=rules2))
+    p8 = _plan(bpe_encode(spark, SF_SMOKE, merge_rules=rules8))
+    assert _scan_count(p8) == _scan_count(p2), (
+        "bpe_encode plan scan count grows with merge-rule count"
+    )
+    assert _scan_count(p2) <= 2
+    assert "BroadcastNestedLoopJoin" not in p8
+    assert "CartesianProduct" not in p8
+
+
+def test_bpe_train_rounds_scan_cached_state_not_files(spark):
+    """Each training round's pair aggregate must read the persisted symbol
+    frame (InMemoryTableScan), not re-fold all prior rounds from the
+    parquet files — otherwise round i re-pays rounds 1..i-1 and total
+    work goes quadratic in the merge count."""
+    from opentelemetry_collector_spark.operators.bpe import bpe_train
+
+    _, state1 = bpe_train(spark, SF_SMOKE, merges=1, return_state=True)
+    p1 = _plan(state1)
+    state1.unpersist()
+    _, state3 = bpe_train(spark, SF_SMOKE, merges=3, return_state=True)
+    p3 = _plan(state3)
+    state3.unpersist()
+    assert "InMemoryTableScan" in p3
+    # the printed plan shows the innermost cache-BUILD lineage once; if a
+    # round re-folded prior rounds from files instead of reading the cache,
+    # file scans would accumulate per round
+    assert _scan_count(p3) == _scan_count(p1), (
+        "training-round lineage re-reads files instead of the cached state"
+    )
