@@ -167,6 +167,14 @@ LLMOPS_QUERIES = [
     # (seeds/queries live in the base id range), so wall time should track
     # the ADC codes scan ~linearly in corpus size
     "ann_pq_topk",
+    # round 5: subword tokenizer induction — one corpus scan builds the
+    # word-frequency table, then all merge rounds run vocabulary-side;
+    # amplified replicas suffix every word, so vocab grows ~amp× and the
+    # rounds' pair aggregates should track it ~linearly
+    "bpe_train",
+    # round 5: paragraph-tile first-wins excision — two uniform-key
+    # shuffles of the tile stream, candidate-linear by construction
+    "dedup_paragraphs",
 ]
 
 

@@ -829,3 +829,152 @@ FROM (SELECT doc_id FROM documents) d0
 LEFT JOIN cleaned cl ON d0.doc_id = cl.doc_id
 LEFT JOIN removed r ON d0.doc_id = r.doc_id
 """
+
+
+# --- paragraph-level exact dedup (CCNet, Wenzek et al. 2020 §3.1) ------------
+#
+# CCNet removes duplicated PARAGRAPHS corpus-wide before any document-level
+# dedup: every paragraph is hashed, only its first occurrence (in a fixed
+# global order) survives, and documents are reassembled from their surviving
+# paragraphs. Real corpora split on '\n\n'; this synthetic corpus has no
+# paragraph marks, so the boundary rule is fixed non-overlapping word tiles
+# (PARA_TILE words) — the plan shape (explode units -> first-wins on the
+# unit hash -> reassemble) is identical under any boundary rule.
+#
+# First-wins is resolved by groupBy(tile_hash).min(struct(doc_id, tile_idx))
+# + an equality join back — NOT a window over the hash key, which would
+# funnel every occurrence of a hot boilerplate paragraph through one task
+# (the same skew argument as log_dedup). Reassembly sorts each doc's
+# surviving tiles by position inside a per-doc aggregate (bounded by the
+# doc's own size).
+
+PARA_TILE = 16
+
+
+def _tile_words(T: int):
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    n_tiles = F.floor(
+        (F.size(ws) + F.lit(T - 1)).cast("double") / F.lit(float(T))
+    ).cast("long")
+    tiles = F.when(
+        n_tiles > 0,
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n_tiles - 1),
+            lambda i: F.array_join(
+                F.slice(ws, (i * T + 1).cast("int"), T), " "
+            ),
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    return tiles
+
+
+def dedup_paragraphs(
+    spark,
+    sf_dir: str,
+    tile: int = PARA_TILE,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus-wide duplicate-paragraph excision with document
+    reconstruction: (doc_id, n_tiles, n_kept, text_kept).
+
+    A tile survives iff it is the lexicographically-first occurrence
+    (doc_id, tile_idx) of its text corpus-wide; ``text_kept`` is the doc's
+    surviving tiles re-joined in position order ('' when everything was a
+    duplicate). Every document appears in the output.
+
+    Scale (100 TB): the tile stream shuffles once on the tile hash (md5 —
+    uniform) for the keeper aggregate and once for the join back; both are
+    partial-aggregated map-side. No windows over content keys, no
+    all-pairs shapes; reassembly is a per-doc aggregate bounded by the
+    doc's own tile count.
+    """
+    df = _docs(spark, sf_dir, docs=docs)
+    tiles = (
+        df.select(
+            "doc_id",
+            F.posexplode(_tile_words(tile)).alias("tile_idx", "tile_text"),
+        )
+        .withColumn("tile_idx", F.col("tile_idx").cast("long"))
+        .withColumn("h", F.md5("tile_text"))
+    )
+    keeper = tiles.groupBy("h").agg(
+        F.min(F.struct("doc_id", "tile_idx")).alias("k")
+    )
+    kept = (
+        tiles.join(keeper, "h")
+        .filter(F.struct("doc_id", "tile_idx") == F.col("k"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("tile_idx", "tile_text"))
+                    ),
+                    lambda s: s.tile_text,
+                ),
+            ).alias("text_kept"),
+        )
+    )
+    counts = tiles.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tiles")
+    )
+    return (
+        df.select("doc_id")
+        .join(counts, "doc_id", "left")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tiles", F.lit(0)).cast("long").alias("n_tiles"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+        )
+    )
+
+
+DEDUP_PARAGRAPHS_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\\s+'),
+                    x -> length(x) > 0) AS ws
+    FROM documents
+),
+tiles AS (
+    SELECT doc_id, i AS tile_idx,
+        array_to_string(ws[(i * {PARA_TILE}) + 1:(i + 1) * {PARA_TILE}],
+                        ' ') AS tile_text
+    FROM (
+        SELECT doc_id, ws,
+            unnest(generate_series(
+                0, ((len(ws) + {PARA_TILE - 1}) // {PARA_TILE}) - 1)) AS i
+        FROM w
+    ) q
+),
+ranked AS (
+    SELECT doc_id, tile_idx, tile_text,
+        row_number() OVER (
+            PARTITION BY md5(tile_text) ORDER BY doc_id, tile_idx) AS rn
+    FROM tiles
+),
+kept AS (
+    SELECT doc_id,
+        cast(count(*) AS bigint) AS n_kept,
+        string_agg(tile_text, ' ' ORDER BY tile_idx) AS text_kept
+    FROM ranked WHERE rn = 1 GROUP BY doc_id
+),
+cnt AS (
+    SELECT doc_id, cast(count(*) AS bigint) AS n_tiles
+    FROM tiles GROUP BY doc_id
+)
+SELECT d.doc_id,
+    coalesce(c.n_tiles, 0) AS n_tiles,
+    coalesce(k.n_kept, 0) AS n_kept,
+    coalesce(k.text_kept, '') AS text_kept
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN cnt c ON d.doc_id = c.doc_id
+LEFT JOIN kept k ON d.doc_id = k.doc_id
+"""

@@ -193,6 +193,36 @@ def _builtin_processors() -> dict[str, Callable]:
             out = out.filter(F.col("split") == str(keep)).drop("split")
         return out
 
+    def dedup_paragraphs_p(spark, df, cfg):
+        # CCNet-style duplicate-paragraph excision: rewrite text to the
+        # surviving tiles (position order preserved) and drop documents
+        # whose every tile was a duplicate. First-wins resolves via the
+        # keeper aggregate + equality join (skew-safe, see dedup.py).
+        kept = _dd.dedup_paragraphs(
+            spark, "", tile=int(cfg.get("tile", _dd.PARA_TILE)), docs=df
+        )
+        return (
+            df.join(
+                kept.filter(F.col("n_kept") > 0).select(
+                    "doc_id", "text_kept"
+                ),
+                "doc_id",
+            )
+            .withColumn("text", F.col("text_kept"))
+            .drop("text_kept")
+            .withColumn("n_chars", F.length("text").cast("long"))
+        )
+
+    def entropy_filter_p(spark, df, cfg):
+        # drop low-entropy (repetitive/boilerplate) documents; threshold in
+        # integer milli-nats so the decision is engine-exact
+        flagged = (
+            _q.doc_entropy(spark, "", docs=df)
+            .filter("low_entropy")
+            .select("doc_id")
+        )
+        return df.join(flagged, "doc_id", "left_anti")
+
     def dsir_filter_p(spark, df, cfg):
         # DSIR importance selection: keep docs whose per-token weight beats
         # the corpus average. The score pass aggregates on doc_id anyway, so
@@ -230,6 +260,8 @@ def _builtin_processors() -> dict[str, Callable]:
         "mix": mix_p,
         "dsir_filter": dsir_filter_p,
         "leakage_split": leakage_split_p,
+        "dedup_paragraphs": dedup_paragraphs_p,
+        "entropy_filter": entropy_filter_p,
     }
 
 

@@ -716,6 +716,7 @@ DOCS_QUERIES: dict[str, QueryFn] = {
     "doc_entropy": _qual.doc_entropy,
     "bpe_train": _bpe.bpe_train,
     "bpe_encode": _bpe.bpe_encode,
+    "dedup_paragraphs": _dedup.dedup_paragraphs,
 }
 
 DOCS_ORACLES: dict[str, str] = {
@@ -763,6 +764,7 @@ DOCS_ORACLES: dict[str, str] = {
     "doc_entropy": _qual.DOC_ENTROPY_ORACLE,
     "bpe_train": _bpe.BPE_TRAIN_ORACLE,
     "bpe_encode": _bpe.BPE_ENCODE_ORACLE,
+    "dedup_paragraphs": _dedup.DEDUP_PARAGRAPHS_ORACLE,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -1003,6 +1005,7 @@ REGISTRY_ORDER: list[str] = [
     "doc_entropy",
     "bpe_train",
     "bpe_encode",
+    "dedup_paragraphs",
     # -- freshest record is r03: re-record this round (VERDICT r04 task 2) -
     "ann_cosine_topk",
     "cluster_balanced_sample",

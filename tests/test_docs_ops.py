@@ -1130,3 +1130,40 @@ def test_bpe_encode_compresses_and_respects_rules(spark):
         assert r.n_bpe_tokens >= r.n_words  # >= 1 token per word
         assert r.n_bpe_tokens <= sum(len(w) + 1 for w in words)
         assert r.n_bpe_tokens <= fewer[d.doc_id]  # merges only compress
+
+
+def test_dedup_paragraphs_first_wins_python_recount(spark):
+    """Tile survival must be exactly first-occurrence-wins in global
+    (doc_id, tile_idx) order, and reconstruction must preserve surviving
+    tiles in position order — verified against a dict-scan recount."""
+    from opentelemetry_collector_spark.operators.dedup import PARA_TILE
+
+    docs = sorted(
+        (
+            (r.doc_id, [w for w in r.text.lower().split() if w])
+            for r in spark.read.parquet(
+                f"{SF_CORRECT}/documents.parquet"
+            ).collect()
+        ),
+    )
+    seen: set[str] = set()
+    expect = {}
+    for doc_id, ws in docs:
+        tiles = [
+            " ".join(ws[i : i + PARA_TILE])
+            for i in range(0, len(ws), PARA_TILE)
+        ]
+        kept = []
+        for t in tiles:
+            if t not in seen:
+                seen.add(t)
+                kept.append(t)
+        expect[doc_id] = (len(tiles), len(kept), " ".join(kept))
+    got = {
+        r.doc_id: (r.n_tiles, r.n_kept, r.text_kept)
+        for r in DOCS_QUERIES["dedup_paragraphs"](spark, SF_CORRECT).collect()
+    }
+    assert got == expect
+    assert any(g[0] != g[1] for g in got.values()), (
+        "fixture must contain duplicate tiles"
+    )

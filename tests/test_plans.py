@@ -426,3 +426,16 @@ def test_bpe_train_rounds_scan_cached_state_not_files(spark):
     assert _scan_count(p3) == _scan_count(p1), (
         "training-round lineage re-reads files instead of the cached state"
     )
+
+
+def test_dedup_paragraphs_no_window_over_content_key(spark):
+    """First-wins must resolve via the keeper aggregate + equality join
+    (skew-safe), never a Window over the tile hash, and must not produce
+    nested-loop or cartesian shapes."""
+    plan = _plan(DOCS_QUERIES["dedup_paragraphs"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    import re
+    assert not re.search(r"Window .*\bh\b", plan), (
+        "tile-hash ordering must not run through a Window"
+    )

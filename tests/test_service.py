@@ -381,3 +381,86 @@ def test_leakage_split_processor(spark, tmp_path):
     assert sorted(got.columns) == sorted(docs.columns)
     assert {r.doc_id for r in got.select("doc_id").collect()} == want_ids
     assert 0 < len(want_ids) < docs.count()
+
+
+def test_dedup_paragraphs_processor(spark, tmp_path):
+    """The dedup_paragraphs processor rewrites text to the surviving
+    tiles, recomputes n_chars, preserves the column set, and drops docs
+    whose every tile was a duplicate."""
+    from opentelemetry_collector_spark.operators import dedup as dd
+
+    cfg = ServiceConfig.from_sources(
+        {
+            "receivers": {
+                "documents": {"path": f"{SF_SMOKE}/documents.parquet"}
+            },
+            "processors": {"dedup_paragraphs": {}},
+            "exporters": {
+                "parquet": {"path": str(tmp_path / "cleaned")},
+            },
+            "service": {
+                "pipelines": {
+                    "clean": {
+                        "receivers": ["documents"],
+                        "processors": ["dedup_paragraphs"],
+                        "exporters": ["parquet"],
+                    }
+                }
+            },
+        },
+        env={},
+    )
+    got = run_service(spark, cfg)["clean"]
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    want = {
+        r.doc_id: r.text_kept
+        for r in dd.dedup_paragraphs(spark, "", docs=docs).collect()
+        if r.n_kept > 0
+    }
+    assert sorted(got.columns) == sorted(docs.columns)
+    got_rows = {r.doc_id: r for r in got.collect()}
+    assert set(got_rows) == set(want)
+    for doc_id, text in want.items():
+        assert got_rows[doc_id].text == text
+        assert got_rows[doc_id].n_chars == len(text)
+
+
+def test_entropy_filter_processor(spark, tmp_path):
+    """The entropy_filter processor drops exactly the low_entropy docs of
+    the doc_entropy scorer, preserving every input column."""
+    from opentelemetry_collector_spark.operators import quality as q
+
+    cfg = ServiceConfig.from_sources(
+        {
+            "receivers": {
+                "documents": {"path": f"{SF_SMOKE}/documents.parquet"}
+            },
+            "processors": {"entropy_filter": {}},
+            "exporters": {
+                "parquet": {"path": str(tmp_path / "kept")},
+            },
+            "service": {
+                "pipelines": {
+                    "filter": {
+                        "receivers": ["documents"],
+                        "processors": ["entropy_filter"],
+                        "exporters": ["parquet"],
+                    }
+                }
+            },
+        },
+        env={},
+    )
+    got = run_service(spark, cfg)["filter"]
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    dropped = {
+        r.doc_id
+        for r in q.doc_entropy(spark, "", docs=docs)
+        .filter("low_entropy")
+        .collect()
+    }
+    assert sorted(got.columns) == sorted(docs.columns)
+    got_ids = {r.doc_id for r in got.select("doc_id").collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert got_ids == all_ids - dropped
+    assert 0 < len(got_ids) < len(all_ids)
