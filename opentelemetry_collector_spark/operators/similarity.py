@@ -1285,3 +1285,227 @@ SELECT query_id, data_id, adc_dist, rk FROM (
 
 EMBEDDING_PQ_ORACLE = _pq_codes_oracle()
 ANN_PQ_ORACLE = _pq_adc_oracle()
+
+
+# --- MMR diversity re-ranking (Carbonell & Goldstein 1998) -------------------
+#
+# Maximal Marginal Relevance: after ANN retrieval, select k results that
+# trade relevance against redundancy — argmax over remaining candidates of
+# lambda*rel(q,d) - (1-lambda)*max_{s in S} sim(d,s). The standard diverse
+# few-shot / retrieval-dedup step of an LLM data pipeline.
+#
+# Engine-exact arithmetic: relevance and candidate-candidate cosines are
+# quantized to integer MICRO-cosines (round(cos*1e6) -> bigint) before any
+# decision, and lambda=0.7 becomes the integer score 7*rel - 3*maxsim, so
+# every argmax (ties: data_id asc) is an integer comparison in both engines.
+#
+# Scale (100 TB / millions of queries): the heavy stage is the existing ANN
+# candidate scan; the rerank operates on bounded per-query pools
+# (MMR_CAND candidates, MMR_CAND^2 pool sims) and every selection step
+# advances ALL queries at once relationally — a window + two equality joins
+# on the query key, never a per-query driver loop or python kernel.
+# Iteration state (pool, sims, selected-so-far) is localCheckpoint'ed:
+# materialized to executor storage with lineage truncated, so step t scans
+# the stored state instead of re-deriving steps 1..t-1 (the kmeans/BPE
+# materialization discipline; plans stay flat in k).
+
+MMR_K = 5
+MMR_CAND = 20
+# lambda = 0.7 -> integer score 7*rel - 3*maxsim (units: 1e-7 cosine)
+MMR_LAMBDA_NUM, MMR_LAMBDA_CMP = 7, 3
+
+
+def ann_mmr_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = MMR_K,
+    n_cand: int = MMR_CAND,
+) -> DataFrame:
+    """MMR-diverse top-k per query vector:
+    (query_id, data_id, mmr_rank, rel, mmr_score).
+
+    ``rel`` is the integer micro-cosine to the query; ``mmr_score`` the
+    integer MMR objective 7*rel - 3*max-sim-to-selected (maxsim = 0 for
+    the first pick). Selection order is mmr_rank.
+    """
+    from pyspark.sql.window import Window
+
+    data = _emb(spark, sf_dir, "data_id", "dv").withColumn(
+        "dnorm", _norm("dv")
+    )
+    q = (
+        _emb(spark, sf_dir, "query_id", "qv")
+        .filter(F.col("query_id") < N_QUERIES)
+        .withColumn("qnorm", _norm("qv"))
+    )
+    rel = (
+        data.crossJoin(F.broadcast(q.select("query_id", "qv", "qnorm")))
+        .filter(F.col("data_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "data_id",
+            F.round(
+                _dot("qv", "dv")
+                / (F.col("qnorm") * F.col("dnorm"))
+                * 1_000_000.0
+            )
+            .cast("long")
+            .alias("rel"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "data_id")
+    cand = (
+        rel.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n_cand)
+        .localCheckpoint()
+    )
+    cv = (
+        cand.select("query_id", "data_id")
+        .join(
+            _emb(spark, sf_dir, "data_id", "cv").select("data_id", "cv"),
+            "data_id",
+        )
+        .withColumn("cnorm", _norm("cv"))
+    )
+    a = cv.select(
+        "query_id",
+        F.col("data_id").alias("a_id"),
+        F.col("cv").alias("av"),
+        F.col("cnorm").alias("an"),
+    )
+    b = cv.select(
+        "query_id",
+        F.col("data_id").alias("b_id"),
+        F.col("cv").alias("bv"),
+        F.col("cnorm").alias("bn"),
+    )
+    sims = (
+        a.join(b, "query_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "query_id",
+            "a_id",
+            "b_id",
+            F.round(
+                _dot("av", "bv") / (F.col("an") * F.col("bn")) * 1_000_000.0
+            )
+            .cast("long")
+            .alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    selected = cand.filter(F.col("rk") == 1).select(
+        "query_id",
+        "data_id",
+        F.lit(1).alias("mmr_rank"),
+        "rel",
+        (F.lit(MMR_LAMBDA_NUM) * F.col("rel")).alias("mmr_score"),
+    ).localCheckpoint()
+    for t in range(2, k + 1):
+        rem = cand.join(
+            selected.select("query_id", "data_id"),
+            ["query_id", "data_id"],
+            "left_anti",
+        )
+        pen = (
+            rem.join(
+                sims.withColumnRenamed("a_id", "data_id"),
+                ["query_id", "data_id"],
+            )
+            .join(
+                selected.select(
+                    "query_id", F.col("data_id").alias("b_id")
+                ),
+                ["query_id", "b_id"],
+            )
+            .groupBy("query_id", "data_id", "rel")
+            .agg(F.max("sim").alias("ms"))
+        )
+        score = F.lit(MMR_LAMBDA_NUM) * F.col("rel") - F.lit(
+            MMR_LAMBDA_CMP
+        ) * F.col("ms")
+        wt = Window.partitionBy("query_id").orderBy(
+            score.desc(), "data_id"
+        )
+        step = (
+            pen.withColumn("rn", F.row_number().over(wt))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "data_id",
+                F.lit(t).alias("mmr_rank"),
+                "rel",
+                score.alias("mmr_score"),
+            )
+        )
+        selected = selected.unionByName(step).localCheckpoint()
+    return selected
+
+
+def _mmr_oracle(k: int = MMR_K, n_cand: int = MMR_CAND) -> str:
+    body = f"""
+WITH e AS MATERIALIZED (
+    SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+    FROM embeddings
+),
+relq AS (
+    SELECT q.vec_id AS query_id, d.vec_id AS data_id,
+        cast(round({_cos_sql('q.v', 'd.v')} * 1000000) AS bigint) AS rel
+    FROM e q JOIN e d ON d.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+),
+cand AS MATERIALIZED (
+    SELECT query_id, data_id, rel, rk FROM (
+        SELECT *, cast(row_number() OVER (
+            PARTITION BY query_id ORDER BY rel DESC, data_id) AS int) AS rk
+        FROM relq
+    ) r WHERE rk <= {n_cand}
+),
+sims AS MATERIALIZED (
+    SELECT a.query_id, a.data_id AS a_id, b.data_id AS b_id,
+        cast(round({_cos_sql('va.v', 'vb.v')} * 1000000) AS bigint) AS sim
+    FROM cand a
+    JOIN cand b ON a.query_id = b.query_id AND a.data_id <> b.data_id
+    JOIN e va ON va.vec_id = a.data_id
+    JOIN e vb ON vb.vec_id = b.data_id
+),
+sel1 AS MATERIALIZED (
+    SELECT query_id, data_id, 1 AS mmr_rank, rel,
+        {MMR_LAMBDA_NUM} * rel AS mmr_score
+    FROM cand WHERE rk = 1
+),
+selu1 AS MATERIALIZED (SELECT query_id, data_id FROM sel1)"""
+    for t in range(2, k + 1):
+        body += f""",
+pen{t} AS (
+    SELECT c.query_id, c.data_id, c.rel, max(s.sim) AS ms
+    FROM cand c
+    JOIN sims s ON s.query_id = c.query_id AND s.a_id = c.data_id
+    JOIN selu{t - 1} u ON u.query_id = s.query_id AND u.data_id = s.b_id
+    WHERE NOT EXISTS (
+        SELECT 1 FROM selu{t - 1} x
+        WHERE x.query_id = c.query_id AND x.data_id = c.data_id)
+    GROUP BY c.query_id, c.data_id, c.rel
+),
+sel{t} AS MATERIALIZED (
+    SELECT query_id, data_id, {t} AS mmr_rank, rel, mmr_score FROM (
+        SELECT query_id, data_id, rel,
+            {MMR_LAMBDA_NUM} * rel - {MMR_LAMBDA_CMP} * ms AS mmr_score,
+            row_number() OVER (PARTITION BY query_id
+                ORDER BY {MMR_LAMBDA_NUM} * rel - {MMR_LAMBDA_CMP} * ms DESC,
+                         data_id) AS rn
+        FROM pen{t}
+    ) z WHERE rn = 1
+),
+selu{t} AS MATERIALIZED (
+    SELECT * FROM selu{t - 1}
+    UNION ALL SELECT query_id, data_id FROM sel{t}
+)"""
+    selects = [
+        f"SELECT query_id, data_id, mmr_rank, rel, mmr_score FROM sel{t}"
+        for t in range(1, k + 1)
+    ]
+    return body + "\n" + "\nUNION ALL ".join(selects)
+
+
+ANN_MMR_ORACLE = _mmr_oracle()

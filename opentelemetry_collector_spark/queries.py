@@ -717,6 +717,7 @@ DOCS_QUERIES: dict[str, QueryFn] = {
     "bpe_train": _bpe.bpe_train,
     "bpe_encode": _bpe.bpe_encode,
     "dedup_paragraphs": _dedup.dedup_paragraphs,
+    "ann_mmr_topk": _sim.ann_mmr_topk,
 }
 
 DOCS_ORACLES: dict[str, str] = {
@@ -765,6 +766,7 @@ DOCS_ORACLES: dict[str, str] = {
     "bpe_train": _bpe.BPE_TRAIN_ORACLE,
     "bpe_encode": _bpe.BPE_ENCODE_ORACLE,
     "dedup_paragraphs": _dedup.DEDUP_PARAGRAPHS_ORACLE,
+    "ann_mmr_topk": _sim.ANN_MMR_ORACLE,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -1006,6 +1008,7 @@ REGISTRY_ORDER: list[str] = [
     "bpe_train",
     "bpe_encode",
     "dedup_paragraphs",
+    "ann_mmr_topk",
     # -- freshest record is r03: re-record this round (VERDICT r04 task 2) -
     "ann_cosine_topk",
     "cluster_balanced_sample",

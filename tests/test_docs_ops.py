@@ -1167,3 +1167,71 @@ def test_dedup_paragraphs_first_wins_python_recount(spark):
     assert any(g[0] != g[1] for g in got.values()), (
         "fixture must contain duplicate tiles"
     )
+
+
+def test_mmr_matches_greedy_python_recount(spark):
+    """The relational MMR unroll must reproduce the sequential greedy
+    algorithm exactly: same selections, same order, same integer scores —
+    recomputed from the raw embeddings with numpy."""
+    import numpy as np
+
+    from opentelemetry_collector_spark.operators.similarity import (
+        MMR_CAND,
+        MMR_K,
+        MMR_LAMBDA_CMP,
+        MMR_LAMBDA_NUM,
+        N_QUERIES,
+        ann_mmr_topk,
+    )
+
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(
+            f"{SF_CORRECT}/embeddings.parquet"
+        ).collect()
+    }
+
+    def micro_cos(a, b):
+        return int(
+            np.round(
+                float(np.dot(a, b))
+                / (float(np.sqrt(np.dot(a, a))) * float(np.sqrt(np.dot(b, b))))
+                * 1_000_000
+            )
+        )
+
+    expect = {}
+    for qid in range(N_QUERIES):
+        rels = sorted(
+            (
+                (-micro_cos(vecs[qid], v), did)
+                for did, v in vecs.items()
+                if did != qid
+            ),
+        )[:MMR_CAND]
+        pool = [(did, -nr) for nr, did in rels]
+        sel = []
+        for rank in range(1, MMR_K + 1):
+            best = None
+            for did, rel in pool:
+                if any(did == s for s, *_ in sel):
+                    continue
+                ms = (
+                    max(micro_cos(vecs[did], vecs[s]) for s, *_ in sel)
+                    if sel
+                    else 0
+                )
+                score = MMR_LAMBDA_NUM * rel - (
+                    MMR_LAMBDA_CMP * ms if sel else 0
+                )
+                key = (-score, did)
+                if best is None or key < best[0]:
+                    best = (key, did, rel, score)
+            sel.append((best[1], rank, best[2], best[3]))
+        for did, rank, rel, score in sel:
+            expect[(qid, rank)] = (did, rel, score)
+    got = {
+        (r.query_id, r.mmr_rank): (r.data_id, r.rel, r.mmr_score)
+        for r in ann_mmr_topk(spark, SF_CORRECT).collect()
+    }
+    assert got == expect

@@ -439,3 +439,15 @@ def test_dedup_paragraphs_no_window_over_content_key(spark):
     assert not re.search(r"Window .*\bh\b", plan), (
         "tile-hash ordering must not run through a Window"
     )
+
+
+def test_mmr_rerank_stays_on_bounded_pools(spark):
+    """MMR's only nested-loop join is the deliberate broadcast of the tiny
+    query side (the ANN candidate scan); the pool self-join must be a hash
+    equality join on query_id, and iteration state must come from
+    materialized checkpoints (no corpus re-scan per selection step)."""
+    plan = _plan(DOCS_QUERIES["ann_mmr_topk"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "FileScan" not in plan, (
+        "selection steps must read checkpointed state, not re-scan parquet"
+    )
