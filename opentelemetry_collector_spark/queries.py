@@ -28,6 +28,7 @@ from opentelemetry_collector_spark.operators import aggregate as _agg
 from opentelemetry_collector_spark.operators import dedup as _dedup
 from opentelemetry_collector_spark.operators import multimodal as _mm
 from opentelemetry_collector_spark.operators import bpe as _bpe
+from opentelemetry_collector_spark.operators import sketch as _sk
 from opentelemetry_collector_spark.operators import quality as _qual
 from opentelemetry_collector_spark.operators.asof import (
     asof_oracle_sql,
@@ -718,6 +719,8 @@ DOCS_QUERIES: dict[str, QueryFn] = {
     "bpe_encode": _bpe.bpe_encode,
     "dedup_paragraphs": _dedup.dedup_paragraphs,
     "ann_mmr_topk": _sim.ann_mmr_topk,
+    "cms_heavy_hitters": _sk.cms_heavy_hitters,
+    "hll_distinct": _sk.hll_distinct,
 }
 
 DOCS_ORACLES: dict[str, str] = {
@@ -767,6 +770,8 @@ DOCS_ORACLES: dict[str, str] = {
     "bpe_encode": _bpe.BPE_ENCODE_ORACLE,
     "dedup_paragraphs": _dedup.DEDUP_PARAGRAPHS_ORACLE,
     "ann_mmr_topk": _sim.ANN_MMR_ORACLE,
+    "cms_heavy_hitters": _sk.CMS_ORACLE,
+    "hll_distinct": _sk.HLL_ORACLE,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -1009,6 +1014,8 @@ REGISTRY_ORDER: list[str] = [
     "bpe_encode",
     "dedup_paragraphs",
     "ann_mmr_topk",
+    "cms_heavy_hitters",
+    "hll_distinct",
     # -- freshest record is r03: re-record this round (VERDICT r04 task 2) -
     "ann_cosine_topk",
     "cluster_balanced_sample",

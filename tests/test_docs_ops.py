@@ -1235,3 +1235,82 @@ def test_mmr_matches_greedy_python_recount(spark):
         for r in ann_mmr_topk(spark, SF_CORRECT).collect()
     }
     assert got == expect
+
+
+def test_cms_sketch_matches_python_reference(spark):
+    """The Count-Min estimate for every probed word must equal a python
+    dict-built sketch probed with the same md5 hashes, and the
+    overestimate guarantee (est >= exact) must hold."""
+    import hashlib
+    from collections import Counter
+
+    from opentelemetry_collector_spark.operators.sketch import CMS_D, CMS_W
+
+    wf = Counter()
+    for r in (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("text")
+        .collect()
+    ):
+        wf.update(w for w in r.text.lower().split() if w)
+
+    def bucket(w, d):
+        return int(hashlib.md5(f"{w}:cms{d}".encode()).hexdigest()[:8], 16) % CMS_W
+
+    cells = Counter()
+    for w, c in wf.items():
+        for d in range(CMS_D):
+            cells[(d, bucket(w, d))] += c
+    got = DOCS_QUERIES["cms_heavy_hitters"](spark, SF_CORRECT).collect()
+    assert len(got) == 10
+    for r in got:
+        assert r.exact_count == wf[r.w]
+        ref = min(cells[(d, bucket(r.w, d))] for d in range(CMS_D))
+        assert r.cms_est == ref
+        assert r.cms_est >= r.exact_count
+
+
+def test_hll_registers_merge_across_shards(spark):
+    """The property that makes HLL the DISTRIBUTED distinct counter:
+    sketching two disjoint shards and merging by register max must give
+    the identical register state (hence identical estimate) as sketching
+    the whole stream — verified with a python register recount, plus the
+    standard error bound on the fixture."""
+    import hashlib
+
+    from opentelemetry_collector_spark.operators.sketch import (
+        HLL_M,
+        HLL_PATTERN_BITS,
+    )
+
+    ids = [
+        r.event_id
+        for r in spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .select("event_id")
+        .collect()
+    ]
+
+    def regs(values):
+        m = [0] * HLL_M
+        for v in values:
+            hv = int(hashlib.md5(f"{v}:hll".encode()).hexdigest()[:15], 16)
+            j, pattern = hv % HLL_M, hv // HLL_M
+            rho = (
+                HLL_PATTERN_BITS + 1
+                if pattern == 0
+                else HLL_PATTERN_BITS + 1 - pattern.bit_length()
+            )
+            m[j] = max(m[j], rho)
+        return m
+
+    whole = regs(ids)
+    a, b = regs(ids[::2]), regs(ids[1::2])
+    assert [max(x, y) for x, y in zip(a, b)] == whole
+    # the engine's scaled harmonic sum must equal the python registers'
+    row = DOCS_QUERIES["hll_distinct"](spark, SF_CORRECT).collect()[0]
+    assert row.s_scaled == sum(2 ** (55 - mj) for mj in whole)
+    assert row.zero_registers == sum(1 for mj in whole if mj == 0)
+    # standard error of HLL at m=64 is ~13%; allow 3 sigma
+    assert abs(row.est_distinct - row.exact_distinct) <= (
+        0.39 * row.exact_distinct
+    )

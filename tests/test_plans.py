@@ -451,3 +451,20 @@ def test_mmr_rerank_stays_on_bounded_pools(spark):
     assert "FileScan" not in plan, (
         "selection steps must read checkpointed state, not re-scan parquet"
     )
+
+
+def test_sketches_partial_aggregate_and_broadcast(spark):
+    """The sketch shuffles must be constant-size: every aggregate
+    map-side combines (partial+final HashAggregate pairs), the CMS probe
+    join broadcasts the 1024-cell sketch, and the top-word selection is
+    TakeOrderedAndProject — never a global sort or a content-key
+    window."""
+    cms = _plan(DOCS_QUERIES["cms_heavy_hitters"](spark, SF_SMOKE))
+    assert cms.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in cms
+    assert "TakeOrderedAndProject" in cms
+    assert "Window" not in cms
+    hll = _plan(DOCS_QUERIES["hll_distinct"](spark, SF_SMOKE))
+    assert hll.count("HashAggregate") >= 2
+    assert "Window" not in hll
+    assert "CartesianProduct" not in hll
