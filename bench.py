@@ -74,7 +74,10 @@ def make_spark(cores: int):
         .config("spark.sql.shuffle.partitions", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # the gateway JVM survives session restarts, so headline + 1x +
+        # amplified phases share one heap: size for the cumulative peak
+        # (the 9-op amplified block OOM'd at 8g on a 128 GiB host)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
@@ -175,6 +178,9 @@ LLMOPS_QUERIES = [
     # round 5: paragraph-tile first-wins excision — two uniform-key
     # shuffles of the tile stream, candidate-linear by construction
     "dedup_paragraphs",
+    # round 5: Count-Min sketch — the shuffle is 1024 counter rows at ANY
+    # corpus size, so wall time should track the token scan alone
+    "cms_heavy_hitters",
 ]
 
 

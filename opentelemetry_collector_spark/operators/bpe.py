@@ -156,10 +156,13 @@ def bpe_train(
     if return_state:
         # caller owns the final frame; release the intermediates
         for df in to_unpersist[:-1]:
-            df.unpersist()
+            df.unpersist(blocking=True)
         return merge_df, state
+    # blocking: return the cache memory before the caller's next query —
+    # async unpersist left rounds' blocks alive under back-to-back bench
+    # queries sharing one heap
     for df in to_unpersist:
-        df.unpersist()
+        df.unpersist(blocking=True)
     return merge_df
 
 

@@ -198,8 +198,25 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches from disjoint shards merge by register max — the property
     that makes HLL the distributed distinct counter."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    vals = ev.select(
-        _h60(F.col("event_id"), ":hll").alias("hv")
+    regs = hll_registers(ev.sparkSession, ev, "event_id")
+    exact = ev.agg(
+        F.countDistinct("event_id").cast("long").alias("exact_distinct")
+    )
+    return hll_estimate(regs).crossJoin(F.broadcast(exact)).select(
+        "m",
+        "zero_registers",
+        "s_scaled",
+        "est_distinct",
+        "exact_distinct",
+    )
+
+
+def hll_registers(spark, df: DataFrame, key_col: str) -> DataFrame:
+    """The sketch state: all {HLL_M} (j, m_j) register rows for the
+    stream ``df[key_col]`` (absent registers surface as m_j = 0). Merge
+    sketches from disjoint shards/ticks by per-register max."""
+    vals = df.select(
+        _h60(F.col(key_col), ":hll").alias("hv")
     ).select(
         # integer div/mod only: hv is 60 bits, beyond double precision
         F.expr(f"hv % {HLL_M}").cast("long").alias("j"),
@@ -215,7 +232,7 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rho"),
     )
-    regs = (
+    return (
         spark.range(HLL_M)
         .select(F.col("id").cast("long").alias("j"))
         .join(
@@ -223,6 +240,12 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("j", F.coalesce("mx", F.lit(0)).cast("int").alias("m_j"))
     )
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """One-row estimate (m, zero_registers, s_scaled, est_distinct) from
+    a (j, m_j) register frame — the exact integer harmonic sum plus the
+    standard linear-counting fallback."""
     agg = regs.agg(
         F.count(F.lit(1)).cast("int").alias("m"),
         F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0))
@@ -244,15 +267,8 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = F.when(
         (raw <= 2.5 * HLL_M) & (F.col("zero_registers") > 0), linear
     ).otherwise(raw)
-    exact = ev.agg(
-        F.countDistinct("event_id").cast("long").alias("exact_distinct")
-    )
-    return agg.crossJoin(F.broadcast(exact)).select(
-        "m",
-        "zero_registers",
-        "s_scaled",
-        est.alias("est_distinct"),
-        "exact_distinct",
+    return agg.select(
+        "m", "zero_registers", "s_scaled", est.alias("est_distinct")
     )
 
 
@@ -299,3 +315,75 @@ SELECT m, zero_registers, s_scaled,
     exact_distinct
 FROM agg, exact
 """
+
+
+# --- cross-tick incremental HLL (the streaming sketch twin) ------------------
+
+HLL_LEDGER_SCHEMA = "j long, m_j int, tick_id string"
+
+
+class IncrementalSketcher:
+    """Cross-tick HLL distinct counting for streams that arrive in
+    batches: each tick computes its own {HLL_M} register maxima (pure —
+    safe to recompute on a crash retry) and commits them to a persistent
+    ledger partitioned by tick_id (dynamic overwrite, so a retried tick
+    never duplicates — the IncrementalDeduper/persistent-queue crash
+    protocol, persistent_storage.go:268-348 analog). The merged sketch is
+    the per-register MAX over every committed tick.
+
+    Register max is associative, commutative, and IDEMPOTENT — so not
+    only do crash retries leave the estimate unchanged, re-delivered
+    DATA does too: re-ingesting yesterday's events cannot inflate the
+    distinct count, a property no additive counter has. That is what
+    makes HLL the right cardinality aggregate for an at-least-once
+    ingest pipeline.
+
+    Scale: ledger size = {HLL_M} rows per tick; the merge aggregate and
+    estimate are constant work regardless of stream size or tick count
+    (compact the ledger with operators/compact.py when tick count grows).
+    """
+
+    def __init__(self, spark: SparkSession, ledger_path: str,
+                 key_col: str = "event_id"):
+        self.spark = spark
+        self.ledger_path = ledger_path
+        self.key_col = key_col
+
+    def sketch(self, df: DataFrame) -> DataFrame:
+        """This tick's (j, m_j) registers. Pure."""
+        return hll_registers(self.spark, df, self.key_col)
+
+    def commit(self, regs: DataFrame, tick_id: str) -> None:
+        """Record the tick's registers idempotently."""
+        (
+            regs.withColumn("tick_id", F.lit(tick_id))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("tick_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self.ledger_path)
+        )
+
+    def merged_registers(self) -> DataFrame:
+        """Per-register max over all committed ticks (all {HLL_M} rows;
+        an empty ledger is the all-zero sketch)."""
+        from opentelemetry_collector_spark.sources.incremental import (
+            list_data_files,
+        )
+
+        base = self.spark.range(HLL_M).select(
+            F.col("id").cast("long").alias("j")
+        )
+        if not list_data_files(self.spark, self.ledger_path):
+            return base.select("j", F.lit(0).cast("int").alias("m_j"))
+        led = self.spark.read.schema(HLL_LEDGER_SCHEMA).parquet(
+            self.ledger_path
+        )
+        return base.join(
+            led.groupBy("j").agg(F.max("m_j").alias("mx")), "j", "left"
+        ).select("j", F.coalesce("mx", F.lit(0)).cast("int").alias("m_j"))
+
+    def estimate(self) -> DataFrame:
+        """One-row (m, zero_registers, s_scaled, est_distinct) over the
+        merged ledger state."""
+        return hll_estimate(self.merged_registers())

@@ -1314,3 +1314,38 @@ def test_hll_registers_merge_across_shards(spark):
     assert abs(row.est_distinct - row.exact_distinct) <= (
         0.39 * row.exact_distinct
     )
+
+
+def test_bpe_fold_randomized_battery_vs_reference(spark):
+    """300 seeded-random (symbols, pair) cases over the adversarial
+    alphabet {a, b, aa, ab} — runs of self-pairs, chained alternations,
+    merged-token collisions — folded in ONE Spark job and compared
+    against the sequential reference scan."""
+    import random
+
+    from opentelemetry_collector_spark.operators.bpe import _apply_merge
+
+    rng = random.Random(20260819)
+    alphabet = ["a", "b", "aa", "ab"]
+    cases = []
+    for i in range(300):
+        syms = [rng.choice(alphabet) for _ in range(rng.randint(1, 12))]
+        pair = (rng.choice(alphabet), rng.choice(alphabet))
+        cases.append((i, syms, pair[0], pair[1]))
+    df = spark.createDataFrame(
+        cases, "i int, syms array<string>, a string, b string"
+    )
+    # one plan per distinct pair (the lambda captures literals)
+    by_pair: dict[tuple, list] = {}
+    for i, syms, a, b in cases:
+        by_pair.setdefault((a, b), []).append(i)
+    got = {}
+    for (a, b), idxs in by_pair.items():
+        rows = (
+            df.filter(F.col("i").isin(idxs))
+            .select("i", _apply_merge(F.col("syms"), a, b).alias("m"))
+            .collect()
+        )
+        got.update({r.i: r.m for r in rows})
+    for i, syms, a, b in cases:
+        assert got[i] == _ref_bpe_apply(syms, a, b), (syms, a, b, got[i])

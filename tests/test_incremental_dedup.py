@@ -182,3 +182,74 @@ def test_stateless_curation_stages_commute_with_ticks(spark, tmp_path):
         ticked |= {(r.doc_id, r.prefix_fp) for r in accepted.collect()}
         curator.commit(accepted, f"tick{lo}")
     assert ticked == batch
+
+
+def test_incremental_hll_ticks_equal_batch_sketch(spark, tmp_path):
+    """Cross-tick HLL: committing per-tick registers and merging by max
+    must reproduce the one-shot batch sketch EXACTLY (same registers,
+    same s_scaled, same estimate) — the associativity property that makes
+    HLL the distributed distinct counter."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.sketch import (
+        IncrementalSketcher,
+        hll_estimate,
+        hll_registers,
+    )
+    from tests.conftest import SF_CORRECT
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    batch_regs = {
+        r.j: r.m_j for r in hll_registers(spark, ev, "event_id").collect()
+    }
+    batch_est = hll_estimate(
+        hll_registers(spark, ev, "event_id")
+    ).collect()[0]
+
+    sk = IncrementalSketcher(spark, str(tmp_path / "hll_ledger"))
+    for tick in range(3):
+        part = ev.filter(F.col("event_id") % 3 == tick)
+        sk.commit(sk.sketch(part), f"tick-{tick}")
+    merged = {r.j: r.m_j for r in sk.merged_registers().collect()}
+    assert merged == batch_regs
+    got = sk.estimate().collect()[0]
+    assert got.s_scaled == batch_est.s_scaled
+    assert got.est_distinct == batch_est.est_distinct
+
+
+def test_incremental_hll_is_retry_and_redelivery_proof(spark, tmp_path):
+    """A crash-retried tick (same tick_id recommitted) AND fully
+    re-delivered data (the same events committed under a NEW tick id)
+    must both leave the merged sketch unchanged — register max is
+    idempotent, which no additive counter is."""
+    from opentelemetry_collector_spark.operators.sketch import (
+        IncrementalSketcher,
+    )
+    from tests.conftest import SF_CORRECT
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    sk = IncrementalSketcher(spark, str(tmp_path / "hll_ledger"))
+    sk.commit(sk.sketch(ev), "tick-0")
+    base = sk.estimate().collect()[0]
+    # crash retry: same tick recommitted (dynamic overwrite, no dup rows)
+    sk.commit(sk.sketch(ev), "tick-0")
+    assert sk.estimate().collect()[0] == base
+    # at-least-once redelivery: same data under a new tick id
+    sk.commit(sk.sketch(ev), "tick-1")
+    assert sk.estimate().collect()[0] == base
+
+
+def test_incremental_hll_empty_ledger_is_zero_sketch(spark, tmp_path):
+    """Before any tick commits, the merged sketch is the all-zero
+    register state (every register empty, linear-counting regime)."""
+    from opentelemetry_collector_spark.operators.sketch import (
+        HLL_M,
+        IncrementalSketcher,
+    )
+
+    sk = IncrementalSketcher(spark, str(tmp_path / "hll_ledger"))
+    regs = sk.merged_registers().collect()
+    assert len(regs) == HLL_M
+    assert all(r.m_j == 0 for r in regs)
+    est = sk.estimate().collect()[0]
+    assert est.zero_registers == HLL_M
