@@ -30,6 +30,9 @@ from opentelemetry_collector_spark.operators import multimodal as _mm
 from opentelemetry_collector_spark.operators import bpe as _bpe
 from opentelemetry_collector_spark.operators import sketch as _sk
 from opentelemetry_collector_spark.operators import quality as _qual
+from opentelemetry_collector_spark.operators import quantile as _qtl
+from opentelemetry_collector_spark.operators import bloom as _bloom
+from opentelemetry_collector_spark.operators import sampling as _samp
 from opentelemetry_collector_spark.operators.asof import (
     asof_oracle_sql,
     q_asof_enrich,
@@ -721,6 +724,9 @@ DOCS_QUERIES: dict[str, QueryFn] = {
     "ann_mmr_topk": _sim.ann_mmr_topk,
     "cms_heavy_hitters": _sk.cms_heavy_hitters,
     "hll_distinct": _sk.hll_distinct,
+    "doc_length_quantiles": _qtl.doc_length_quantiles,
+    "bloom_fingerprints": _bloom.bloom_fingerprints,
+    "corpus_priority_sample": _samp.corpus_priority_sample,
 }
 
 DOCS_ORACLES: dict[str, str] = {
@@ -772,6 +778,9 @@ DOCS_ORACLES: dict[str, str] = {
     "ann_mmr_topk": _sim.ANN_MMR_ORACLE,
     "cms_heavy_hitters": _sk.CMS_ORACLE,
     "hll_distinct": _sk.HLL_ORACLE,
+    "doc_length_quantiles": _qtl.LOG_QUANTILES_ORACLE,
+    "bloom_fingerprints": _bloom.BLOOM_ORACLE,
+    "corpus_priority_sample": _samp.PRIORITY_SAMPLE_ORACLE,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -1016,6 +1025,9 @@ REGISTRY_ORDER: list[str] = [
     "ann_mmr_topk",
     "cms_heavy_hitters",
     "hll_distinct",
+    "doc_length_quantiles",
+    "bloom_fingerprints",
+    "corpus_priority_sample",
     # -- freshest record is r03: re-record this round (VERDICT r04 task 2) -
     "ann_cosine_topk",
     "cluster_balanced_sample",

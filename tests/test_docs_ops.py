@@ -1349,3 +1349,123 @@ def test_bpe_fold_randomized_battery_vs_reference(spark):
         got.update({r.i: r.m for r in rows})
     for i, syms, a, b in cases:
         assert got[i] == _ref_bpe_apply(syms, a, b), (syms, a, b, got[i])
+
+
+def test_log_quantiles_bracket_the_exact_quantiles(spark):
+    """Each log2 bucket [lo, hi] must contain the EXACT inverse-CDF
+    quantile of the per-doc token counts, and cum/total must match a
+    python recount — the sketch's relative-error contract."""
+    from opentelemetry_collector_spark.operators.quantile import (
+        QUANTILES_MILLI,
+    )
+
+    counts = sorted(
+        len([w for w in r.text.lower().split() if w])
+        for r in spark.read.parquet(
+            f"{SF_CORRECT}/documents.parquet"
+        ).collect()
+    )
+    total = len(counts)
+    rows = {
+        r.q_milli: r
+        for r in DOCS_QUERIES["doc_length_quantiles"](
+            spark, SF_CORRECT
+        ).collect()
+    }
+    assert sorted(rows) == sorted(QUANTILES_MILLI)
+    for q in QUANTILES_MILLI:
+        target = -(-q * total // 1000)  # ceil(q*total/1000)
+        exact = counts[target - 1]  # inverse CDF: smallest v, cum >= target
+        r = rows[q]
+        assert r.total == total
+        assert r.lo == 2**r.bucket and r.hi == 2 ** (r.bucket + 1) - 1
+        assert r.lo <= exact <= r.hi, (q, exact, r)
+        # cum_count is the true CDF mass at the bucket's upper edge
+        assert r.cum_count == sum(1 for c in counts if c <= r.hi)
+
+
+def test_bloom_has_no_false_negatives_and_counts_recount(spark):
+    """Probing the filter with its own insert set must hit 100% (the
+    Bloom guarantee), and the summary row must equal a python bitset
+    recount probing the disjoint half."""
+    import hashlib
+
+    from opentelemetry_collector_spark.operators.bloom import (
+        BLOOM_K,
+        BLOOM_M,
+        bloom_bits,
+        bloom_probe,
+    )
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").collect()
+    ins_fps = {
+        hashlib.md5(r.text.encode()).hexdigest()
+        for r in docs
+        if r.doc_id % 2 == 0
+    }
+    prb_fps = {
+        hashlib.md5(r.text.encode()).hexdigest()
+        for r in docs
+        if r.doc_id % 2 == 1
+    }
+
+    def positions(fp):
+        return {
+            int(hashlib.md5(f"{fp}:bloom{i}".encode()).hexdigest()[:8], 16)
+            % BLOOM_M
+            for i in range(BLOOM_K)
+        }
+
+    bits = set().union(*(positions(fp) for fp in ins_fps))
+    hits = {fp for fp in prb_fps if positions(fp) <= bits}
+
+    row = DOCS_QUERIES["bloom_fingerprints"](spark, SF_CORRECT).collect()[0]
+    assert row.n_inserted == len(ins_fps)
+    assert row.bits_set == len(bits)
+    assert row.n_probed == len(prb_fps)
+    assert row.bloom_hits == len(hits)
+    assert row.true_present == len(prb_fps & ins_fps)
+    assert row.false_positives == len(hits - ins_fps)
+    assert row.bloom_hits >= row.true_present  # no false negatives ever
+
+    # the stronger direct statement: every inserted fp hits its own filter
+    ins_df = spark.createDataFrame([(fp,) for fp in ins_fps], "fp string")
+    self_probe = bloom_probe(ins_df, bloom_bits(ins_df)).collect()
+    assert all(r.bloom_hit for r in self_probe)
+
+
+def test_priority_sample_matches_sequential_recount(spark):
+    """The sampled doc set must equal a python top-k by w/(h+1) with the
+    same md5-derived hash keys — the determinism that makes the weighted
+    sample reproducible and oracle-checkable."""
+    import hashlib
+
+    from opentelemetry_collector_spark.operators.sampling import (
+        PSAMPLE_K,
+        PSAMPLE_SALT,
+    )
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").collect()
+    cand = []
+    for r in docs:
+        if r.n_chars < 1:
+            continue
+        h = (
+            int(
+                hashlib.md5(f"{r.doc_id}{PSAMPLE_SALT}".encode()).hexdigest()[
+                    :15
+                ],
+                16,
+            )
+            + 1
+        )
+        cand.append((r.doc_id, r.n_chars, h))
+    cand.sort(key=lambda t: (-(t[1] / t[2]), t[0]))
+    want = {(d, w, h) for d, w, h in cand[:PSAMPLE_K]}
+    got = {
+        (r.doc_id, r.weight, r.hkey)
+        for r in DOCS_QUERIES["corpus_priority_sample"](
+            spark, SF_CORRECT
+        ).collect()
+    }
+    assert got == want

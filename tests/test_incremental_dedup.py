@@ -253,3 +253,70 @@ def test_incremental_hll_empty_ledger_is_zero_sketch(spark, tmp_path):
     assert all(r.m_j == 0 for r in regs)
     est = sk.estimate().collect()[0]
     assert est.zero_registers == HLL_M
+
+
+def test_incremental_bloom_ticks_equal_batch_and_idempotent(spark, tmp_path):
+    """Cross-tick Bloom: per-tick position unions must reproduce the
+    one-shot batch filter exactly, and both a crash-retried tick and
+    fully re-delivered data must leave the filter unchanged (set union
+    is idempotent)."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.bloom import (
+        IncrementalBloom,
+        bloom_bits,
+    )
+    from tests.conftest import SF_CORRECT
+
+    fps = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id", F.md5(F.col("text")).alias("fp"))
+    )
+    batch = {r.pos for r in bloom_bits(fps.select("fp")).collect()}
+
+    bl = IncrementalBloom(spark, str(tmp_path / "bloom_ledger"))
+    for tick in range(3):
+        part = fps.filter(F.col("doc_id") % 3 == tick).select("fp")
+        bl.commit(bl.sketch(part), f"tick-{tick}")
+    assert {r.pos for r in bl.merged_bits().collect()} == batch
+
+    # crash retry: same tick recommitted
+    bl.commit(bl.sketch(fps.filter(F.col("doc_id") % 3 == 0).select("fp")), "tick-0")
+    assert {r.pos for r in bl.merged_bits().collect()} == batch
+    # at-least-once redelivery: all data again under a new tick id
+    bl.commit(bl.sketch(fps.select("fp")), "tick-redeliver")
+    assert {r.pos for r in bl.merged_bits().collect()} == batch
+
+
+def test_incremental_bloom_empty_ledger_reads_definitely_new(spark, tmp_path):
+    """Before any tick commits, every probe must miss — an empty filter
+    claims nothing, so 'miss = definitely new' holds from tick zero."""
+    from opentelemetry_collector_spark.operators.bloom import IncrementalBloom
+
+    bl = IncrementalBloom(spark, str(tmp_path / "bloom_ledger"))
+    probe = spark.createDataFrame([("a",), ("b",)], "fp string")
+    got = bl.probe(probe).collect()
+    assert len(got) == 2 and not any(r.bloom_hit for r in got)
+
+
+def test_incremental_bloom_no_false_negatives_across_ticks(spark, tmp_path):
+    """Every fingerprint committed in ANY tick must hit the merged
+    filter — the cross-tick no-false-negative guarantee that lets a
+    miss skip the exact-ledger anti-join entirely."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.bloom import IncrementalBloom
+    from tests.conftest import SF_CORRECT
+
+    fps = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id", F.md5(F.col("text")).alias("fp"))
+    )
+    bl = IncrementalBloom(spark, str(tmp_path / "bloom_ledger"))
+    for tick in range(2):
+        bl.commit(
+            bl.sketch(fps.filter(F.col("doc_id") % 2 == tick).select("fp")),
+            f"tick-{tick}",
+        )
+    verdicts = bl.probe(fps.select("fp").distinct()).collect()
+    assert verdicts and all(r.bloom_hit for r in verdicts)

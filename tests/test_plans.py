@@ -468,3 +468,25 @@ def test_sketches_partial_aggregate_and_broadcast(spark):
     assert hll.count("HashAggregate") >= 2
     assert "Window" not in hll
     assert "CartesianProduct" not in hll
+
+
+def test_priority_sample_and_bloom_plan_shapes(spark):
+    """corpus_priority_sample must be per-partition partial top-k
+    (TakeOrderedAndProject, never a global Sort/Window); the Bloom
+    summary must broadcast the constant-size bitmap and 1-row aggregates
+    (no SortMergeJoin, no cartesian of data-sized sides)."""
+    samp = _plan(DOCS_QUERIES["corpus_priority_sample"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in samp
+    assert "Window" not in samp
+    assert "Exchange" not in samp.split("TakeOrderedAndProject")[0]
+
+    bloom = _plan(DOCS_QUERIES["bloom_fingerprints"](spark, SF_SMOKE))
+    assert "SortMergeJoin" not in bloom
+    assert "CartesianProduct" not in bloom
+    assert "BroadcastHashJoin" in bloom
+
+    qtl = _plan(DOCS_QUERIES["doc_length_quantiles"](spark, SF_SMOKE))
+    # the only data-sized shuffle is the per-doc count; the probe join
+    # broadcasts the 3-row quantile side over the ~40-row histogram
+    assert "CartesianProduct" not in qtl
+    assert "SortMergeJoin" not in qtl
