@@ -59,6 +59,7 @@ class IncrementalDeduper:
         spark: SparkSession,
         ledger_path: str,
         ledger_write_partitions: int = 8,
+        bloom_ledger_path: str | None = None,
     ):
         self.spark = spark
         self.ledger_path = ledger_path
@@ -66,6 +67,19 @@ class IncrementalDeduper:
         # (never a single-task funnel on a large tick) and the ledger's
         # file count (read amplification on every seen() scan)
         self.ledger_write_partitions = ledger_write_partitions
+        # optional constant-state prefilter: with a Bloom ledger, a probe
+        # MISS is proof of novelty (no false negatives), so only the
+        # maybe-seen subset pays the anti-join against the growing fp
+        # ledger — at 10^9 accepted docs that join's probe side shrinks
+        # from "every incoming doc" to "actual dups + the filter's small
+        # false-positive rate" while results stay bit-identical
+        self._bloom = None
+        if bloom_ledger_path is not None:
+            from opentelemetry_collector_spark.operators.bloom import (
+                IncrementalBloom,
+            )
+
+            self._bloom = IncrementalBloom(spark, bloom_ledger_path)
 
     def seen(self) -> DataFrame:
         """Accepted fingerprints (empty frame when no ledger yet —
@@ -92,15 +106,43 @@ class IncrementalDeduper:
             .filter(F.col("doc_id") == F.col("canonical_id"))
             .drop("canonical_id")
         )
-        fresh = in_batch.join(
-            self.seen().select("fp"), "fp", "left_anti"
-        )
+        if self._bloom is None:
+            fresh = in_batch.join(
+                self.seen().select("fp"), "fp", "left_anti"
+            )
+        else:
+            # bloom prefilter: misses are definitely new (no exact-ledger
+            # work at all); only hits — true dups plus the bounded
+            # false-positive residue — get the exact anti-join
+            hits = (
+                self._bloom.probe(in_batch.select("fp"))
+                .filter("bloom_hit")
+                .select("fp")
+            )
+            definitely_new = in_batch.join(hits, "fp", "left_anti")
+            checked = in_batch.join(hits, "fp").join(
+                self.seen().select("fp"), "fp", "left_anti"
+            )
+            fresh = definitely_new.unionByName(checked)
         return docs.join(fresh.select("doc_id"), "doc_id")
 
     def commit(self, accepted: DataFrame, tick_id: str) -> None:
         """Record the tick's accepted fingerprints, idempotently: the
         write replaces only this tick's partition (dynamic partition
-        overwrite), so retrying a tick never duplicates ledger rows."""
+        overwrite), so retrying a tick never duplicates ledger rows.
+
+        With a Bloom prefilter, the filter commits FIRST: the bloom bits
+        must always be a SUPERSET of the fp ledger, else a crash between
+        the two writes could leave a committed fingerprint reading as a
+        bloom miss — "definitely new" — and a later tick would re-accept
+        the duplicate. The safe failure mode is the reverse (bloom has a
+        tick the fp ledger lacks): those probes hit, the exact check
+        finds nothing, and the docs are correctly treated as fresh."""
+        if self._bloom is not None:
+            self._bloom.commit(
+                self._bloom.sketch(fingerprint(accepted).select("fp")),
+                tick_id,
+            )
         (
             fingerprint(accepted)
             .withColumn("tick_id", F.lit(tick_id))

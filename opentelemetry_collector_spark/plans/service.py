@@ -223,6 +223,24 @@ def _builtin_processors() -> dict[str, Callable]:
         )
         return df.join(flagged, "doc_id", "left_anti")
 
+    def priority_sample_p(spark, df, cfg):
+        # deterministic weighted top-k (Duffield-Lund-Thorup priority
+        # sampling): keep the k docs with the largest w/u priority under
+        # the md5-derived hash. TakeOrderedAndProject ships k rows to the
+        # driver side of the plan — no global sort, rerun-stable.
+        from opentelemetry_collector_spark.operators import (
+            sampling as _ps,
+        )
+
+        kept = _ps.corpus_priority_sample(
+            spark,
+            "",
+            docs=df,
+            k=int(cfg.get("k", _ps.PSAMPLE_K)),
+            weight_col=cfg.get("weight_col", "n_chars"),
+        ).select("doc_id")
+        return df.join(kept, "doc_id", "left_semi")
+
     def dsir_filter_p(spark, df, cfg):
         # DSIR importance selection: keep docs whose per-token weight beats
         # the corpus average. The score pass aggregates on doc_id anyway, so
@@ -262,6 +280,7 @@ def _builtin_processors() -> dict[str, Callable]:
         "leakage_split": leakage_split_p,
         "dedup_paragraphs": dedup_paragraphs_p,
         "entropy_filter": entropy_filter_p,
+        "priority_sample": priority_sample_p,
     }
 
 

@@ -105,6 +105,13 @@ def test_curation_example_via_cli_config_mode(tmp_path):
     assert mixed_files
     n_mixed_out = sum(pq.read_table(str(f)).num_rows for f in mixed_files)
     assert 0 < n_mixed_out == n_mixed < n_in
+    # third pipeline: gopher_filter -> priority_sample (fixed-size
+    # weighted selection) — exactly k docs survive
+    n_selected = report["pipelines"]["selection"]
+    selected_files = list((tmp_path / "selected").rglob("*.parquet"))
+    assert selected_files
+    n_sel_out = sum(pq.read_table(str(f)).num_rows for f in selected_files)
+    assert n_sel_out == n_selected == 50
 
 
 def test_cli_requires_source_output_without_config():

@@ -320,3 +320,76 @@ def test_incremental_bloom_no_false_negatives_across_ticks(spark, tmp_path):
         )
     verdicts = bl.probe(fps.select("fp").distinct()).collect()
     assert verdicts and all(r.bloom_hit for r in verdicts)
+
+
+def test_bloom_prefiltered_deduper_is_bit_identical_to_plain(spark, tmp_path):
+    """A deduper with the Bloom prefilter must accept EXACTLY the docs
+    the plain exact-ledger deduper accepts, tick by tick — the prefilter
+    changes the plan (misses skip the anti-join), never the answer —
+    including duplicates arriving in a later tick AND a crash-retried
+    tick recomputing the same accepted set."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.incremental_dedup import (
+        IncrementalDeduper,
+    )
+    from tests.conftest import SF_CORRECT
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    plain = IncrementalDeduper(spark, str(tmp_path / "fp_plain"))
+    bloomy = IncrementalDeduper(
+        spark,
+        str(tmp_path / "fp_bloom"),
+        bloom_ledger_path=str(tmp_path / "bloom"),
+    )
+
+    # tick 0: first half; tick 1: second half PLUS a replay of the first
+    # half under shifted doc_ids (cross-tick exact duplicates)
+    t0 = docs.filter(F.col("doc_id") % 2 == 0)
+    replay = t0.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    t1 = docs.filter(F.col("doc_id") % 2 == 1).unionByName(replay)
+
+    for tick_id, batch in [("tick-0", t0), ("tick-1", t1)]:
+        a = plain.dedup(batch)
+        b = bloomy.dedup(batch)
+        got_a = {r.doc_id for r in a.select("doc_id").collect()}
+        got_b = {r.doc_id for r in b.select("doc_id").collect()}
+        assert got_a == got_b, tick_id
+        plain.commit(a, tick_id)
+        bloomy.commit(b, tick_id)
+
+    # every replayed duplicate was rejected by both
+    assert not {
+        r.doc_id
+        for r in bloomy.dedup(replay).select("doc_id").collect()
+    }
+    # crash retry: recomputing tick-1 against the committed ledgers is
+    # a no-op-identical set (pure dedup + idempotent commits)
+    again = {r.doc_id for r in bloomy.dedup(t1).select("doc_id").collect()}
+    assert not (again & {r.doc_id for r in replay.select("doc_id").collect()})
+
+
+def test_bloom_ledger_is_superset_of_fp_ledger_after_commit(spark, tmp_path):
+    """The commit-ordering invariant: after any commit, every fingerprint
+    in the exact ledger must HIT the Bloom filter (bloom bits ⊇ fp
+    ledger) — the property that makes a miss safe to treat as
+    definitely-new across crash windows."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.incremental_dedup import (
+        IncrementalDeduper,
+    )
+    from tests.conftest import SF_CORRECT
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    d = IncrementalDeduper(
+        spark,
+        str(tmp_path / "fp"),
+        bloom_ledger_path=str(tmp_path / "bloom"),
+    )
+    for tick in range(2):
+        batch = docs.filter(F.col("doc_id") % 2 == tick)
+        d.commit(d.dedup(batch), f"tick-{tick}")
+    committed = d.seen().select("fp").distinct()
+    verdicts = d._bloom.probe(committed).collect()
+    assert verdicts and all(r.bloom_hit for r in verdicts)

@@ -464,3 +464,43 @@ def test_entropy_filter_processor(spark, tmp_path):
     all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
     assert got_ids == all_ids - dropped
     assert 0 < len(got_ids) < len(all_ids)
+
+
+def test_priority_sample_processor(spark, tmp_path):
+    """The priority_sample processor keeps exactly the k docs the direct
+    corpus_priority_sample operator selects, preserving every input
+    column — config-built == direct (the factory-parity contract)."""
+    from opentelemetry_collector_spark.operators import sampling as ps
+
+    cfg = ServiceConfig.from_sources(
+        {
+            "receivers": {
+                "documents": {"path": f"{SF_SMOKE}/documents.parquet"}
+            },
+            "processors": {"priority_sample": {"k": 15}},
+            "exporters": {
+                "parquet": {"path": str(tmp_path / "sampled")},
+            },
+            "service": {
+                "pipelines": {
+                    "select": {
+                        "receivers": ["documents"],
+                        "processors": ["priority_sample"],
+                        "exporters": ["parquet"],
+                    }
+                }
+            },
+        },
+        env={},
+    )
+    got = run_service(spark, cfg)["select"]
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    want_ids = {
+        r.doc_id
+        for r in ps.corpus_priority_sample(
+            spark, "", docs=docs, k=15
+        ).collect()
+    }
+    assert sorted(got.columns) == sorted(docs.columns)
+    assert {r.doc_id for r in got.select("doc_id").collect()} == want_ids
+    assert len(want_ids) == 15
