@@ -734,3 +734,137 @@ SELECT doc_id, n_tokens, n_distinct,
         - sum_clnc_milli) < n_tokens * {ENTROPY_MIN_MILLI} AS low_entropy
 FROM agg
 """
+
+
+# --- CCNet perplexity bucketing (Wenzek et al. 2020 §3.3) --------------------
+
+PPL_BUCKETS = ("head", "middle", "tail")
+
+
+def corpus_ppl_buckets(
+    spark,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    model=None,
+) -> DataFrame:
+    """CCNet-style head/middle/tail corpus partitioning by LM perplexity
+    terciles (Wenzek et al. 2020 §3.3: "we divide each language's data
+    into head/middle/tail by the perplexity of a language model"):
+    (doc_id, nll_milli_per_tok, ppl_bucket).
+
+    The per-doc score is the integer ceil of milli-nats-per-token under
+    the unigram LM (``doc_unigram_ll``'s exact integer ll_milli):
+    low NLL = most in-distribution = head. Tercile thresholds are the
+    exact inverse-CDF 1/3 and 2/3 points — smallest score whose
+    cumulative doc count reaches ceil(q*N/3) — integer arithmetic only.
+
+    Scale: CCNet computes percentile cutoffs once and then streams; this
+    does the same relationally. The threshold pass aggregates on the
+    integer score, whose distinct-value count is bounded by the VALUE
+    RANGE (~1000*ln(N_tokens) milli-nats, tens of thousands of rows at
+    any corpus size), NOT by doc count — so the cumulative-sum window
+    runs on constant-bounded state and the thresholds broadcast back as
+    one row. No global sort of documents anywhere; contrast ntile(3),
+    which would sort the world.
+    """
+    from pyspark.sql.window import Window
+
+    from opentelemetry_collector_spark.operators.textstats import (
+        doc_unigram_ll,
+    )
+
+    ll = doc_unigram_ll(spark, sf_dir, model=model, docs=docs)
+    scores = ll.select(
+        "doc_id",
+        F.expr("(n_tokens - 1 - ll_milli) div n_tokens")
+        .cast("long")
+        .alias("nll_milli_per_tok"),
+    )
+    hist = scores.groupBy("nll_milli_per_tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.orderBy("nll_milli_per_tok").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("nll_milli_per_tok").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "nll_milli_per_tok",
+        F.sum("cnt").over(w).cast("long").alias("cum"),
+        F.sum("cnt").over(w_all).cast("long").alias("total"),
+    )
+    thr = cum.agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(1 * total + 2) div 3"),
+                F.col("nll_milli_per_tok"),
+            )
+        ).alias("t1"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(2 * total + 2) div 3"),
+                F.col("nll_milli_per_tok"),
+            )
+        ).alias("t2"),
+    )
+    return scores.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "nll_milli_per_tok",
+        F.when(F.col("nll_milli_per_tok") <= F.col("t1"), F.lit("head"))
+        .when(F.col("nll_milli_per_tok") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+
+
+PPL_BUCKETS_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents
+    ) t WHERE length(w) > 0
+),
+vocab AS (
+    SELECT w, count(*) AS c FROM toks GROUP BY w
+    HAVING count(*) >= 2
+),
+tot AS (SELECT cast(count(*) AS double) AS n FROM toks),
+ll AS (
+    SELECT doc_id,
+        cast(count(*) AS bigint) AS n_tokens,
+        cast(sum(cast(round(ln(cast(coalesce(c, 1) AS double) / n) * 1000)
+            AS bigint)) AS bigint) AS ll_milli
+    FROM toks LEFT JOIN vocab USING (w), tot
+    GROUP BY doc_id
+),
+scores AS (
+    SELECT doc_id,
+        cast((n_tokens - 1 - ll_milli) // n_tokens AS bigint)
+            AS nll_milli_per_tok
+    FROM ll
+),
+hist AS (
+    SELECT nll_milli_per_tok, cast(count(*) AS bigint) AS cnt
+    FROM scores GROUP BY 1
+),
+cum AS (
+    SELECT nll_milli_per_tok,
+        cast(sum(cnt) OVER (ORDER BY nll_milli_per_tok) AS bigint) AS cum,
+        cast(sum(cnt) OVER () AS bigint) AS total
+    FROM hist
+),
+thr AS (
+    SELECT
+        min(CASE WHEN cum >= (1 * total + 2) // 3
+            THEN nll_milli_per_tok END) AS t1,
+        min(CASE WHEN cum >= (2 * total + 2) // 3
+            THEN nll_milli_per_tok END) AS t2
+    FROM cum
+)
+SELECT doc_id, nll_milli_per_tok,
+    CASE WHEN nll_milli_per_tok <= t1 THEN 'head'
+         WHEN nll_milli_per_tok <= t2 THEN 'middle'
+         ELSE 'tail' END AS ppl_bucket
+FROM scores, thr
+"""

@@ -223,6 +223,18 @@ def _builtin_processors() -> dict[str, Callable]:
         )
         return df.join(flagged, "doc_id", "left_anti")
 
+    def ppl_filter_p(spark, df, cfg):
+        # CCNet §3.3: tag head/middle/tail by unigram-LM perplexity
+        # terciles and keep the configured buckets (default head+middle —
+        # the CCNet training cut). Threshold pass runs on the bounded
+        # integer-score histogram; the tag join is doc_id-keyed.
+        keep = set(cfg.get("keep", ["head", "middle"]))
+        tagged = _q.corpus_ppl_buckets(spark, "", docs=df)
+        kept = tagged.filter(
+            F.col("ppl_bucket").isin(*sorted(keep))
+        ).select("doc_id")
+        return df.join(kept, "doc_id", "left_semi")
+
     def priority_sample_p(spark, df, cfg):
         # deterministic weighted top-k (Duffield-Lund-Thorup priority
         # sampling): keep the k docs with the largest w/u priority under
@@ -281,6 +293,7 @@ def _builtin_processors() -> dict[str, Callable]:
         "dedup_paragraphs": dedup_paragraphs_p,
         "entropy_filter": entropy_filter_p,
         "priority_sample": priority_sample_p,
+        "ppl_filter": ppl_filter_p,
     }
 
 

@@ -727,6 +727,7 @@ DOCS_QUERIES: dict[str, QueryFn] = {
     "doc_length_quantiles": _qtl.doc_length_quantiles,
     "bloom_fingerprints": _bloom.bloom_fingerprints,
     "corpus_priority_sample": _samp.corpus_priority_sample,
+    "corpus_ppl_buckets": _qual.corpus_ppl_buckets,
 }
 
 DOCS_ORACLES: dict[str, str] = {
@@ -781,6 +782,7 @@ DOCS_ORACLES: dict[str, str] = {
     "doc_length_quantiles": _qtl.LOG_QUANTILES_ORACLE,
     "bloom_fingerprints": _bloom.BLOOM_ORACLE,
     "corpus_priority_sample": _samp.PRIORITY_SAMPLE_ORACLE,
+    "corpus_ppl_buckets": _qual.PPL_BUCKETS_ORACLE,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -1028,6 +1030,7 @@ REGISTRY_ORDER: list[str] = [
     "doc_length_quantiles",
     "bloom_fingerprints",
     "corpus_priority_sample",
+    "corpus_ppl_buckets",
     # -- freshest record is r03: re-record this round (VERDICT r04 task 2) -
     "ann_cosine_topk",
     "cluster_balanced_sample",

@@ -1469,3 +1469,31 @@ def test_priority_sample_matches_sequential_recount(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_ppl_buckets_are_exact_inverse_cdf_terciles(spark):
+    """The head/middle/tail tags must reproduce a python recount of the
+    exact inverse-CDF terciles over the integer per-token milli-NLL
+    scores (smallest score whose cumulative count reaches ceil(q*N/3)),
+    and every doc keeps exactly one tag."""
+    rows = DOCS_QUERIES["corpus_ppl_buckets"](spark, SF_CORRECT).collect()
+    scores = sorted(r.nll_milli_per_tok for r in rows)
+    n = len(scores)
+    t1 = scores[-(-1 * n // 3) - 1]  # value at rank ceil(N/3)
+    t2 = scores[-(-2 * n // 3) - 1]  # value at rank ceil(2N/3)
+    for r in rows:
+        want = (
+            "head"
+            if r.nll_milli_per_tok <= t1
+            else "middle"
+            if r.nll_milli_per_tok <= t2
+            else "tail"
+        )
+        assert r.ppl_bucket == want, (r, t1, t2)
+    # all three buckets are populated on the fixture corpus, and the
+    # head cut is at least its exact tercile mass (ties can only grow it)
+    by = {}
+    for r in rows:
+        by[r.ppl_bucket] = by.get(r.ppl_bucket, 0) + 1
+    assert set(by) == {"head", "middle", "tail"}
+    assert by["head"] >= -(-n // 3)

@@ -504,3 +504,43 @@ def test_priority_sample_processor(spark, tmp_path):
     assert sorted(got.columns) == sorted(docs.columns)
     assert {r.doc_id for r in got.select("doc_id").collect()} == want_ids
     assert len(want_ids) == 15
+
+
+def test_ppl_filter_processor(spark, tmp_path):
+    """The ppl_filter processor keeps exactly the head+middle docs of the
+    corpus_ppl_buckets tagger (the CCNet training cut), preserving every
+    input column."""
+    from opentelemetry_collector_spark.operators import quality as q
+
+    cfg = ServiceConfig.from_sources(
+        {
+            "receivers": {
+                "documents": {"path": f"{SF_SMOKE}/documents.parquet"}
+            },
+            "processors": {"ppl_filter": {"keep": ["head", "middle"]}},
+            "exporters": {
+                "parquet": {"path": str(tmp_path / "in_distribution")},
+            },
+            "service": {
+                "pipelines": {
+                    "select": {
+                        "receivers": ["documents"],
+                        "processors": ["ppl_filter"],
+                        "exporters": ["parquet"],
+                    }
+                }
+            },
+        },
+        env={},
+    )
+    got = run_service(spark, cfg)["select"]
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    want_ids = {
+        r.doc_id
+        for r in q.corpus_ppl_buckets(spark, "", docs=docs)
+        .filter("ppl_bucket != 'tail'")
+        .collect()
+    }
+    assert sorted(got.columns) == sorted(docs.columns)
+    assert {r.doc_id for r in got.select("doc_id").collect()} == want_ids
+    assert 0 < len(want_ids) < docs.count()
