@@ -455,6 +455,85 @@ SELECT query_id, data_id, cos, rk FROM (
 """
 
 
+# --- ANN recall measurement (approximation-quality evidence) -----------------
+
+
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@{TOPK} of the two bucketed ANN paths against the
+    exact scan, per query vector:
+    (query_id, method, n_exact, n_hit, recall_milli).
+
+    This is the evaluation harness every production ANN deployment runs
+    before trusting a bucketed index (FAISS's standard recall@k
+    protocol): ``n_hit`` = |approx top-k ∩ exact top-k|, and
+    ``recall_milli`` = floor(1000 * n_hit / n_exact) — integer division,
+    so the emitted values are exact in both engines. A query whose
+    bucket/probed cells contain no candidates still appears (n_hit = 0):
+    the blind spots are the point of the measurement.
+
+    Scale shape: the heavy lifting is the underlying operators (the
+    exact scan is the cost ceiling — which is why recall is measured on
+    a bounded query SAMPLE, here the {N_QUERIES}-vector demo set, never
+    the full corpus); the comparison itself is a key-equality join on
+    (query_id, data_id) followed by a partial aggregate on ~q*k rows.
+    Tuning loop at 10^9 vectors: raise N_PROBE / lower N_PLANES until
+    recall_milli clears the product bar, re-measuring on the same
+    sample."""
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "data_id")
+    base = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    per_method = []
+    for method, fn in (("ivf", ann_ivf_topk), ("lsh", ann_lsh_topk)):
+        approx = fn(spark, sf_dir).select("query_id", "data_id")
+        hits = (
+            exact.join(approx, ["query_id", "data_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+        )
+        per_method.append(
+            base.join(hits, "query_id", "left").select(
+                "query_id",
+                F.lit(method).alias("method"),
+                "n_exact",
+                F.coalesce(F.col("n_hit"), F.lit(0))
+                .cast("long")
+                .alias("n_hit"),
+            )
+        )
+    both = per_method[0].unionByName(per_method[1])
+    return both.withColumn(
+        "recall_milli",
+        F.expr("(1000 * n_hit) div n_exact").cast("long"),
+    )
+
+
+ANN_RECALL_ORACLE = f"""
+WITH exact AS (SELECT query_id, data_id FROM ({ANN_TOPK_ORACLE})),
+lsh AS (SELECT query_id, data_id FROM ({ANN_LSH_ORACLE})),
+ivf AS (SELECT query_id, data_id FROM ({ANN_IVF_ORACLE})),
+base AS (
+    SELECT query_id, cast(count(*) AS bigint) AS n_exact
+    FROM exact GROUP BY 1
+),
+m AS (
+    SELECT 'lsh' AS method, * FROM lsh
+    UNION ALL SELECT 'ivf' AS method, * FROM ivf
+),
+hits AS (
+    SELECT method, query_id, cast(count(*) AS bigint) AS n_hit
+    FROM m JOIN exact USING (query_id, data_id) GROUP BY 1, 2
+),
+methods AS (SELECT 'lsh' AS method UNION ALL SELECT 'ivf')
+SELECT b.query_id, md.method, b.n_exact,
+    cast(coalesce(h.n_hit, 0) AS bigint) AS n_hit,
+    cast((1000 * coalesce(h.n_hit, 0)) // b.n_exact AS bigint)
+        AS recall_milli
+FROM base b CROSS JOIN methods md
+LEFT JOIN hits h ON h.query_id = b.query_id AND h.method = md.method
+"""
+
+
 # --- int8 scalar quantization (embedding storage compression) ----------------
 
 

@@ -728,6 +728,9 @@ DOCS_QUERIES: dict[str, QueryFn] = {
     "bloom_fingerprints": _bloom.bloom_fingerprints,
     "corpus_priority_sample": _samp.corpus_priority_sample,
     "corpus_ppl_buckets": _qual.corpus_ppl_buckets,
+    "ann_recall": _sim.ann_recall,
+    "corpus_shuffle": _samp.corpus_shuffle,
+    "corpus_interleave": _samp.corpus_interleave,
 }
 
 DOCS_ORACLES: dict[str, str] = {
@@ -783,6 +786,9 @@ DOCS_ORACLES: dict[str, str] = {
     "bloom_fingerprints": _bloom.BLOOM_ORACLE,
     "corpus_priority_sample": _samp.PRIORITY_SAMPLE_ORACLE,
     "corpus_ppl_buckets": _qual.PPL_BUCKETS_ORACLE,
+    "ann_recall": _sim.ANN_RECALL_ORACLE,
+    "corpus_shuffle": _samp.SHUFFLE_ORACLE,
+    "corpus_interleave": _samp.INTERLEAVE_ORACLE,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -1031,6 +1037,9 @@ REGISTRY_ORDER: list[str] = [
     "bloom_fingerprints",
     "corpus_priority_sample",
     "corpus_ppl_buckets",
+    "ann_recall",
+    "corpus_shuffle",
+    "corpus_interleave",
     # -- freshest record is r03: re-record this round (VERDICT r04 task 2) -
     "ann_cosine_topk",
     "cluster_balanced_sample",

@@ -1497,3 +1497,98 @@ def test_ppl_buckets_are_exact_inverse_cdf_terciles(spark):
         by[r.ppl_bucket] = by.get(r.ppl_bucket, 0) + 1
     assert set(by) == {"head", "middle", "tail"}
     assert by["head"] >= -(-n // 3)
+
+
+def test_ann_recall_matches_python_set_recount(spark):
+    """recall@k rows must equal a python recount of |approx ∩ exact| per
+    (query, method), with every query present for both methods even when
+    the bucketed path found nothing."""
+    from opentelemetry_collector_spark.operators import similarity as sim
+
+    exact: dict = {}
+    for r in sim.ann_cosine_topk(spark, SF_CORRECT).collect():
+        exact.setdefault(r.query_id, set()).add(r.data_id)
+    rows = DOCS_QUERIES["ann_recall"](spark, SF_CORRECT).collect()
+    assert len(rows) == 2 * len(exact)
+    for method, fn in (("ivf", sim.ann_ivf_topk), ("lsh", sim.ann_lsh_topk)):
+        approx: dict = {}
+        for r in fn(spark, SF_CORRECT).collect():
+            approx.setdefault(r.query_id, set()).add(r.data_id)
+        got = {
+            r.query_id: (r.n_exact, r.n_hit, r.recall_milli)
+            for r in rows
+            if r.method == method
+        }
+        assert set(got) == set(exact)
+        for q, ex in exact.items():
+            hit = len(ex & approx.get(q, set()))
+            assert got[q] == (len(ex), hit, 1000 * hit // len(ex)), (
+                method, q,
+            )
+
+
+def test_corpus_shuffle_is_the_md5_permutation(spark):
+    """order_idx must be the dense 0..N-1 rank of md5(doc_id || salt) —
+    i.e. the two-phase bucketed rank equals the global sort it avoids."""
+    import hashlib
+
+    rows = DOCS_QUERIES["corpus_shuffle"](spark, SF_CORRECT).collect()
+    ids = sorted(
+        (r.doc_id for r in rows),
+        key=lambda d: (
+            hashlib.md5((str(d) + ":shuffle").encode()).hexdigest(),
+            d,
+        ),
+    )
+    want = {d: i for i, d in enumerate(ids)}
+    assert len(rows) == len(want)
+    assert sorted(r.order_idx for r in rows) == list(range(len(rows)))
+    for r in rows:
+        assert r.order_idx == want[r.doc_id]
+
+
+def test_corpus_interleave_matches_python_recount(spark):
+    """(src_rank, interleave_key) must equal the sequential recount: per
+    source, docs md5-shuffled, r-th doc keyed (2r+1)*SCALE // (2*w_milli)
+    with w_milli = floor(sqrt(n_s)*1000)."""
+    import hashlib
+    import math
+
+    from opentelemetry_collector_spark.operators.sampling import (
+        ILEAVE_SCALE,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    )
+    by_src: dict = {}
+    for r in docs:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    want = {}
+    for s, ids in by_src.items():
+        ids.sort(
+            key=lambda d: (
+                hashlib.md5((str(d) + ":ileave").encode()).hexdigest(),
+                d,
+            )
+        )
+        w = math.floor(math.sqrt(len(ids)) * 1000)
+        for r0, d in enumerate(ids):
+            want[d] = (s, r0, ((2 * r0 + 1) * ILEAVE_SCALE) // (2 * w))
+    rows = DOCS_QUERIES["corpus_interleave"](spark, SF_CORRECT).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        assert (r.source, r.src_rank, r.interleave_key) == want[r.doc_id]
+    # the interleave property itself: in any key prefix, sources appear
+    # roughly proportional to sqrt(n_s) — check the smallest source is
+    # not starved (its first doc's key precedes the largest source's
+    # w-th doc for w = sqrt-ratio)
+    n_by_src = {s: len(ids) for s, ids in by_src.items()}
+    smallest = min(n_by_src, key=n_by_src.get)
+    first_small = min(
+        r.interleave_key for r in rows if r.source == smallest
+    )
+    cheaper = sum(1 for r in rows if r.interleave_key < first_small)
+    assert cheaper < 3 * len(n_by_src)  # a few docs per source at most

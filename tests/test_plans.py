@@ -490,3 +490,16 @@ def test_priority_sample_and_bloom_plan_shapes(spark):
     # broadcasts the 3-row quantile side over the ~40-row histogram
     assert "CartesianProduct" not in qtl
     assert "SortMergeJoin" not in qtl
+
+
+def test_shuffle_and_interleave_rank_without_global_sort(spark):
+    """corpus_shuffle / corpus_interleave produce a global (resp.
+    per-source) dense rank via the two-phase bucket pattern — the plans
+    must carry NO range partitioning (the global-sort marker): doc rows
+    move only through hash exchanges on the bucket key, and the
+    256-row offset/weight sides join as broadcasts."""
+    for name in ["corpus_shuffle", "corpus_interleave"]:
+        plan = _plan(DOCS_QUERIES[name](spark, SF_SMOKE))
+        assert "rangepartitioning" not in plan, f"{name} sorts the world"
+        assert "SortMergeJoin" not in plan, f"{name} shuffled a join side"
+        assert "BroadcastHashJoin" in plan, f"{name} lost the broadcast"
