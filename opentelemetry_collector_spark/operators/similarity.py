@@ -232,8 +232,18 @@ WHERE a.vec_id < b.vec_id
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-{TOPK}: candidates restricted to the query's LSH
-    bucket (equality join on bucket id — the 10^9-vector plan), ranked by
-    exact cosine inside the bucket."""
+    bucket plus its {N_PLANES} Hamming-distance-1 neighbor buckets
+    (multi-probe LSH, Lv et al. VLDB 2007), ranked by exact cosine
+    inside the probed buckets.
+
+    Why multi-probe: the ``ann_recall`` harness measured single-probe
+    recall@{TOPK} at ~0.06 on the fixture corpus (64 buckets, one probe
+    — near neighbors that disagree with the query on ANY plane are
+    invisible). Flipping one plane bit per probe recovers exactly the
+    neighbors lost to one marginal hyperplane — the highest-probability
+    misses — for a bounded 1+{N_PLANES} x candidate cost, still an
+    EQUALITY join on bucket id (the 10^9-vector plan; only the ≤10-row
+    query side is exploded, the corpus is scanned once)."""
     from pyspark.sql.window import Window
 
     data = (
@@ -241,10 +251,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bucket", _bucket("dv"))
         .withColumn("dnorm", _norm("dv"))
     )
+    probe_set = F.array(
+        F.col("home"),
+        *[
+            F.col("home").bitwiseXOR(F.lit(1 << h)).cast("int")
+            for h in range(N_PLANES)
+        ],
+    )
     q = (
         _emb(spark, sf_dir, "query_id", "qv")
         .filter(F.col("query_id") < N_QUERIES)
-        .withColumn("bucket", _bucket("qv"))
+        .withColumn("home", _bucket("qv"))
+        .withColumn("bucket", F.explode(probe_set))
         .withColumn("qnorm", _norm("qv"))
     )
     pairs = data.join(
@@ -279,11 +297,18 @@ bucketed AS (
             THEN (1 << (h - 1)) ELSE 0 END), 'sum') AS int) AS bucket
     FROM e
 ),
+q_probe AS (
+    SELECT vec_id, v,
+        cast(unnest([bucket,
+            {", ".join(f"xor(bucket, {1 << h})" for h in range(N_PLANES))}
+        ]) AS int) AS bucket
+    FROM bucketed WHERE vec_id < {N_QUERIES}
+),
 scored AS (
     SELECT q.vec_id AS query_id, d.vec_id AS data_id, d.bucket,
         round({_cos_sql('q.v', 'd.v')}, 6) AS cos
-    FROM bucketed q JOIN bucketed d USING (bucket)
-    WHERE q.vec_id < {N_QUERIES} AND d.vec_id <> q.vec_id
+    FROM q_probe q JOIN bucketed d USING (bucket)
+    WHERE d.vec_id <> q.vec_id
 )
 SELECT query_id, data_id, bucket, cos, rk FROM (
     SELECT *, cast(row_number() OVER (PARTITION BY query_id

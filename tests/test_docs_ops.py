@@ -1592,3 +1592,16 @@ def test_corpus_interleave_matches_python_recount(spark):
     )
     cheaper = sum(1 for r in rows if r.interleave_key < first_small)
     assert cheaper < 3 * len(n_by_src)  # a few docs per source at most
+
+
+def test_multiprobe_lsh_recall_floor(spark):
+    """Regression floor for the measured recall@k on the fixed sf0.01
+    corpus: multi-probe LSH measured 0.32 mean recall (single-probe was
+    0.06 — the reason multi-probe exists), IVF 0.80. Both deterministic
+    on the fixture; a drop means someone broke the probing."""
+    rows = DOCS_QUERIES["ann_recall"](spark, SF_CORRECT).collect()
+    by: dict = {}
+    for r in rows:
+        by.setdefault(r.method, []).append(r.recall_milli)
+    assert sum(by["lsh"]) / len(by["lsh"]) >= 300
+    assert sum(by["ivf"]) / len(by["ivf"]) >= 700
