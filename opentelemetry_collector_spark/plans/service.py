@@ -253,6 +253,30 @@ def _builtin_processors() -> dict[str, Callable]:
         ).select("doc_id")
         return df.join(kept, "doc_id", "left_semi")
 
+    def shuffle_order_p(spark, df, cfg):
+        # epoch-0 training order: annotate the flowing frame with the
+        # deterministic md5-permutation rank (two-phase bucketed rank —
+        # no range partitioning). The downstream writer sorts or
+        # bucket-partitions by order_idx; the column is the contract.
+        from opentelemetry_collector_spark.operators import (
+            sampling as _ps,
+        )
+
+        order = _ps.corpus_shuffle(spark, "", docs=df)
+        return df.join(order, "doc_id")
+
+    def interleave_p(spark, df, cfg):
+        # temperature-weighted source interleave key (alpha = 0.5):
+        # annotate (src_rank, interleave_key); sorting by the key yields
+        # the sqrt-flattened training mix. Same two-phase rank, keyed by
+        # (source, bucket).
+        from opentelemetry_collector_spark.operators import (
+            sampling as _ps,
+        )
+
+        keyed = _ps.corpus_interleave(spark, "", docs=df).drop("source")
+        return df.join(keyed, "doc_id")
+
     def dsir_filter_p(spark, df, cfg):
         # DSIR importance selection: keep docs whose per-token weight beats
         # the corpus average. The score pass aggregates on doc_id anyway, so
@@ -294,6 +318,8 @@ def _builtin_processors() -> dict[str, Callable]:
         "entropy_filter": entropy_filter_p,
         "priority_sample": priority_sample_p,
         "ppl_filter": ppl_filter_p,
+        "shuffle_order": shuffle_order_p,
+        "interleave": interleave_p,
     }
 
 

@@ -544,3 +544,65 @@ def test_ppl_filter_processor(spark, tmp_path):
     assert sorted(got.columns) == sorted(docs.columns)
     assert {r.doc_id for r in got.select("doc_id").collect()} == want_ids
     assert 0 < len(want_ids) < docs.count()
+
+
+def test_shuffle_order_and_interleave_processors(spark, tmp_path):
+    """A ppl_filter -> shuffle_order -> interleave chain annotates the
+    surviving docs with the exact order/interleave columns the direct
+    operators produce on the same (filtered) frame, preserving inputs."""
+    from opentelemetry_collector_spark.operators import quality as q
+    from opentelemetry_collector_spark.operators import sampling as ps
+
+    cfg = ServiceConfig.from_sources(
+        {
+            "receivers": {
+                "documents": {"path": f"{SF_SMOKE}/documents.parquet"}
+            },
+            "processors": {
+                "ppl_filter": {"keep": ["head", "middle"]},
+                "shuffle_order": {},
+                "interleave": {},
+            },
+            "exporters": {
+                "parquet": {"path": str(tmp_path / "ordered")},
+            },
+            "service": {
+                "pipelines": {
+                    "order": {
+                        "receivers": ["documents"],
+                        "processors": [
+                            "ppl_filter", "shuffle_order", "interleave",
+                        ],
+                        "exporters": ["parquet"],
+                    }
+                }
+            },
+        },
+        env={},
+    )
+    got = run_service(spark, cfg)["order"].toPandas().set_index("doc_id")
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    kept = docs.join(
+        q.corpus_ppl_buckets(spark, "", docs=docs)
+        .filter("ppl_bucket != 'tail'")
+        .select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    want_order = {
+        r.doc_id: r.order_idx
+        for r in ps.corpus_shuffle(spark, "", docs=kept).collect()
+    }
+    want_key = {
+        r.doc_id: (r.src_rank, r.interleave_key)
+        for r in ps.corpus_interleave(spark, "", docs=kept).collect()
+    }
+    assert set(got.index) == set(want_order)
+    # shuffle/interleave ran on the FILTERED frame: order_idx is a dense
+    # permutation of the survivors, not of the raw corpus
+    assert sorted(got["order_idx"]) == list(range(len(got)))
+    for doc_id, row in got.iterrows():
+        assert row["order_idx"] == want_order[doc_id]
+        assert (row["src_rank"], row["interleave_key"]) == want_key[doc_id]
+    for c in docs.columns:
+        assert c in got.reset_index().columns
