@@ -181,6 +181,11 @@ LLMOPS_QUERIES = [
     # round 5: Count-Min sketch — the shuffle is 1024 counter rows at ANY
     # corpus size, so wall time should track the token scan alone
     "cms_heavy_hitters",
+    # round 5: deterministic md5-permutation training order — the global
+    # rank is two-phase (256 bucket-count rows + within-bucket
+    # row_number), so wall time should track the doc scan; a global-sort
+    # implementation would show up here as a superlinear cliff
+    "corpus_shuffle",
 ]
 
 
