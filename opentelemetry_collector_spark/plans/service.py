@@ -293,6 +293,24 @@ def _builtin_processors() -> dict[str, Callable]:
         )
         return df.join(kept, "doc_id", "left_semi")
 
+    from opentelemetry_collector_spark.operators import cleaning as _cl
+
+    def pii_scrub_p(spark, df, cfg):
+        # typed PII masking in place (text + n_chars rewritten,
+        # pii_total appended) — single projection, no shuffle
+        return _cl.doc_pii_scrub(spark, "", docs=df, project=False)
+
+    def c4_filter_p(spark, df, cfg):
+        # C4 line/page cleaning: drop failing pages, rewrite text to the
+        # surviving lines — single projection + filter, no shuffle
+        return _cl.doc_c4_filters(
+            spark,
+            "",
+            docs=df,
+            bad_words=tuple(cfg.get("bad_words", ())),
+            project=False,
+        )
+
     return {
         "parse": lambda spark, df, cfg: parse_turns(df),
         "enrich": lambda spark, df, cfg: enrich(df, spark),
@@ -320,6 +338,8 @@ def _builtin_processors() -> dict[str, Callable]:
         "ppl_filter": ppl_filter_p,
         "shuffle_order": shuffle_order_p,
         "interleave": interleave_p,
+        "pii_scrub": pii_scrub_p,
+        "c4_filter": c4_filter_p,
     }
 
 
