@@ -181,6 +181,12 @@ def test_cleaning_is_one_projection_no_shuffle_no_python(spark, op):
     assert "ArrowEvalPython" not in plan
     scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
     assert len(scans) == 1
+    # column pruning reached the scan: only (doc_id, text) are read
+    assert "ReadSchema" in scans[0]
+    schema = scans[0].split("ReadSchema:")[1]
+    assert "doc_id" in schema and "text" in schema
+    for unused in ("lang", "source", "n_chars"):
+        assert unused not in schema, unused
 
 
 def test_pii_processor_position_rewrites_in_place(spark):
