@@ -271,3 +271,29 @@ def test_config_built_cleaning_pipeline(spark, tmp_path):
     assert sorted(got.columns) == sorted(want.columns)
     # the scrub ran BEFORE the line filter: placeholders survive
     assert any("<EMAIL>" in r.text for r in g.values())
+
+
+def test_shipped_cleaning_example_runs_end_to_end(spark, tmp_path):
+    """examples/cleaning_pipeline.yaml resolves from the env and runs:
+    a user can start from the YAML alone (example-config parity)."""
+    from pathlib import Path
+
+    from opentelemetry_collector_spark.plans.config import ServiceConfig
+    from opentelemetry_collector_spark.plans.service import run_service
+
+    example = str(
+        Path(__file__).resolve().parent.parent
+        / "examples" / "cleaning_pipeline.yaml"
+    )
+    _fixture_docs(spark).selectExpr(
+        "doc_id", "text", "cast(length(text) AS bigint) AS n_chars"
+    ).write.parquet(str(tmp_path / "raw_docs.parquet"))
+    cfg = ServiceConfig.from_sources(
+        example, env={"DATA_DIR": str(tmp_path), "OUT_DIR": str(tmp_path)}
+    )
+    got = run_service(spark, cfg)["clean"]
+    rows = {r.doc_id: r for r in got.collect()}
+    assert set(rows) == {0, 1, 6}  # the fixture's surviving pages
+    assert "<EMAIL>" in rows[0].text and "<SSN>" in rows[0].text
+    out = spark.read.parquet(str(tmp_path / "clean"))
+    assert out.count() == len(rows)
