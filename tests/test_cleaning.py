@@ -273,6 +273,86 @@ def test_config_built_cleaning_pipeline(spark, tmp_path):
     assert any("<EMAIL>" in r.text for r in g.values())
 
 
+def _random_corpus(n_docs: int = 200) -> pd.DataFrame:
+    """Seeded fuzz corpus: random ASCII lines salted with PII shapes,
+    rule triggers, edge whitespace, and empty docs. ASCII-only on
+    purpose — lower() case folding beyond ASCII differs between the JVM
+    and python in ways the ops don't promise to bridge."""
+    import random
+
+    rng = random.Random(42)
+    words = ["alpha", "beta", "gamma", "delta", "words", "here", "now",
+             "a", "bb", "ccc", "javascript", "lorem", "ipsum", "badword"]
+    pii = [
+        lambda: f"u{rng.randrange(99)}.x+tag@mail{rng.randrange(9)}.example.org",
+        lambda: ".".join(str(rng.randrange(256)) for _ in range(4)),
+        lambda: f"{rng.randrange(1000):03d}-{rng.randrange(100):02d}-"
+                f"{rng.randrange(10000):04d}",
+        lambda: f"+{rng.randrange(1, 99)}-{rng.randrange(1000):03d}-"
+                f"{rng.randrange(10000):04d}",
+        lambda: "".join(str(rng.randrange(10)) for _ in range(rng.randrange(13, 20))),
+    ]
+    enders = [".", "!", "?", '"', "", "", ":"]
+    docs = []
+    for i in range(n_docs):
+        lines = []
+        for _ in range(rng.randrange(0, 8)):
+            toks = [rng.choice(words) for _ in range(rng.randrange(0, 7))]
+            if rng.random() < 0.4:
+                toks.insert(rng.randrange(len(toks) + 1), rng.choice(pii)())
+            if rng.random() < 0.1:
+                toks.append(rng.choice(["{", "}", "lorem ipsum"]))
+            pad_l = " " * rng.randrange(0, 3)
+            pad_r = " " * rng.randrange(0, 3)
+            lines.append(pad_l + " ".join(toks) + rng.choice(enders) + pad_r)
+        docs.append((i, "\n".join(lines)))
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    return pdf
+
+
+def test_fuzz_corpus_matches_python_ground_truth(spark):
+    """One Spark pass over 200 seeded-random docs ≡ the python recount
+    for BOTH ops — regex/split/trim engine parity beyond the handcrafted
+    fixture."""
+    pdf = _random_corpus()
+    docs = spark.createDataFrame(pdf)
+    texts = dict(zip(pdf["doc_id"], pdf["text"]))
+
+    got_pii = {
+        r.doc_id: r.asDict()
+        for r in doc_pii_scrub(spark, "", docs=docs).collect()
+    }
+    n_with_pii = 0
+    for doc_id, text in texts.items():
+        want_text, want_counts = _pii_recount(text)
+        assert got_pii[doc_id]["text"] == want_text, doc_id
+        for k, v in want_counts.items():
+            assert got_pii[doc_id][k] == v, (doc_id, k)
+        n_with_pii += got_pii[doc_id]["pii_total"] > 0
+    assert n_with_pii > 20  # the corpus actually exercises the scrub
+
+    got_c4 = {
+        r.doc_id: r.asDict()
+        for r in doc_c4_filters(
+            spark, "", docs=docs, bad_words=("badword",)
+        ).collect()
+    }
+    kept_pages = 0
+    for doc_id, text in texts.items():
+        lines = text.split("\n")
+        kept = [ln.strip() for ln in lines if _c4_line_keep_py(ln)]
+        row = got_c4[doc_id]
+        assert row["n_lines"] == len(lines), doc_id
+        assert row["n_kept_lines"] == len(kept), doc_id
+        assert row["clean_text"] == "\n".join(kept), doc_id
+        assert row["n_sentences"] == len(
+            re.findall(r"[.!?]", "\n".join(kept))
+        ), doc_id
+        kept_pages += row["keep"]
+    assert 0 < kept_pages < len(texts)  # both keep outcomes occur
+
+
 def test_shipped_cleaning_example_runs_end_to_end(spark, tmp_path):
     """examples/cleaning_pipeline.yaml resolves from the env and runs:
     a user can start from the YAML alone (example-config parity)."""
