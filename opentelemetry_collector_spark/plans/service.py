@@ -300,6 +300,17 @@ def _builtin_processors() -> dict[str, Callable]:
         # pii_total appended) — single projection, no shuffle
         return _cl.doc_pii_scrub(spark, "", docs=df, project=False)
 
+    def quality_checks_p(spark, df, cfg):
+        # Deequ-style admission control: ONE aggregate pass evaluates the
+        # declarative per-column rules; any failure raises (refuse,
+        # don't corrupt) BEFORE downstream stages see the batch. Eager by
+        # design — the gate is an action, like config validation.
+        from opentelemetry_collector_spark.operators.checks import (
+            quality_gate,
+        )
+
+        return quality_gate(spark, df, dict(cfg.get("rules", {})))
+
     def c4_filter_p(spark, df, cfg):
         # C4 line/page cleaning: drop failing pages, rewrite text to the
         # surviving lines — single projection + filter, no shuffle
@@ -340,6 +351,7 @@ def _builtin_processors() -> dict[str, Callable]:
         "interleave": interleave_p,
         "pii_scrub": pii_scrub_p,
         "c4_filter": c4_filter_p,
+        "quality_checks": quality_checks_p,
     }
 
 
