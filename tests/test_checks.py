@@ -125,6 +125,53 @@ def test_metrics_are_one_aggregate_pass(spark):
     assert m["lang"]["n_nonnull"] == docs.count()
 
 
+def test_gate_composes_as_per_tick_admission_control(spark, tmp_path):
+    """quality_gate inside IncrementalSource.process_new's action is the
+    production ingest shape: a tick whose batch fails the rules raises,
+    commits NOTHING (ledger unchanged, sink unwritten), and the source
+    re-offers the same files next tick; a clean tick commits normally."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.sources.incremental import (
+        IncrementalSource,
+    )
+
+    data = tmp_path / "in"
+    sink = tmp_path / "out"
+    rules = {"lang": {"max_null_frac": 0.0}}
+
+    def write_batch(name, langs):
+        spark.createDataFrame(
+            [(i, lang) for i, lang in enumerate(langs)],
+            "doc_id long, lang string",
+        ).coalesce(1).write.parquet(str(data / name))
+
+    def action(df):
+        quality_gate(spark, df, rules)
+        df.write.mode("append").parquet(str(sink))
+
+    src = IncrementalSource(spark, str(data), str(tmp_path / "ledger"))
+
+    write_batch("t1", ["en", "de"])
+    r1 = src.process_new(action)
+    assert r1["n_files"] == 1 and r1["n_rows"] == 2
+
+    write_batch("t2", ["en", None])  # violates max_null_frac=0
+    with pytest.raises(QualityGateError):
+        src.process_new(action)
+    assert spark.read.parquet(str(sink)).count() == 2  # nothing flowed
+    pending = src.pending()
+    assert pending is not None  # the refused files are still pending
+
+    # operator remediation: relax the rule -> the SAME snapshot commits
+    rules["lang"]["max_null_frac"] = 0.5
+    r2 = src.process_new(action, pending=pending)
+    assert r2["n_rows"] == 2 and src.pending() is None
+    out = spark.read.parquet(str(sink))
+    assert out.count() == 4
+    assert out.filter(F.col("lang").isNull()).count() == 1
+
+
 def test_config_built_quality_checks_processor(spark, tmp_path):
     from opentelemetry_collector_spark.plans.config import ServiceConfig
     from opentelemetry_collector_spark.plans.service import run_service
