@@ -322,6 +322,31 @@ def _builtin_processors() -> dict[str, Callable]:
             project=False,
         )
 
+    def sft_mask_p(spark, df, cfg):
+        # SFT training-prep: per-turn token spans + assistant loss mask
+        # over the flowing transcripts frame — one conv-keyed window
+        # (elided on the bucketed layout)
+        from opentelemetry_collector_spark.operators.training import (
+            sft_loss_mask,
+        )
+
+        return sft_loss_mask(spark, "", transcripts=df)
+
+    def conversation_pack_p(spark, df, cfg):
+        # whole-conversation sequence packing (terminal, conv-granular
+        # output): rollup + pack-bucket cumsum, corpus_pack's shape
+        from opentelemetry_collector_spark.operators.training import (
+            CONV_PACK_BUDGET_TOKENS,
+            conversation_pack,
+        )
+
+        return conversation_pack(
+            spark,
+            "",
+            transcripts=df,
+            budget=int(cfg.get("budget", CONV_PACK_BUDGET_TOKENS)),
+        )
+
     return {
         "parse": lambda spark, df, cfg: parse_turns(df),
         "enrich": lambda spark, df, cfg: enrich(df, spark),
@@ -352,6 +377,9 @@ def _builtin_processors() -> dict[str, Callable]:
         "pii_scrub": pii_scrub_p,
         "c4_filter": c4_filter_p,
         "quality_checks": quality_checks_p,
+        # transcript-native training-prep (operators/training.py)
+        "sft_mask": sft_mask_p,
+        "conversation_pack": conversation_pack_p,
     }
 
 
