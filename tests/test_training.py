@@ -275,3 +275,31 @@ def test_config_built_training_processors(spark, tmp_path):
             got[cols].sort_values(cols).reset_index(drop=True),
             want[cols].sort_values(cols).reset_index(drop=True),
         )
+
+
+def test_shipped_sft_example_runs_end_to_end(spark, tmp_path):
+    """examples/sft_prep_pipeline.yaml resolves from the env and runs
+    both pipelines (spans + packs) off one shared transcripts source."""
+    from pathlib import Path
+
+    from opentelemetry_collector_spark.plans.config import ServiceConfig
+    from opentelemetry_collector_spark.plans.service import run_service
+
+    example = str(
+        Path(__file__).resolve().parent.parent
+        / "examples" / "sft_prep_pipeline.yaml"
+    )
+    events_to_transcripts(spark, SF_SMOKE).write.parquet(
+        str(tmp_path / "transcripts.parquet")
+    )
+    cfg = ServiceConfig.from_sources(
+        example, env={"DATA_DIR": str(tmp_path), "OUT_DIR": str(tmp_path)}
+    )
+    got = run_service(spark, cfg)
+    assert set(got) == {"spans", "packs"}
+    spans = spark.read.parquet(str(tmp_path / "sft_spans"))
+    packs = spark.read.parquet(str(tmp_path / "packs"))
+    n_turns = events_to_transcripts(spark, SF_SMOKE).count()
+    assert spans.count() == n_turns
+    assert packs.count() == spans.select("conv_id").distinct().count()
+    assert spans.filter("loss_mask AND role <> 'assistant'").count() == 0
