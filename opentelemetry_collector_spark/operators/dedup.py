@@ -237,6 +237,38 @@ _SIG_SQL = (
 )
 _ROWS_PER_BAND = MINHASH_K // MINHASH_BANDS
 
+# LSH band keys derived from a `sig` column (array<bigint> of length
+# MINHASH_K): band b's key = md5 of its _ROWS_PER_BAND minhashes. Shared
+# by dedup_minhash_pairs and the cross-tick ledger (incremental_dedup.py),
+# so in-batch and cross-tick candidate generation bucket identically.
+_BANDS_FROM_SIG_EXPR = (
+    f"transform(sequence(0, {MINHASH_BANDS - 1}), b -> "
+    f"struct(b AS band, md5(concat_ws('|', transform("
+    f"slice(sig, b * {_ROWS_PER_BAND} + 1, {_ROWS_PER_BAND}), "
+    f"x -> cast(x AS string)))) AS key))"
+)
+
+
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, sig) — the {MINHASH_K}-permutation MinHash signature, the
+    compact sketch the cross-tick near-dup ledger persists (~16 bigints
+    per accepted doc instead of its shingle set)."""
+    return (
+        _shingled(spark, sf_dir, docs=docs)
+        .withColumn("lanes", F.expr(_LANES_EXPR))
+        .select("doc_id", F.expr(_SIG_EXPR).alias("sig"))
+    )
+
+
+def bands_from_signatures(sig_df: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH band keys from a (doc_id, sig) frame —
+    identical keying to dedup_minhash_pairs' in-batch banding."""
+    return sig_df.select(
+        "doc_id", F.explode(F.expr(_BANDS_FROM_SIG_EXPR)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.key")
+
 
 def dedup_minhash_pairs(
     spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
@@ -260,15 +292,7 @@ def dedup_minhash_pairs(
         "sig", F.expr(_SIG_EXPR)
     )
     bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {MINHASH_BANDS - 1}), b -> "
-                f"struct(b AS band, md5(concat_ws('|', transform("
-                f"slice(sig, b * {_ROWS_PER_BAND} + 1, {_ROWS_PER_BAND}), "
-                f"x -> cast(x AS string)))) AS key))"
-            )
-        ).alias("bk"),
+        "doc_id", F.explode(F.expr(_BANDS_FROM_SIG_EXPR)).alias("bk")
     ).select("doc_id", "bk.band", "bk.key")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

@@ -266,3 +266,161 @@ class IncrementalCurator:
             .option("partitionOverwriteMode", "dynamic")
             .parquet(self.ledger_path)
         )
+
+
+# --- cross-tick NEAR-dup (MinHash signature ledger) ---------------------------
+
+SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sig", T.ArrayType(T.LongType(), False), False),
+        T.StructField("tick_id", T.StringType(), False),
+    ]
+)
+
+
+class IncrementalMinHashDeduper:
+    """Cross-tick NEAR-duplicate dedup against a persistent MinHash
+    signature ledger — the fuzzy twin of ``IncrementalDeduper`` (which
+    catches only byte-identical content across ticks).
+
+    Per tick: (1) in-batch near-dups collapse to cluster canonicals via
+    ``dedup_minhash_pairs`` (exact shingle-Jaccard verify) + connected
+    components — the same policy as the batch ``dedup_minhash`` config
+    processor; (2) the canonicals' LSH band keys (identical banding to the
+    in-batch op — ``bands_from_signatures``) equality-join against the
+    ledger's bands, and candidates are verified by SIGNATURE-estimated
+    Jaccard (matching minhash components / K ≥ the same threshold): the
+    ledger keeps the 16-bigint sketch per accepted doc, never its
+    shingles, so the cross-tick verify uses the standard unbiased MinHash
+    estimator rather than exact Jaccard — documented estimator tradeoff,
+    candidates are already band-collision-filtered high-J pairs.
+
+    Dedup policy is FIRST-ACCEPTED-WINS against the retained corpus: a
+    new doc is dropped iff it is a near-dup of an ACCEPTED doc. Chains
+    through previously-dropped docs deliberately do not propagate across
+    ticks — the dropped doc is not in the training corpus, so it cannot
+    justify dropping anything (the same over-deletion argument as
+    ``dedup_minhash_p``'s cluster canonicals, applied at the corpus
+    boundary).
+
+    Crash contract is the module protocol: ``dedup`` is pure given the
+    ledger, ``commit`` is a dynamic tick-partition overwrite, so crash
+    retries recompute the same accepted set and double commits cannot
+    duplicate signatures.
+
+    Scale: ledger row = doc_id + {16} bigints (~150 B per accepted doc).
+    The per-tick probe is an equality join on (band, key) — uniform md5
+    keys, no skew surface; at 10^9+ accepted docs, bucket the ledger by
+    the band key (Iceberg layout note in sources/catalog.py) so the probe
+    co-locates without a ledger shuffle.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        ledger_path: str,
+        ledger_write_partitions: int = 8,
+    ):
+        self.spark = spark
+        self.ledger_path = ledger_path
+        self.ledger_write_partitions = ledger_write_partitions
+
+    def seen(self) -> DataFrame:
+        """Accepted (doc_id, sig) rows; empty frame before first commit."""
+        from opentelemetry_collector_spark.sources.incremental import (
+            list_data_files,
+        )
+
+        if not list_data_files(self.spark, self.ledger_path):
+            return self.spark.createDataFrame([], SIG_SCHEMA)
+        return self.spark.read.schema(SIG_SCHEMA).parquet(self.ledger_path)
+
+    def dedup(self, docs: DataFrame) -> DataFrame:
+        """The tick's accepted docs (near-dup-free within the batch AND
+        vs everything already accepted). Pure — safe to recompute."""
+        from opentelemetry_collector_spark.operators.dedup import (
+            JACCARD_THRESHOLD,
+            MINHASH_K,
+            bands_from_signatures,
+            connected_components,
+            dedup_minhash_pairs,
+            minhash_signatures,
+        )
+
+        # (1) in-batch: exact-verified pairs -> component canonicals
+        pairs = dedup_minhash_pairs(self.spark, "", docs=docs)
+        drop_in_batch = (
+            connected_components(pairs)
+            .filter(F.col("doc_id") != F.col("cluster_id"))
+            .select("doc_id")
+        )
+        canon = docs.join(drop_in_batch, "doc_id", "left_anti")
+
+        # (2) cross-tick: band-collision candidates vs the ledger,
+        # verified by the signature-estimated Jaccard
+        new_sigs = minhash_signatures(self.spark, "", docs=canon)
+        led = self.seen()
+        cand = (
+            bands_from_signatures(new_sigs)
+            .join(
+                bands_from_signatures(
+                    led.select("doc_id", "sig")
+                ).select(
+                    F.col("doc_id").alias("old_id"), "band", "key"
+                ),
+                ["band", "key"],
+            )
+            .select("doc_id", "old_id")
+            .distinct()
+        )
+        est = (
+            cand.join(new_sigs, "doc_id")
+            .join(
+                led.select(
+                    F.col("doc_id").alias("old_id"),
+                    F.col("sig").alias("old_sig"),
+                ),
+                "old_id",
+            )
+            .withColumn(
+                "est_jaccard",
+                F.expr(
+                    "size(filter(zip_with(sig, old_sig,"
+                    " (x, y) -> x = y), v -> v))"
+                )
+                / F.lit(MINHASH_K),
+            )
+        )
+        drop_cross = (
+            est.filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+            .select("doc_id")
+            .distinct()
+        )
+        return canon.join(drop_cross, "doc_id", "left_anti")
+
+    def commit(self, accepted: DataFrame, tick_id: str) -> None:
+        """Record the tick's accepted signatures idempotently (dynamic
+        tick-partition overwrite)."""
+        from opentelemetry_collector_spark.operators.dedup import (
+            minhash_signatures,
+        )
+
+        (
+            minhash_signatures(self.spark, "", docs=accepted)
+            .withColumn("tick_id", F.lit(tick_id))
+            .select("doc_id", "sig", "tick_id")
+            .coalesce(self.ledger_write_partitions)
+            .write.mode("overwrite")
+            .partitionBy("tick_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self.ledger_path)
+        )
+
+    def metrics(self) -> dict:
+        """Ledger gauges (queue-gauge analog)."""
+        led = self.seen()
+        return {
+            "accepted_docs": led.count(),
+            "ticks": led.select("tick_id").distinct().count(),
+        }

@@ -393,3 +393,97 @@ def test_bloom_ledger_is_superset_of_fp_ledger_after_commit(spark, tmp_path):
     committed = d.seen().select("fp").distinct()
     verdicts = d._bloom.probe(committed).collect()
     assert verdicts and all(r.bloom_hit for r in verdicts)
+
+
+# --- cross-tick NEAR-dup (MinHash signature ledger) ---------------------------
+
+_BASE = " ".join(f"w{i:02d} common corpus token" for i in range(10))
+_NEAR = _BASE.replace("w03", "x03")  # one word changed: shingle J ≈ 0.81
+_NOVEL = " ".join(f"z{i:02d} different text entirely" for i in range(10))
+_FRESH = "totally fresh words appear here in this new document today ok"
+
+
+@pytest.fixture()
+def mh_deduper(spark, tmp_path):
+    from opentelemetry_collector_spark.operators.incremental_dedup import (
+        IncrementalMinHashDeduper,
+    )
+
+    return IncrementalMinHashDeduper(spark, str(tmp_path / "sig_ledger"))
+
+
+def test_minhash_in_batch_near_dups_collapse_to_canonical(spark, mh_deduper):
+    out = mh_deduper.dedup(
+        _docs(spark, [(1, _BASE), (2, _NEAR), (4, _NOVEL)])
+    )
+    assert {r.doc_id for r in out.collect()} == {1, 4}
+
+
+def test_minhash_cross_tick_near_dup_dropped_novel_kept(spark, mh_deduper):
+    a1 = mh_deduper.dedup(_docs(spark, [(1, _BASE), (4, _NOVEL)]))
+    mh_deduper.commit(a1, "t1")
+    # tick 2: a near-dup of the ACCEPTED base (different doc_id, one word
+    # changed) must be caught by the signature ledger; a novel doc passes
+    a2 = mh_deduper.dedup(_docs(spark, [(10, _NEAR), (11, _FRESH)]))
+    assert {r.doc_id for r in a2.collect()} == {11}
+    mh_deduper.commit(a2, "t2")
+    assert mh_deduper.metrics() == {"accepted_docs": 3, "ticks": 2}
+
+
+def test_minhash_crash_retry_and_double_commit_idempotent(spark, mh_deduper):
+    a1 = mh_deduper.dedup(_docs(spark, [(1, _BASE)]))
+    mh_deduper.commit(a1, "t1")
+    t2 = _docs(spark, [(10, _NEAR), (11, _FRESH)])
+    # crash after dedup, before commit: recompute is identical
+    first = {r.doc_id for r in mh_deduper.dedup(t2).collect()}
+    retry = {r.doc_id for r in mh_deduper.dedup(t2).collect()}
+    assert first == retry == {11}
+    a2 = mh_deduper.dedup(t2)
+    mh_deduper.commit(a2, "t2")
+    mh_deduper.commit(a2, "t2")  # retried tick: partition overwritten
+    led = mh_deduper.seen().collect()
+    assert sorted(r.doc_id for r in led) == [1, 11]
+    # the ledger holds the compact sketch, never shingles/text
+    from opentelemetry_collector_spark.operators.dedup import MINHASH_K
+
+    assert all(len(r.sig) == MINHASH_K for r in led)
+
+
+def test_minhash_ledger_holds_only_accepted_docs(spark, mh_deduper):
+    # the in-batch-dropped near-dup never enters the ledger: dedup is
+    # against the RETAINED corpus (first-accepted-wins), so dropped docs
+    # cannot justify dropping future arrivals
+    a1 = mh_deduper.dedup(_docs(spark, [(1, _BASE), (2, _NEAR)]))
+    mh_deduper.commit(a1, "t1")
+    assert sorted(r.doc_id for r in mh_deduper.seen().collect()) == [1]
+
+
+def test_minhash_ticks_match_batch_policy_without_chains(spark, mh_deduper):
+    """Ordered ticks ≡ the batch dedup_minhash config processor when no
+    duplicate component straddles a dropped doc (the policy-equivalence
+    regime): both keep exactly the cluster canonicals."""
+    from opentelemetry_collector_spark.plans.service import (
+        _builtin_processors,
+    )
+
+    all_docs = [(1, _BASE), (4, _NOVEL), (10, _NEAR), (11, _FRESH)]
+    a1 = mh_deduper.dedup(_docs(spark, all_docs[:2]))
+    mh_deduper.commit(a1, "t1")
+    a2 = mh_deduper.dedup(_docs(spark, all_docs[2:]))
+    incremental = {r.doc_id for r in a1.collect()} | {
+        r.doc_id for r in a2.collect()
+    }
+    batch = _builtin_processors()["dedup_minhash"](
+        spark, _docs(spark, all_docs), {}
+    )
+    assert incremental == {r.doc_id for r in batch.collect()} == {1, 4, 11}
+
+
+def test_minhash_dedup_plan_has_no_cartesian(spark, mh_deduper):
+    mh_deduper.commit(
+        mh_deduper.dedup(_docs(spark, [(1, _BASE)])), "t1"
+    )
+    df = mh_deduper.dedup(_docs(spark, [(10, _NEAR), (11, _FRESH)]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
