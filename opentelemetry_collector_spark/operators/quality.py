@@ -868,3 +868,242 @@ SELECT doc_id, nll_milli_per_tok,
          ELSE 'tail' END AS ppl_bucket
 FROM scores, thr
 """
+
+
+# --- supervised quality classifier (NB log-odds over hashed features) --------
+#
+# The FineWeb/CCNet-style CLASSIFIER stage: a seed set of labeled docs
+# (human- or LLM-judged good/bad) trains a linear model that scores the
+# whole corpus. Distinct from `dsir_weights` in both contract and math:
+# DSIR is UNSUPERVISED (importance ratios of a target SLICE of the same
+# frame, computed and applied in one pass), while this is a SUPERVISED
+# Naive-Bayes log-odds posterior with an explicit boolean label column
+# and a DECOUPLED train→apply shape — train once on the labeled seed,
+# persist the (bucket, weight) table, score any number of corpora with a
+# single broadcast join (the `train_unigram_model` production split,
+# applied discriminatively).
+#
+# Cross-engine exactness: every weight is round(1000 * ln(ratio of exact
+# integers)) — the doc_unigram_ll/dsir integer milli-nat rule — and the
+# per-doc score is an order-independent integer sum, so keep decisions
+# are integer comparisons (score_milli > 0 ⇔ positive posterior beats
+# the prior-adjusted threshold).
+#
+# Scale: the model is hash-bounded at CLF_BUCKETS (+2 sentinel) rows
+# regardless of vocabulary — broadcast-sized BY CONSTRUCTION (the
+# doc_tfidf_topk lesson does not apply: nothing vocabulary-sized ever
+# shuffles or broadcasts); tokens explode once; the per-doc sum shuffles
+# on the uniform doc_id key.
+
+CLF_BUCKETS = 1024
+CLF_SALT = "qclf"
+CLF_BIAS_B = -1  # sentinel row: class-prior log-odds
+CLF_DEFAULT_B = -2  # sentinel row: weight of a bucket unseen in training
+
+
+def train_quality_classifier(
+    spark,
+    labeled: DataFrame,
+    label_col: str = "label",
+    n_buckets: int = CLF_BUCKETS,
+) -> DataFrame:
+    """Train the NB log-odds model on docs whose ``label_col`` is a
+    non-null boolean: returns (b, w_milli) with one row per observed
+    hashed-unigram bucket plus the two sentinel rows ({CLF_BIAS_B} =
+    doc-count prior log-odds, {CLF_DEFAULT_B} = unseen-bucket weight).
+    Two bounded aggregates over one token explosion — nothing
+    vocabulary-sized anywhere."""
+    lab = labeled.filter(F.col(label_col).isNotNull()).select(
+        "doc_id", "text", F.col(label_col).cast("boolean").alias("label")
+    )
+    toks = (
+        lab.select(
+            "doc_id",
+            "label",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+        )
+        .filter(F.length("w") > 0)
+        .withColumn("b", _hash_bucket(F.col("w"), n_buckets, CLF_SALT))
+    )
+    cnt = toks.groupBy("b").agg(
+        F.sum(F.col("label").cast("long")).cast("long").alias("cp"),
+        F.sum((~F.col("label")).cast("long")).cast("long").alias("cn"),
+    )
+    tot = toks.agg(
+        F.sum(F.col("label").cast("long")).cast("long").alias("p_total"),
+        F.sum((~F.col("label")).cast("long")).cast("long").alias("n_total"),
+    )
+    _w = F.round(
+        F.log(
+            (
+                (F.col("cp") + 1).cast("double")
+                * (F.col("n_total") + n_buckets).cast("double")
+            )
+            / (
+                (F.col("cn") + 1).cast("double")
+                * (F.col("p_total") + n_buckets).cast("double")
+            )
+        )
+        * 1000.0
+    ).cast("long")
+    weights = cnt.crossJoin(F.broadcast(tot)).select(
+        F.col("b").cast("bigint").alias("b"), _w.alias("w_milli")
+    )
+    docs_tot = lab.agg(
+        F.sum(F.col("label").cast("long")).cast("long").alias("pos_docs"),
+        F.sum((~F.col("label")).cast("long")).cast("long").alias("neg_docs"),
+    )
+    bias = docs_tot.select(
+        F.lit(CLF_BIAS_B).cast("bigint").alias("b"),
+        F.round(
+            F.log(
+                (F.col("pos_docs") + 1).cast("double")
+                / (F.col("neg_docs") + 1).cast("double")
+            )
+            * 1000.0
+        )
+        .cast("long")
+        .alias("w_milli"),
+    )
+    default = tot.select(
+        F.lit(CLF_DEFAULT_B).cast("bigint").alias("b"),
+        F.round(
+            F.log(
+                (F.col("n_total") + n_buckets).cast("double")
+                / (F.col("p_total") + n_buckets).cast("double")
+            )
+            * 1000.0
+        )
+        .cast("long")
+        .alias("w_milli"),
+    )
+    return weights.unionByName(bias).unionByName(default)
+
+
+def doc_classifier_score(
+    spark,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    model: DataFrame | None = None,
+    labeled: DataFrame | None = None,
+    label_col: str = "label",
+    n_buckets: int = CLF_BUCKETS,
+) -> DataFrame:
+    """Score docs under a trained model: (doc_id, n_tokens, score_milli,
+    avg_score_milli, keep). ``keep = score_milli > 0`` — the NB positive-
+    posterior rule, an integer comparison. Pass ``model`` (the persisted
+    table) for the decoupled production shape, or ``labeled`` to train
+    in-flight (the self-contained single-frame shape the oracle mirrors;
+    when the labels ride the scored frame itself, pass it as both).
+
+    One token explosion, one broadcast join against the ≤{CLF_BUCKETS}+2
+    row model, one doc_id-keyed aggregate. Docs with no tokens carry no
+    evidence and are not scored (the dsir_weights convention)."""
+    d = _docs(spark, sf_dir, docs=docs)
+    if model is None:
+        if labeled is None:
+            raise ValueError("pass a trained `model` or a `labeled` frame")
+        model = train_quality_classifier(
+            spark, labeled, label_col=label_col, n_buckets=n_buckets
+        )
+    sentinels = model.filter(F.col("b") < 0).groupBy().agg(
+        F.max(
+            F.when(F.col("b") == CLF_BIAS_B, F.col("w_milli"))
+        ).alias("bias_milli"),
+        F.max(
+            F.when(F.col("b") == CLF_DEFAULT_B, F.col("w_milli"))
+        ).alias("def_milli"),
+    )
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+        )
+        .filter(F.length("w") > 0)
+        .withColumn(
+            "b", _hash_bucket(F.col("w"), n_buckets, CLF_SALT).cast("bigint")
+        )
+    )
+    per_doc = (
+        toks.join(F.broadcast(model.filter(F.col("b") >= 0)), "b", "left")
+        .crossJoin(F.broadcast(sentinels))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            (
+                F.sum(F.coalesce(F.col("w_milli"), F.col("def_milli")))
+                + F.first("bias_milli")
+            )
+            .cast("long")
+            .alias("score_milli"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "score_milli",
+        (
+            F.col("score_milli").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("avg_score_milli"),
+        (F.col("score_milli") > 0).alias("keep"),
+    )
+
+
+# Self-contained train+score over a `documents` view carrying a nullable
+# boolean `label` column (train on the labeled subset, score every doc) —
+# proves the decoupled Spark train→apply path is lossless vs one SQL pass.
+CLASSIFIER_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, label, w,
+        {_hash_bucket_sql('w', CLF_BUCKETS, CLF_SALT)} AS b
+    FROM (
+        SELECT doc_id, label,
+            unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents
+    ) t WHERE length(w) > 0
+),
+ltoks AS (SELECT * FROM toks WHERE label IS NOT NULL),
+cnt AS (
+    SELECT b,
+        sum(CASE WHEN label THEN 1 ELSE 0 END) AS cp,
+        sum(CASE WHEN label THEN 0 ELSE 1 END) AS cn
+    FROM ltoks GROUP BY b
+),
+tot AS (
+    SELECT sum(CASE WHEN label THEN 1 ELSE 0 END) AS p_total,
+        sum(CASE WHEN label THEN 0 ELSE 1 END) AS n_total
+    FROM ltoks
+),
+weights AS (
+    SELECT b,
+        cast(round(ln(
+            (cast(cp + 1 AS double) * cast(tot.n_total + {CLF_BUCKETS} AS double))
+            / (cast(cn + 1 AS double) * cast(tot.p_total + {CLF_BUCKETS} AS double))
+        ) * 1000) AS bigint) AS w_milli
+    FROM cnt, tot
+),
+sentinels AS (
+    SELECT
+        cast(round(ln(
+            cast((SELECT sum(CASE WHEN label THEN 1 ELSE 0 END) FROM documents
+                  WHERE label IS NOT NULL) + 1 AS double)
+            / cast((SELECT sum(CASE WHEN label THEN 0 ELSE 1 END) FROM documents
+                    WHERE label IS NOT NULL) + 1 AS double)
+        ) * 1000) AS bigint) AS bias_milli,
+        cast(round(ln(
+            cast(tot.n_total + {CLF_BUCKETS} AS double)
+            / cast(tot.p_total + {CLF_BUCKETS} AS double)
+        ) * 1000) AS bigint) AS def_milli
+    FROM tot
+)
+SELECT doc_id,
+    cast(count(*) AS bigint) AS n_tokens,
+    cast(sum(coalesce(w.w_milli, s.def_milli)) + s.bias_milli AS bigint)
+        AS score_milli,
+    cast(sum(coalesce(w.w_milli, s.def_milli)) + s.bias_milli AS double)
+        / cast(count(*) AS double) AS avg_score_milli,
+    (sum(coalesce(w.w_milli, s.def_milli)) + s.bias_milli) > 0 AS keep
+FROM toks LEFT JOIN weights w USING (b), sentinels s
+GROUP BY doc_id, s.bias_milli
+"""

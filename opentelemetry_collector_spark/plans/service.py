@@ -322,6 +322,25 @@ def _builtin_processors() -> dict[str, Callable]:
             project=False,
         )
 
+    def classifier_filter_p(spark, df, cfg):
+        # FineWeb-style supervised quality classifier: train NB log-odds
+        # on the rows whose `label_col` is non-null, score EVERY doc,
+        # keep positive-posterior docs (token-less docs carry no
+        # evidence and are kept — the filter only drops on evidence)
+        from opentelemetry_collector_spark.operators.quality import (
+            doc_classifier_score,
+        )
+
+        scored = doc_classifier_score(
+            spark,
+            "",
+            docs=df,
+            labeled=df,
+            label_col=cfg.get("label_col", "label"),
+        )
+        drop = scored.filter(~F.col("keep")).select("doc_id")
+        return df.join(drop, "doc_id", "left_anti")
+
     def sft_mask_p(spark, df, cfg):
         # SFT training-prep: per-turn token spans + assistant loss mask
         # over the flowing transcripts frame — one conv-keyed window
@@ -377,6 +396,7 @@ def _builtin_processors() -> dict[str, Callable]:
         "pii_scrub": pii_scrub_p,
         "c4_filter": c4_filter_p,
         "quality_checks": quality_checks_p,
+        "classifier_filter": classifier_filter_p,
         # transcript-native training-prep (operators/training.py)
         "sft_mask": sft_mask_p,
         "conversation_pack": conversation_pack_p,
