@@ -229,3 +229,81 @@ def test_config_built_classifier_filter(spark, tmp_path):
     assert kept == {0, 1, 2, 6, 8}
     # the filter preserves the flowing frame's columns
     assert sorted(got.columns) == ["doc_id", "label", "text"]
+
+
+def test_fuzz_random_labeled_corpus_matches_python_nb(spark):
+    """Seeded-random labeled corpus (120 docs, skewed vocabularies,
+    NULL-label scoring side, hash collisions guaranteed by a tight
+    vocabulary): every score equals the python NB recount computed from
+    the SAME random rows."""
+    import random
+
+    rng = random.Random(11)
+    pos_words = ["prose", "essay", "careful", "quiet", "history", "argue"]
+    neg_words = ["click", "free", "casino", "bonus", "winner", "offer"]
+    both = pos_words + neg_words + ["the", "and", "zq1", "zq2"]
+    rows = []
+    for i in range(120):
+        kind = rng.random()
+        label = True if kind < 0.3 else False if kind < 0.6 else None
+        pool = (
+            pos_words + both if label
+            else neg_words + both if label is False
+            else both
+        )
+        text = " ".join(rng.choice(pool) for _ in range(rng.randrange(1, 25)))
+        rows.append((i, text, label))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, label boolean"
+    )
+
+    # python NB over the random rows (same math as _py_model/_py_score
+    # but bound to THIS corpus)
+    cp: dict[int, int] = {}
+    cn: dict[int, int] = {}
+    p_total = n_total = pos_docs = neg_docs = 0
+    for _i, text, label in rows:
+        if label is None:
+            continue
+        if label:
+            pos_docs += 1
+        else:
+            neg_docs += 1
+        for w in text.lower().split():
+            b = _py_bucket(w)
+            if label:
+                cp[b] = cp.get(b, 0) + 1
+                p_total += 1
+            else:
+                cn[b] = cn.get(b, 0) + 1
+                n_total += 1
+    weights = {
+        b: round(
+            math.log(
+                ((cp.get(b, 0) + 1) * (n_total + CLF_BUCKETS))
+                / ((cn.get(b, 0) + 1) * (p_total + CLF_BUCKETS))
+            )
+            * 1000
+        )
+        for b in set(cp) | set(cn)
+    }
+    bias = round(math.log((pos_docs + 1) / (neg_docs + 1)) * 1000)
+    default = round(
+        math.log((n_total + CLF_BUCKETS) / (p_total + CLF_BUCKETS)) * 1000
+    )
+
+    got = {
+        r.doc_id: r
+        for r in doc_classifier_score(
+            spark, "", docs=docs, labeled=docs
+        ).collect()
+    }
+    assert set(got) == {i for i, t, _l in rows if t.strip()}
+    for i, text, _label in rows:
+        toks = [w for w in text.lower().split() if w]
+        if not toks:
+            continue
+        score = bias + sum(weights.get(_py_bucket(w), default) for w in toks)
+        assert got[i].n_tokens == len(toks), i
+        assert got[i].score_milli == score, i
+        assert got[i].keep == (score > 0), i

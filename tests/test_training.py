@@ -303,3 +303,64 @@ def test_shipped_sft_example_runs_end_to_end(spark, tmp_path):
     assert spans.count() == n_turns
     assert packs.count() == spans.select("conv_id").distinct().count()
     assert spans.filter("loss_mask AND role <> 'assistant'").count() == 0
+
+
+def test_fuzz_random_transcripts_match_python_ground_truth(spark):
+    """One Spark pass over a seeded-random 80-conversation corpus ≡ the
+    python recount for BOTH ops: every span, every mask bit, every pack
+    assignment (edge cases salted in: empty text, unicode, single-turn
+    conversations, one conversation past the pack budget)."""
+    import hashlib
+    import random
+
+    rng = random.Random(7)
+    roles = ["system", "user", "assistant", "tool"]
+    words = ["alpha", "beta", "gamma", "é中文", "tool=x", "ok.", ""]
+    rows = []
+    for c in range(80):
+        conv = f"conv-f{c:03d}"
+        n_turns = rng.randrange(1, 9)
+        for t in range(n_turns):
+            if rng.random() < 0.05:
+                text = ""
+            elif c == 3 and t == 0:
+                text = "y" * (CONV_PACK_BUDGET_TOKENS * 4 + 8)
+            else:
+                text = " ".join(
+                    rng.choice(words) for _ in range(rng.randrange(0, 40))
+                )
+            rows.append((conv, t, rng.choice(roles), text))
+    tx = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    # spans: exact python replay per conversation
+    got = sorted(
+        sft_loss_mask(spark, "", transcripts=tx).collect(),
+        key=lambda r: (r.conv_id, r.turn_idx),
+    )
+    by_key = {(c, t): txt for c, t, _r, txt in rows}
+    offset: dict[str, int] = {}
+    for r in got:
+        assert r.n_tokens == _py_tokens(by_key[(r.conv_id, r.turn_idx)])
+        assert r.tok_start == offset.get(r.conv_id, 0)
+        assert r.tok_end == r.tok_start + r.n_tokens
+        assert r.loss_mask == (r.role == "assistant")
+        offset[r.conv_id] = r.tok_end
+    # packs: totals == span ends, greedy cumsum replay per bucket
+    packed = conversation_pack(spark, "", transcripts=tx).collect()
+    assert {r.conv_id: r.n_tokens for r in packed} == offset
+    buckets: dict[int, list] = {}
+    for r in packed:
+        buckets.setdefault(r.pack_bucket, []).append(r)
+
+    def ord_key(conv: str) -> str:
+        return hashlib.md5(f"{conv}:cpack-ord".encode()).hexdigest()
+
+    for rs in buckets.values():
+        cum = 0
+        for r in sorted(rs, key=lambda r: ord_key(r.conv_id)):
+            assert r.cum_tokens == cum + r.n_tokens
+            assert r.pack_seq == cum // CONV_PACK_BUDGET_TOKENS
+            assert r.is_oversize == (r.n_tokens > CONV_PACK_BUDGET_TOKENS)
+            cum += r.n_tokens
+    assert any(r.is_oversize for r in packed)  # the salted giant conv
