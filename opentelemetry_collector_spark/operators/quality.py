@@ -24,6 +24,17 @@ methods:
   raw corpus, per-doc importance log-weights in integer milli-nats.
 * ``doc_chunk`` — sliding-window word chunking with overlap (the context
   construction step before ``corpus_pack``).
+* ``doc_split_leakage_safe`` — train/val/test assignment on near-dup
+  components so no duplicate pair straddles an eval boundary.
+* ``doc_entropy`` — word-entropy repetitiveness signal in integer
+  milli-nats.
+* ``corpus_ppl_buckets`` — CCNet head/middle/tail perplexity terciles
+  under the unigram LM (Wenzek et al. 2020 §3.3).
+* ``train_quality_classifier`` / ``doc_classifier_score`` — the
+  FineWeb/CCNet supervised quality-classifier stage: NB log-odds over
+  hashed unigram features, trained once on a boolean-labeled seed into a
+  hash-bounded weight table and applied to any corpus via one broadcast
+  join (see the section comment for the DSIR contrast).
 
 Scale notes (100 TB): everything is single-scan. The Gopher rules and the
 normalizer are pure codegen projections (the only higher-order function is
