@@ -487,3 +487,71 @@ def test_minhash_dedup_plan_has_no_cartesian(spark, mh_deduper):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+_FRESH_NEAR = _FRESH.replace("totally", "entirely")
+_OTHER = " ".join(f"q{i:02d} other corpus body" for i in range(10))
+
+
+def test_minhash_dedup_over_incremental_ticks_with_crash(spark, tmp_path):
+    """The near-dup ledger under the REAL tick machinery: three
+    IncrementalSource ticks, a crash between the sink write and the
+    ledger commit on tick 2, retry over the SAME pending snapshot —
+    exactly-once accepted set, near-dups caught in-tick AND cross-tick,
+    one ledger partition per tick."""
+    from opentelemetry_collector_spark.operators.incremental_dedup import (
+        IncrementalMinHashDeduper,
+    )
+    from opentelemetry_collector_spark.sources.incremental import (
+        IncrementalSource,
+    )
+
+    data = str(tmp_path / "incoming")
+    out = str(tmp_path / "accepted")
+    src = IncrementalSource(spark, data, str(tmp_path / "file_ledger"))
+    d = IncrementalMinHashDeduper(spark, str(tmp_path / "sig_ledger"))
+    ticks = [
+        [(1, _BASE), (2, _NOVEL), (3, _NEAR)],  # 3 dups 1 in-tick
+        [(10, _NEAR), (11, _FRESH)],  # 10 dups accepted 1 cross-tick
+        [(20, _FRESH_NEAR), (21, _OTHER)],  # 20 dups accepted 11
+    ]
+    crash = {"armed": True}
+    for k, rows in enumerate(ticks):
+        _docs(spark, rows).coalesce(1).write.mode("overwrite").parquet(
+            f"{data}/part{k}"
+        )
+        pending = src.pending()
+        assert pending is not None
+
+        def action(df, _tick=pending.tick_id, _k=k):
+            accepted = d.dedup(df)
+            # idempotent sink: tick-keyed overwrite (retry re-writes the
+            # same path with the same recomputed rows)
+            accepted.write.mode("overwrite").parquet(f"{out}/{_tick}")
+            if _k == 1 and crash["armed"]:
+                crash["armed"] = False
+                raise RuntimeError("crash before ledger commit")
+            d.commit(accepted, _tick)
+
+        if k == 1:
+            with pytest.raises(RuntimeError):
+                src.process_new(action, pending=pending)
+            retry = src.pending()  # file ledger uncommitted: same tick
+            assert retry is not None and retry.tick_id == pending.tick_id
+            src.process_new(action, pending=retry)
+        else:
+            src.process_new(action, pending=pending)
+
+    import pathlib
+
+    accepted_ids = set()
+    for tick_dir in pathlib.Path(out).iterdir():
+        accepted_ids |= {
+            r.doc_id
+            for r in spark.read.parquet(str(tick_dir)).collect()
+        }
+    assert accepted_ids == {1, 2, 11, 21}
+    led = d.seen().collect()
+    assert sorted(r.doc_id for r in led) == [1, 2, 11, 21]
+    assert len({r.tick_id for r in led}) == 3
+    assert src.pending() is None  # everything committed at the file layer
